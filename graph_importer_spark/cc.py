@@ -1,0 +1,156 @@
+"""Iterative connected components (large-star / small-star) on DataFrames.
+
+Natively implements the ``connectedcomponents`` / ``wcc`` surface the
+reference only delegates to server-side Pregel
+(/root/reference/arguments.py:182-184, start_Pregel.py:28-57).  The
+algorithm is the two-phase star contraction of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SOCC'14) — O(log^2 n)
+rounds, each round two shuffles (a groupBy-min and a join), no driver-side
+data movement.
+
+Scale notes (SURVEY.md §7 hard part 2):
+* ``localCheckpoint(eager=True)`` every iteration truncates the lineage —
+  without it the plan doubles per round and the driver OOMs planning
+  round ~15.
+* Giant components make large-star groups skewed (the component hub
+  accumulates all members as neighbors).  AQE skew-join handles the join
+  side; the groupBy is a partial (map-side) min aggregation, so a hot key
+  combines locally before the shuffle — the classic reason to prefer
+  ``groupBy().agg(min)`` over ``Window``.
+* Convergence test is a cheap fingerprint (count + sum of xxhash64 over
+  canonical edges), not exceptAll: one extra aggregate per round vs a
+  full anti-join.
+
+API works on long node ids.  ``connected_components_str`` adapts string
+ids via xxhash64 (collision probability n^2/2^65; fine to ~10^8 nodes —
+swap in a dictionary join for the 10^12 design point, see docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+        F.col("u") != F.col("v")
+    )
+
+
+def _sym_uv(e: DataFrame) -> DataFrame:
+    """Both directions of an undirected (u,v) edge set.
+
+    Large/small-star are defined on the UNDIRECTED neighborhood; their
+    outputs are directed (child->root), so each round must re-symmetrize
+    its input or the v>u / u>v orientation filters silently empty the
+    graph on round 2."""
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    nbrs = _sym_uv(e)
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", "u").alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large->small (u > v); for each u: m = min neighbor;
+    emit (v, m) for all small neighbors v plus (u, m)."""
+    directed = _sym_uv(e).filter(F.col("u") > F.col("v")).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    re_linked = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+    return re_linked.unionByName(self_link).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("c"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    on_iteration=None,
+) -> DataFrame:
+    """edges(src long, dst long) -> labels(id long, component long).
+
+    component = min node id of the component (stable, deterministic).
+    ``on_iteration(i, n_edges)`` is the observability hook feeding the
+    pipeline's _metrics table (the analogue of the reference's Pregel
+    status polling, start_Pregel.py:123-164).
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _fingerprint(e)
+    for i in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if on_iteration is not None:
+            on_iteration(i, cur[0])
+        if cur == prev:
+            break
+        prev = cur
+    # e is now a star forest oriented child->root (u > v == root).
+    roots = e.select(F.col("v").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    # isolated vertices from the ORIGINAL edge set keep themselves
+    orig = _symmetrize(edges).select(F.col("u").alias("id")).distinct()
+    labels = members.unionByName(roots)
+    isolated = orig.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labels.unionByName(isolated).distinct()
+
+
+def connected_components_str(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """String-id adapter: hash ids to longs, run CC, map back.
+
+    xxhash64 collisions would silently merge components at ~10^9+ nodes;
+    for the 10^12 design point replace with a persisted id-dictionary
+    (dropDuplicates + row_number over a global sort, amortized across
+    runs). Kept hash-based here: zero extra shuffles.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("name"))
+        .unionByName(edges.select(F.col(dst).alias("name")))
+        .distinct()
+        .select("name", F.xxhash64("name").alias("id"))
+    )
+    e = edges.select(
+        F.xxhash64(F.col(src)).alias("src"), F.xxhash64(F.col(dst)).alias("dst")
+    )
+    labels = connected_components(e, max_iter=max_iter)
+    comp_names = (
+        labels.join(nodes, "id")
+        .groupBy("component")
+        .agg(F.min("name").alias("canonical"))
+    )
+    return (
+        labels.join(nodes, "id")
+        .join(comp_names, "component")
+        .select(F.col("name"), F.col("canonical"))
+    )

@@ -1,0 +1,106 @@
+"""HTML -> text extraction: a single pinned, pure, vectorized function.
+
+BASELINE input_hint mandates: vectorized pandas/Arrow UDFs (no per-row
+Python) and a per-url byte-identical-text invariant.  The entire
+extraction algorithm therefore lives in ONE module-level function
+(`extract_text_series`) used by (a) the Spark pandas_udf, (b) the pytest
+oracle, and (c) any driver-side check — so there is exactly one
+definition of "the extracted text of this html" (SURVEY.md §7 hard
+part 1).
+
+Contract (deterministic, locale-free, pure function of the html bytes):
+  1. decode UTF-8 with errors='replace' (bytes that don't decode must
+     still produce a deterministic string, not an exception mid-job);
+  2. drop <script>...</script>, <style>...</style>, <!-- comments -->
+     (case-insensitive, non-greedy, dotall);
+  3. replace every remaining tag with a single space;
+  4. unescape the five standard HTML entities + &nbsp; + numeric refs;
+  5. collapse whitespace runs to one space; strip.
+
+The reference has no extraction stage (it ingests pre-tokenized graph
+files); this stage is the graft's analogue of its per-row parse loop
+(general.py:139-155 file_reader + per-line split) re-expressed as one
+Arrow-batched columnar pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_SCRIPT_RE = re.compile(r"<script\b.*?</script\s*>", re.IGNORECASE | re.DOTALL)
+_STYLE_RE = re.compile(r"<style\b.*?</style\s*>", re.IGNORECASE | re.DOTALL)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+_NUMERIC_ENT_RE = re.compile(r"&#(\d{1,7});")
+
+
+def extract_text_str(html: bytes | str | None) -> str | None:
+    """Scalar form of the extraction contract (test oracle)."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _STYLE_RE.sub(" ", s)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    for ent, ch in _ENTITIES.items():
+        s = s.replace(ent, ch)
+    s = _NUMERIC_ENT_RE.sub(lambda m: chr(int(m.group(1))) if int(m.group(1)) < 0x110000 else "", s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized form: pandas .str ops over an Arrow batch.
+
+    Same contract as extract_text_str — asserted equal in tests.
+    """
+    s = html.map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray))
+        else b
+    )
+    mask = s.notna()
+    t = s[mask]
+    t = t.str.replace(_SCRIPT_RE, " ", regex=True)
+    t = t.str.replace(_STYLE_RE, " ", regex=True)
+    t = t.str.replace(_COMMENT_RE, " ", regex=True)
+    t = t.str.replace(_TAG_RE, " ", regex=True)
+    for ent, ch in _ENTITIES.items():
+        t = t.str.replace(ent, ch, regex=False)
+    t = t.str.replace(
+        _NUMERIC_ENT_RE,
+        lambda m: chr(int(m.group(1))) if int(m.group(1)) < 0x110000 else "",
+        regex=True,
+    )
+    t = t.str.replace(_WS_RE, " ", regex=True).str.strip()
+    out = pd.Series([None] * len(s), index=s.index, dtype="object")
+    out[mask] = t
+    return out
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return extract_text_series(html)
+
+
+def with_text(df, html_col: str = "html", out_col: str = "text") -> "Column":
+    """pages -> pages with `text` filled (Arrow-batched, one narrow pass;
+    no shuffle — stays in the scan stage under whole-stage codegen up to
+    the ArrowEvalPython node)."""
+    return df.withColumn(out_col, extract_text_udf(F.col(html_col)))

@@ -1,0 +1,210 @@
+"""End-to-end staged KG-construction pipeline with lineage + resume.
+
+Stage graph (each stage = one Spark job writing one catalog table):
+
+  pages ──extract──> pages_text ──mentions──> mentions ──link──> linked
+        ──triples──> triples_raw ──canonicalize──> canonical_map, triples
+        ──materialize──> <g>_vertices, <g>_edges
+
+Per north rule: every stage writes per-partition lineage rows
+(_lineage) and stage metrics (_metrics); stage completion is a snapshot
+tag so ``run_pipeline(resume=True)`` skips finished stages — the Spark
+restatement of the reference's exists-and-not-overwrite => skip guard
+(graphalytics_importer.py:168-175; observability analogue of its tqdm +
+wall-clock prints, importer.py:61-71, and Pregel status polling,
+start_Pregel.py:123-164).
+
+Resume is idempotent by construction: every stage output is written
+create_or_replace (never blind append), so a re-run after a mid-stage
+kill rewrites that stage atomically (SURVEY.md §7 hard part 5).
+
+Skew handling (north rule: explicit): the corpus is repartitioned by
+xxhash64(url) up front — provenance keys are uniform even when entity
+keys are power-law — and every entity-keyed stage downstream relies on
+map-side partial aggregation + AQE skew-join (see cc.py docstring).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_importer_spark import cc as _cc
+from graph_importer_spark import extract as _extract
+from graph_importer_spark import linking as _linking
+from graph_importer_spark import mentions as _mentions
+from graph_importer_spark import triples as _triples
+from graph_importer_spark.materialize import GraphSpec, materialize_graph, triples_to_graph
+from graph_importer_spark.tables import GraphCatalog
+
+LINEAGE_TABLE = "_lineage"
+METRICS_TABLE = "_metrics"
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str
+    graph: GraphSpec = field(default_factory=lambda: GraphSpec(name="kg", overwrite=True))
+    lang: str = "en"
+    max_cc_iter: int = 30
+    url_partitions: int | None = None  # default: spark.sql.shuffle.partitions
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.cat = GraphCatalog(spark, cfg.warehouse)
+
+    # -- observability ---------------------------------------------------
+    def _lineage(self, stage: str, table: str) -> None:
+        """Per-partition row counts of the stage output (north-rule
+        lineage contract; the columnar analogue of the reference's
+        per-bulk progress bars, graphalytics_importer.py:83-90)."""
+        df = self.cat.read(table)
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("ts", F.current_timestamp())
+            .select("stage", "partition_id", "rows", "ts")
+        )
+        self.cat.append(LINEAGE_TABLE, rows)
+
+    def _metric(self, stage: str, name: str, value: float) -> None:
+        row = self.spark.createDataFrame(
+            [(stage, name, float(value))], "stage string, metric string, value double"
+        ).withColumn("ts", F.current_timestamp())
+        self.cat.append(METRICS_TABLE, row)
+
+    def _run_stage(self, stage: str, table: str, fn, resume: bool, **write_kw) -> None:
+        if resume and self.cat.exists(table) and self.cat.has_tag(table, "complete"):
+            return
+        t0 = time.monotonic()
+        df = fn()
+        self.cat.create_or_replace(table, df, tag="complete", **write_kw)
+        self._metric(stage, "wall_sec", time.monotonic() - t0)
+        self._lineage(stage, table)
+
+    # -- stages ------------------------------------------------------------
+    def run(self, pages: DataFrame, aliases: DataFrame, resume: bool = False) -> None:
+        cfg, cat = self.cfg, self.cat
+        nparts = cfg.url_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+        def s_extract():
+            # explicit repartition by url-hash (north rule): uniform layout
+            # regardless of upstream file sizes; also the write clustering.
+            p = pages.repartition(nparts, F.xxhash64("url"))
+            p = p.filter(F.col("lang") == cfg.lang) if cfg.lang else p
+            return _extract.with_text(p)
+
+        self._run_stage("extract", "pages_text", s_extract, resume)
+
+        def s_mentions():
+            return _mentions.detect_mentions(cat.read("pages_text"), aliases)
+
+        self._run_stage("mentions", "mentions", s_mentions, resume)
+
+        def s_link():
+            return _linking.link_mentions(cat.read("mentions"), aliases)
+
+        self._run_stage("link", "linked", s_link, resume)
+
+        def s_triples_raw():
+            pt = cat.read("pages_text")
+            sents = _mentions.split_sentences(pt)
+            return _triples.extract_triples(cat.read("linked"), sents, pt)
+
+        self._run_stage("triples_raw", "triples_raw", s_triples_raw, resume)
+
+        def s_canonical_map():
+            return self._canonical_map(cat.read("linked"))
+
+        self._run_stage("canonicalize", "canonical_map", s_canonical_map, resume)
+
+        def s_triples():
+            cmap = cat.read("canonical_map")
+            t = cat.read("triples_raw")
+            smap = cmap.select(
+                F.col("entity").alias("subj_e"), F.col("canonical").alias("subj_c")
+            )
+            omap = cmap.select(
+                F.col("entity").alias("obj_e"), F.col("canonical").alias("obj_c")
+            )
+            t = (
+                t.join(F.broadcast(smap), t.subj == smap.subj_e, "left")
+                .join(F.broadcast(omap), t.obj == omap.obj_e, "left")
+            )
+            return t.select(
+                F.coalesce("subj_c", "subj").alias("subj"),
+                "pred",
+                F.coalesce("obj_c", "obj").alias("obj"),
+                "url",
+                "warc_ts",
+            )
+
+        self._run_stage("triples", "triples", s_triples, resume)
+
+        vt = f"{cfg.graph.name}_{cfg.graph.vertices_coll}"
+        if not (resume and cat.exists(vt) and cat.has_tag(vt, "complete")):
+            t0 = time.monotonic()
+            verts, edges = triples_to_graph(cat.read("triples"), cfg.graph)
+            materialize_graph(cat, cfg.graph, verts, edges)
+            self._metric("materialize", "wall_sec", time.monotonic() - t0)
+            self._lineage("materialize", vt)
+
+    def _canonical_map(self, linked: DataFrame) -> DataFrame:
+        """CC over the surface<->entity bipartite graph: alias variants
+        that (transitively) link to the same entity collapse into one
+        component; canonical id = min entity id in the component.
+
+        Returns (entity, canonical). This is the reference's
+        'connectedcomponents'/'wcc' Pregel surface (arguments.py:182-184)
+        run natively as the canonicalization stage.
+        """
+        pairs = linked.select("surface", "entity").distinct()
+        edges = pairs.select(
+            F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("src"),
+            F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("dst"),
+        )
+        it_metrics: list[tuple[int, int]] = []
+        labels = _cc.connected_components(
+            edges,
+            max_iter=self.cfg.max_cc_iter,
+            on_iteration=lambda i, n: it_metrics.append((i, n)),
+        )
+        ents = pairs.select("entity").distinct().select(
+            "entity", F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("id")
+        )
+        ent_labels = ents.join(labels, "id").select("entity", "component")
+        canon = ent_labels.groupBy("component").agg(F.min("entity").alias("canonical"))
+        out = ent_labels.join(canon, "component").select("entity", "canonical")
+        for i, n in it_metrics:
+            self._metric("canonicalize", f"cc_iter_{i}_edges", n)
+        self._metric("canonicalize", "cc_iterations", len(it_metrics))
+        return out
+
+    # -- read-back ---------------------------------------------------------
+    def triples(self) -> DataFrame:
+        return self.cat.read("triples")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    warehouse: str,
+    resume: bool = False,
+    graph: GraphSpec | None = None,
+) -> Pipeline:
+    cfg = PipelineConfig(warehouse=warehouse)
+    if graph is not None:
+        cfg.graph = graph
+    p = Pipeline(spark, cfg)
+    p.run(pages, aliases, resume=resume)
+    return p

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Replaces the reference's runtime gate (``arangodIsRunning``,
+/root/reference/general.py:162-173) — the SparkSession *is* the runtime.
+
+Design notes (100 TB target, tested on local[N]):
+
+* AQE on: runtime coalescing of post-shuffle partitions, skew-join
+  splitting for the power-law entity keys, dynamic join selection.
+* Arrow on: every Python-side transform in this engine is a vectorized
+  pandas/Arrow UDF (the reference is per-row Python dicts; we are not).
+* ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a real
+  cluster it should be sized so post-shuffle partitions are ~128-256 MB —
+  AQE coalescing makes over-partitioning cheap, under-partitioning is not.
+* Broadcast threshold raised to 64 MB: the alias/gazetteer dimension is a
+  classic small-dim broadcast (SURVEY.md §2.3 J-absent row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "graph_importer_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession.
+
+    ``cores`` is the parallelism knob used for the N vs 4N scaling
+    evidence (local[8] vs local[32] stand in for N vs 4N executors).
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or 2 * cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
