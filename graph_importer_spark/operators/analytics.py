@@ -1,0 +1,171 @@
+"""Graph analytics, natively on DataFrames.
+
+The reference only launches/monitors these server-side
+(start_Pregel.py:28-57 POST _api/control_pregel, catalog
+arguments.py:176-188: pagerank, sssp, connectedcomponents, wcc, ...).
+Here the ones the north star needs run as driver-orchestrated iterative
+DataFrame jobs — each superstep is a join + aggregate, lineage truncated
+per iteration with localCheckpoint (same discipline as cc.py).
+
+Parameter mapping (reference G3/G4/G5, SURVEY.md §2.9):
+  maxGSS -> max_iter; 'threshold' -> tol (PageRank convergence on the
+  L-inf delta); 'source'/'resultField' -> source / the returned column;
+  parallelism -> spark.sql.shuffle.partitions (session-level).
+
+Scale notes: ranks/dists are keyed by vertex id — power-law in-degree
+makes the contribution aggregation skewed; it is a groupBy().sum(),
+i.e. map-side partial aggregation absorbs hot keys before the shuffle.
+The join of contribs back to the vertex frame is equi-join under AQE
+(skew-join splitting on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_importer_spark.cc import connected_components, connected_components_str  # noqa: F401  (wcc surface)
+
+
+def _vertices_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-4,
+    max_iter: int = 20,
+    on_iteration=None,
+) -> DataFrame:
+    """edges(src, dst) -> (id, rank); sum(rank) == n (Pregel convention).
+
+    Dangling mass is redistributed uniformly each superstep, so ranks
+    match the reference's Pregel PageRank semantics
+    (start_Pregel.py:195-199 threshold convergence).
+    """
+    spark = edges.sparkSession
+    verts = _vertices_of(edges).localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double")
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # static frame reused every superstep: (src, dst, out_deg)
+    links = (
+        edges.join(deg, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.select("id", F.lit(1.0).alias("rank"))
+    for i in range(max_iter):
+        contribs = (
+            links.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass = sum of rank held by vertices with no out-edges
+        dangling = (
+            ranks.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        new_ranks = (
+            verts.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+            .agg(F.max(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if on_iteration is not None:
+            on_iteration(i, float(delta))
+        if delta < tol:
+            break
+    return ranks
+
+
+def sssp(
+    edges: DataFrame,
+    source,
+    weight_col: str | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Single-source shortest paths (reference G5 surface,
+    start_Pregel.py:202-206): edges(src, dst[, weight]) -> (id, dist).
+
+    Bellman-Ford supersteps: relax all edges, keep the min per vertex.
+    Unreachable vertices are absent from the result (the reference's
+    Pregel stores +inf; filter semantics are cleaner relationally).
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w")).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dists = spark.createDataFrame([(source, 0.0)], "id long, dist double")
+    for _ in range(max_iter):
+        relaxed = (
+            e.join(dists.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new_dists = (
+            dists.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when nothing improved: compare fingerprints
+        changed = (
+            new_dists.join(dists.withColumnRenamed("dist", "old"), "id", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .count()
+        )
+        dists = new_dists
+        if changed == 0:
+            break
+    return dists
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Synchronous LPA (reference catalog 'labelpropagation',
+    arguments.py:176-188): each vertex adopts the min most-frequent
+    neighbor label. Deterministic tie-break -> reproducible. Returns
+    (id, label)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = _vertices_of(edges).select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        freq = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new_labels = (
+            freq.groupBy("src")
+            .agg(F.expr("min_by(label, struct(-cnt, label))").alias("label"))
+            .withColumnRenamed("src", "id")
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if same == 0:
+            break
+    return labels

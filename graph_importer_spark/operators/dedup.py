@@ -1,0 +1,181 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact, fingerprint, MinHash-LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — each a composition of built-in DataFrame
+ops.  Hashing for the oracle-checked paths is md5 (bit-identical string
+semantics in Spark and DuckDB); the scale paths use xxhash64 (~10x
+cheaper, JVM-side).
+
+Scale shape notes (100 TB):
+* exact/fingerprint dedup: one hash-aggregate, map-side partial —
+  the canonical groupBy, no skew issue (hash keys are uniform).
+* MinHash-LSH: shingle explode multiplies rows by ~doc_len; the
+  signature aggregate reduces back to n_docs x n_seeds before any join.
+  Band-bucket join is an equi-join on (band, key) — bucket sizes are
+  the classic skew risk (boilerplate-heavy corpora); cap bucket size
+  with a count filter before the pair join (``max_bucket``).
+* pair generation is within-bucket self-join with id1 < id2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_importer_spark.operators.textstats import fingerprint, normalize_text
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text-key rows) with n_dups >= 2
+    and the keeper (min id). One hash aggregate."""
+    return (
+        df.groupBy(F.col(text_col).alias("dup_text"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dedup on normalized-text md5: one row per fingerprint,
+    keeper = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles of the normalized text per doc."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, n_hashes: int = 12
+) -> DataFrame:
+    """(id, seed, minhash): minhash_s = min over shingles of
+    md5(seed || '|' || shingle) — a string min, uniform because md5 is;
+    identical formula replays in DuckDB."""
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    h = F.md5(
+        F.encode(F.concat_ws("|", F.col("seed").cast("string"), "shingle"), "UTF-8")
+    )
+    return seeded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: (id1, id2) sharing >= 1 band.
+
+    rows_per_band = n_hashes / bands; band key = md5 of the ordered
+    concat of the band's minhashes. ``max_bucket`` drops degenerate
+    buckets (boilerplate skew guard) — dropped buckets are a recall
+    trade documented at the call site, not silent: count them via
+    ``.filter(col('bucket_n') > max_bucket)`` if needed.
+    """
+    r = n_hashes // bands
+    sigs = minhash_signatures(shingles(df, id_col, text_col, k), id_col, n_hashes)
+    banded = sigs.withColumn("band", (F.col("seed") / r).cast("int"))
+    keys = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.encode(
+                F.array_join(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"), "|"),
+                "UTF-8",
+            )
+        ).alias("bkey")
+    )
+    sized = keys.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bkey"))
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket).select(id_col, "band", "bkey")
+    a = small.select(F.col(id_col).alias("id1"), "band", "bkey")
+    b = small.select(F.col(id_col).alias("id2"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from counts —
+    the shared-shingle equi-join is the blocker (no all-pairs cross).
+    Returns (id1, id2, jaccard) with jaccard >= threshold, rounded to 6.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("i"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(n1, "id1")
+        .join(n2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.
+
+    Brute-force all-pairs (correctness baseline; the ANN path lives in
+    similarity.py). Dot/norm via zip_with + aggregate — JVM higher-order
+    functions, no Python.
+    """
+    from graph_importer_spark.operators.similarity import with_norm, cosine
+
+    a = with_norm(emb, id_col, vec_col, "id1", "v1", "nrm1")
+    b = with_norm(emb, id_col, vec_col, "id2", "v2", "nrm2")
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    return pairs.select(
+        "id1",
+        "id2",
+        F.round(cosine("v1", "v2", "nrm1", "nrm2"), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,154 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen). Every formula is pinned so the DuckDB oracle can
+reproduce values bit-for-bit: hashing is md5 (identical semantics in
+Spark and DuckDB over utf-8 strings), ratios are rounded explicitly.
+
+Operators:
+* token_count      — whitespace tokens + BPE-ish regex tokens
+* quality_score    — length/punct/stopword/word-length heuristic
+* lang_id          — stopword-hit n-gram heuristic over 4 languages
+* fingerprint      — md5 of whitespace/case-normalized text
+* simhash64        — 64-bit SimHash over xxhash64(token) (scale path;
+                     not md5-replayable, rows-only oracle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "en", "por"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(_tokens(text))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+
+
+def _stopword_hits(text: Column, lang: str) -> Column:
+    """Number of whitespace tokens (lowercased, punctuation-stripped)
+    that are stopwords of ``lang``."""
+    words = F.transform(
+        _tokens(F.lower(text)), lambda t: F.regexp_replace(t, r"[^a-z]", "")
+    )
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: _stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of stopword hits; ties broken by fixed language order
+    (en, de, fr, es); no hits at all -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # first lang wins ties
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(punct / n, 6))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(_stopword_hits(text, lang) / n, 6)
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = _tokens(text)
+    n = token_count(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(total / n, 6))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Pinned heuristic in [0,1]: rewards 50-10k chars, some stopwords,
+    3-12 char mean words; penalizes punctuation soup.
+
+    score = 0.25*len_ok + 0.25*min(1, stopword_ratio*5)
+          + 0.25*(1 - min(1, punct_ratio*4)) + 0.25*word_len_ok
+    """
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text, lang)
+    mw = mean_word_len(text)
+    wl_ok = F.when((mw >= 3.0) & (mw <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * F.least(F.lit(1.0), sw * 5)
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4))
+        + F.lit(0.25) * wl_ok
+    )
+    return F.round(score, 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + collapse whitespace + trim (the dedup normal form)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 hex of the normal form — replayable in DuckDB (md5 of the
+    same utf-8 string)."""
+    return F.md5(F.encode(normalize_text(text), "UTF-8"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document over xxhash64(token).
+
+    explode tokens -> explode 64 bit positions -> per-(doc,bit) majority
+    vote -> assemble. Shuffle key (doc, bit) is uniform; the vote is a
+    partial-aggregating sum. Returns (id_col, simhash long).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).select(
+        id_col,
+        "bit",
+        # vote +1 if bit set else -1  (SQL form: shiftright takes a
+        # column numBits only through the parser)
+        F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1").alias("v"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("v").alias("s"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(1L, cast(bit as int))")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
