@@ -1,0 +1,891 @@
+"""Driver-contract queries + DuckDB oracle SQL (the correctness gate).
+
+One entry per implemented operator family from SURVEY.md §2, each
+expressed twice with identical semantics:
+
+* a PySpark DataFrame program (the engine under test), and
+* an ANSI-SQL string DuckDB runs on the same parquet tables.
+
+Cross-engine determinism rules used throughout (so the driver's
+order-insensitive value-hash matches bit-for-bit):
+
+* money/quantity aggregates go through DECIMAL (exact addition in both
+  engines, precision/scale chosen so neither engine hits its 38-digit
+  cap and re-scales) and are cast to DOUBLE only at the end;
+* float-vector math folds LEFT-TO-RIGHT in both engines
+  (``F.aggregate`` / ``list_reduce``) with multiplication performed at
+  the same precision (multiply THEN cast) — bitwise-identical doubles;
+* every hash the oracle must replay is md5 over UTF-8 (identical in
+  Spark and DuckDB); xxhash64-based operators are registered without an
+  oracle (rows-only check);
+* all synthetic randomness is the multiplicative-congruential hash
+  ``((key % M) * A + seed) % M / M`` — plain int64 arithmetic with
+  bounded intermediates, replayable in SQL (see operators/generators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_importer_spark import extract as _extract
+from graph_importer_spark import linking as _linking
+from graph_importer_spark import mentions as _mentions
+from graph_importer_spark import triples as _triples
+from graph_importer_spark.importer.graphalytics import parse_edges
+from graph_importer_spark.importer.keys import (
+    graphalytics_vertex_doc,
+    idx_to_smart_vertex,
+    idx_to_vertex,
+)
+from graph_importer_spark.operators import dedup as _dedup
+from graph_importer_spark.operators import generators as _gen
+from graph_importer_spark.operators import similarity as _sim
+from graph_importer_spark.operators import skew as _skew
+from graph_importer_spark.operators import textstats as _ts
+from graph_importer_spark.operators.analytics import pagerank, sssp
+from graph_importer_spark.operators.multimodal import byte_histogram, byte_stats
+from graph_importer_spark.cc import connected_components, connected_components_str
+
+_M = _gen._M
+_A = _gen._A
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=12, s=4):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.3 absent-joins row, §2.4 absent-aggs row,
+# §2.5 windows — the built-in surface the graft adds over the reference)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    # precision budget: 10,2 x 7,6 = p17 fits DuckDB's int64 decimal
+    # kernel; the second multiply goes int128 in both engines, far below
+    # either engine's 38-digit cap => no re-scaling anywhere.
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(7,6)")
+    tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(7,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice", 10, 2)), 2).cast("double").alias("sum_base_price"),
+            # round the exact decimal sum to <=4 dp BEFORE the double
+            # cast: the rounded integer mantissa fits a double exactly,
+            # so both engines' decimal->double conversions agree (at
+            # scale 14 they can differ by a few ulps).
+            F.round(F.sum(_dec("l_extendedprice", 10, 2) * disc), 4).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum((_dec("l_extendedprice", 10, 2) * disc).cast("decimal(22,8)") * tax), 4
+            ).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(7,6))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(round(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(7,6)) AS DECIMAL(22,8)) * CAST(1.0 + l_tax AS DECIMAL(7,6))), 4) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_region_volume(spark, sf_dir):
+    """Fact-side scan + broadcast dim chain (customer->nation->region) —
+    the canonical small-dim broadcast plan (no shuffle on orders)."""
+    o, c = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
+    n, r = T(spark, sf_dir, "nation"), T(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice", 14, 2)), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_REGION = """
+SELECT r_name, COUNT(*) AS n_orders,
+  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_window_top_orders(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def q_semi_join_segments(spark, sf_dir):
+    c, o = T(spark, sf_dir, "customer"), T(spark, sf_dir, "orders")
+    active = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    return active.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+ORACLE_SEMI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join_unordered_parts(spark, sf_dir):
+    p, li = T(spark, sf_dir, "part"), T(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_brand")
+
+
+ORACLE_ANTI = """
+SELECT p_partkey, p_brand FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming op)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value", 14, 6)), 6).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_HOURLY = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+  COUNT(*) AS n_events,
+  CAST(round(SUM(CAST(value AS DECIMAL(14,6))), 6) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark, sf_dir, gap_us: int = 1800 * 1_000_000):
+    """Gap-based sessionization via lag window (streaming session-window
+    analogue computed in batch)."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+ORACLE_SESSIONS = """
+SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+) GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Importer-compat operators (SURVEY §2.1-2.2: P1-P5, J3 — reference parse
+# semantics executed by the Spark importer code paths)
+# ---------------------------------------------------------------------------
+
+def _edge_lines(spark, sf_dir):
+    """Edge-list lines synthesized from lineitem: 'src dst [weight]';
+    even line numbers omit the weight (missing => NULL contract)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.concat_ws(" ", "l_orderkey", "l_partkey"),
+        )
+        .otherwise(F.concat_ws(" ", "l_orderkey", "l_partkey", "l_suppkey"))
+        .alias("line")
+    )
+
+
+def q_imp_edge_parse(spark, sf_dir):
+    """P1+P2: comment filter + split(' ', 2) parse, missing weight =>
+    NULL, weight verbatim string, smart '<coll>/<id>:<id>' refs
+    (graphalytics_importer.py:115-123 semantics)."""
+    return parse_edges(_edge_lines(spark, sf_dir), "vertices", smart=True)
+
+
+ORACLE_EDGE_PARSE = """
+WITH lines AS (
+  SELECT CASE WHEN l_linenumber % 2 = 0
+    THEN l_orderkey || ' ' || l_partkey
+    ELSE l_orderkey || ' ' || l_partkey || ' ' || l_suppkey END AS line
+  FROM lineitem),
+p AS (SELECT string_split(line, ' ') AS t FROM lines WHERE NOT regexp_matches(line, '^[#/%]'))
+SELECT 'vertices/' || t[1] || ':' || t[1] AS _from,
+       'vertices/' || t[2] || ':' || t[2] AS _to,
+       CASE WHEN len(t) >= 3 THEN t[3] ELSE NULL END AS weight
+FROM p
+"""
+
+
+def q_imp_smart_keys(spark, sf_dir):
+    """P3-P5 key synthesis on customer ids (vertices_generator.py:149-160,
+    graphalytics_importer.py:87)."""
+    c = T(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        *graphalytics_vertex_doc(k, "smartProp"),
+        idx_to_smart_vertex("vertices", k).alias("_id_smart"),
+        idx_to_vertex("vertices", k).alias("_id_plain"),
+    )
+
+
+ORACLE_SMART_KEYS = """
+SELECT CAST(c_custkey AS VARCHAR) AS smartProp,
+       c_custkey || ':' || c_custkey AS _key,
+       'vertices/' || c_custkey || ':' || c_custkey AS _id_smart,
+       'vertices/' || c_custkey AS _id_plain
+FROM customer
+"""
+
+
+def q_imp_unique_insert(spark, sf_dir):
+    """J3 anti-join dedup-insert: new vertex ids not present in the
+    existing collection (the reference's one AQL query,
+    vertices_generator.py:132-140)."""
+    e = T(spark, sf_dir, "events").select((F.col("user_id") + 1400).alias("new_id")).distinct()
+    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("new_id"))
+    return e.join(c, "new_id", "left_anti")
+
+
+ORACLE_UNIQUE_INSERT = """
+SELECT DISTINCT user_id + 1400 AS new_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = e.user_id + 1400)
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline stages (extract -> mentions -> link -> triples), oracle-checked
+# end-to-end on the documents table
+# ---------------------------------------------------------------------------
+
+def _docs_as_pages(spark, sf_dir):
+    """documents -> pages(url, warc_ts, html, text, lang): wrap text in
+    HTML (incl. script/style/comment noise the extractor must strip)."""
+    d = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{margin:0}</style></head><body>"
+              "<script>var x=1;</script><!-- nav --><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+    )
+
+
+def q_kg_extract(spark, sf_dir):
+    """Arrow-batched html->text extraction; oracle = the byte-identical
+    invariant (documents text is tag/entity-free, so expected text ==
+    whitespace-collapsed source text)."""
+    pages = _docs_as_pages(spark, sf_dir)
+    return _extract.with_text(pages).select("url", "text")
+
+
+ORACLE_KG_EXTRACT = r"""
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+FROM documents
+"""
+
+
+def _top_token_gazetteer(text_df: DataFrame, top_n: int = 150) -> DataFrame:
+    """Gazetteer from the corpus itself: top-N tokens by global count
+    (ties broken by token) — deterministic, SQL-replayable."""
+    toks = text_df.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("alias"))
+    return (
+        toks.groupBy("alias")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("alias"))
+        .limit(top_n)
+        .select("alias", F.col("alias").alias("entity"), F.lit(1.0).alias("prior"))
+    )
+
+
+def q_kg_flagship(spark, sf_dir):
+    """Flagship: full KG chain over the documents corpus —
+    extract(pandas_udf) -> gazetteer mention detection (broadcast token
+    join) -> link (window top-1) -> co-occurrence triples (min/max pos)
+    -> aggregate (subj, pred, obj, n_pairs).  Every stage is the real
+    pipeline operator; the oracle replays it in SQL."""
+    pages = _extract.with_text(_docs_as_pages(spark, sf_dir))
+    gaz = _top_token_gazetteer(pages)
+    mentions = _mentions.detect_mentions(pages, gaz, max_alias_tokens=1)
+    linked = _linking.link_mentions(mentions, gaz)
+    sents = _mentions.split_sentences(pages)
+    trips = _triples.extract_triples(linked, sents, pages, default_pred="cooccurs_with")
+    return trips.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_pairs"))
+
+
+ORACLE_KG_FLAGSHIP = r"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+toks AS (
+  SELECT url, UNNEST(t) AS tok,
+         UNNEST(generate_series(0, len(t) - 1)) AS pos
+  FROM docs),
+gaz AS (
+  SELECT tok FROM toks GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 150),
+m AS (SELECT url, pos, tok FROM toks WHERE tok IN (SELECT tok FROM gaz)),
+ends AS (
+  SELECT url, arg_min(tok, pos) AS subj, arg_max(tok, pos) AS obj,
+         COUNT(*) AS n FROM m GROUP BY url)
+SELECT subj, 'cooccurs_with' AS pred, obj, COUNT(*) AS n_pairs
+FROM ends WHERE n >= 2 GROUP BY subj, obj
+"""
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization / graph analytics (SURVEY §2.9: wcc implemented natively)
+# ---------------------------------------------------------------------------
+
+def q_cc_star(spark, sf_dir):
+    """connected_components on the customer<->order star graph; component
+    id = min member id (the canonical-entity-id reduction)."""
+    o = T(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") + 1000000).alias("dst")
+    )
+    return connected_components(edges)
+
+
+ORACLE_CC_STAR = """
+SELECT DISTINCT o_custkey AS id, o_custkey AS component FROM orders
+UNION
+SELECT o_orderkey + 1000000 AS id, o_custkey AS component FROM orders
+"""
+
+
+def q_cc_canonical_names(spark, sf_dir):
+    """connected_components_str over the customer-name <-> nation-name
+    bipartite graph: canonical = min name per component (string ids via
+    the hash adapter — the canonicalization stage's exact shape)."""
+    c, n = T(spark, sf_dir, "customer"), T(spark, sf_dir, "nation")
+    edges = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("c_name").alias("src"), F.col("n_name").alias("dst")
+    )
+    return connected_components_str(edges).withColumnRenamed("name", "node")
+
+
+ORACLE_CC_NAMES = """
+WITH e AS (
+  SELECT c_name, n_name, n_nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey),
+canon AS (
+  SELECT n_nationkey, least(min(c_name), min(n_name)) AS canonical
+  FROM e GROUP BY n_nationkey)
+SELECT c_name AS node, canonical FROM e JOIN canon USING (n_nationkey)
+UNION
+SELECT DISTINCT n_name AS node, canonical FROM e JOIN canon USING (n_nationkey)
+"""
+
+
+def q_pagerank_star(spark, sf_dir):
+    """PageRank (rows-only: iterative, not SQL-expressible)."""
+    o = T(spark, sf_dir, "orders").limit(2000)
+    edges = o.select(
+        (F.col("o_orderkey") + 1000000).alias("src"), F.col("o_custkey").alias("dst")
+    )
+    pr = pagerank(edges, max_iter=10)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_sssp_tree(spark, sf_dir):
+    """SSSP on a deterministic binary tree (rows-only: iterative).
+    Tree depth ~log2(n) keeps the superstep count low — the graph shape,
+    not the row count, bounds Bellman-Ford rounds."""
+    edges = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.array(F.col("id") * 2 + 1, F.col("id") * 2 + 2)).alias("dst"),
+        )
+        .filter(F.col("dst") < 500)
+    )
+    return sssp(edges, source=0, max_iter=15)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic graph generators (SURVEY §2.6 F1-F5, §2.3 J1/J4 — reference
+# generator surface, deterministic hash randomness)
+# ---------------------------------------------------------------------------
+
+def q_gen_clique(spark, sf_dir):
+    return _gen.clique_edges(spark, 40, prob_missing=0.25, seed=7)
+
+
+ORACLE_GEN_CLIQUE = f"""
+SELECT a.i AS src, b.i AS dst
+FROM (SELECT UNNEST(generate_series(0, 39)) AS i) a,
+     (SELECT UNNEST(generate_series(0, 39)) AS i) b
+WHERE a.i < b.i
+  AND (((a.i * 40 + b.i) % {_M}) * {_A} + 7) % {_M} / {_M}.0 >= 0.25
+"""
+
+
+def q_gen_tournament(spark, sf_dir):
+    return _gen.tournament_edges(spark, 40, seed=7)
+
+
+ORACLE_GEN_TOURNAMENT = f"""
+WITH pairs AS (
+  SELECT a.i, b.j,
+    (((a.i * 40 + b.j) % {_M}) * {_A} + 7) % {_M} / {_M}.0 AS coin
+  FROM (SELECT UNNEST(generate_series(0, 39)) AS i) a,
+       (SELECT UNNEST(generate_series(0, 39)) AS j) b
+  WHERE a.i < b.j)
+SELECT CASE WHEN coin < 0.5 THEN i ELSE j END AS src,
+       CASE WHEN coin < 0.5 THEN j ELSE i END AS dst
+FROM pairs
+"""
+
+
+def q_gen_kpartite(spark, sf_dir):
+    _, edges = _gen.k_partite_edges(spark, 4, 3, 6, seed=7)
+    return edges
+
+
+ORACLE_GEN_KPARTITE = f"""
+WITH p AS (
+  SELECT part, CAST(3 + ((part % {_M}) * {_A} + 7) % 4 AS BIGINT) AS size
+  FROM (SELECT UNNEST(generate_series(0, 3)) AS part)),
+po AS (
+  SELECT part, size,
+    CAST(COALESCE(SUM(size) OVER (ORDER BY part ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM p),
+m AS (
+  SELECT part, UNNEST(generate_series(off, off + size - 1)) AS id FROM po)
+SELECT a.id AS src, b.id AS dst FROM m a, m b WHERE a.part < b.part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    g = _dedup.exact_dup_groups(d, "doc_id", "text")
+    return g.select(
+        F.md5(F.encode("dup_text", "UTF-8")).alias("text_md5"), "n_dups", "keeper"
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM documents GROUP BY text HAVING COUNT(*) >= 2
+"""
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    return _dedup.fingerprint_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_FP = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+_SHINGLE_CTE = r"""
+docs AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE doc_id < 400),
+sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i))
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return _dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1)
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2, round(i / (n1.n + n2.n - i), 6) AS jaccard
+FROM inter JOIN sizes n1 ON n1.doc_id = id1 JOIN sizes n2 ON n2.doc_id = id2
+WHERE round(i / (n1.n + n2.n - i), 6) >= 0.1
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return _dedup.lsh_candidate_pairs(d, "doc_id", "text", k=3, n_hashes=8, bands=4)
+
+
+ORACLE_DEDUP_LSH = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+  FROM sh, UNNEST(generate_series(0, 7)) AS s(seed)
+  GROUP BY doc_id, seed),
+keys AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS bkey
+  FROM sigs GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        _ts.token_count(t).alias("n_tokens"),
+        _ts.bpe_token_count(t).alias("n_bpe_tokens"),
+        _ts.punct_ratio(t).alias("punct_ratio"),
+        _ts.mean_word_len(t).alias("mean_word_len"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text), 6) END AS punct_ratio,
+  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) = 0 THEN 0.0
+       ELSE round(list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b)
+                  / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END), 6) END AS mean_word_len
+FROM d
+"""
+
+
+def _dk_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _ts.STOPWORDS[lang])
+    return (
+        r"len(list_filter(list_transform(string_split_regex(trim(lower(text)), '\s+'),"
+        r" t -> regexp_replace(t, '[^a-z]', '', 'g')),"
+        f" w -> list_contains([{words}], w)))"
+    )
+
+
+def q_text_lang(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", _ts.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _oracle_text_lang() -> str:
+    hits = {lang: _dk_stop_hits(lang) for lang in _ts.STOPWORDS}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE"
+    for lang in _ts.STOPWORDS:  # first language wins ties (en, de, fr, es)
+        case += f" WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_pred FROM documents"
+
+
+def q_text_quality(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", _ts.quality_score(F.col("text")).alias("quality"))
+
+
+def _oracle_text_quality() -> str:
+    sw = _dk_stop_hits("en")
+    ntok = r"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END)"
+    swr = f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round({sw} / {ntok}, 6) END)"
+    pr = (
+        r"(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        r"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text), 6) END)"
+    )
+    mwl = (
+        rf"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round(list_reduce(list_transform("
+        rf"string_split_regex(trim(text), '\s+'), x -> length(x)), (a, b) -> a + b) / {ntok}, 6) END)"
+    )
+    score = (
+        f"0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END)"
+        f" + 0.25 * least(1.0, {swr} * 5)"
+        f" + 0.25 * (1.0 - least(1.0, {pr} * 4))"
+        f" + 0.25 * (CASE WHEN {mwl} >= 3.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"SELECT doc_id, round({score}, 6) AS quality FROM documents"
+
+
+def q_text_simhash(spark, sf_dir):
+    """SimHash (rows-only: xxhash64-based, no md5 replay)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _ts.simhash64(d, "doc_id", "text")
+
+
+# -- similarity -------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] * x[2] AS DOUBLE)), (p, q) -> p + q)"
+)
+_NORM = "sqrt(list_reduce(list_transform({v}, x -> CAST(x * x AS DOUBLE)), (p, q) -> p + q))"
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return _sim.cosine_topk(emb, queries, k=3)
+
+
+ORACLE_SIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round({_DOT.format(a='qv', b='cv')} /
+          ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 6) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _dk_lsh_bucket(vec: str, n_bits: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of similarity.lsh_signature (hyperplane signs)."""
+    terms = []
+    for b in range(n_bits):
+        h = (
+            f"(CASE WHEN (((i - 1 + {b * 7919}) % {_sim._M}) * {_sim._A} + {seed})"
+            f" % {_sim._M} < {_sim._M // 2} THEN -1.0 ELSE 1.0 END)"
+        )
+        proj = (
+            f"list_reduce(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * {h}), (p, q) -> p + q)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return _sim.ann_topk_lsh(emb, queries, k=3, n_bits=8)
+
+
+def _oracle_sim_ann() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_dk_lsh_bucket('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+        {_dk_lsh_bucket('embedding')} AS bucket
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round({_DOT.format(a='qv', b='cv')} /
+          ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 6) AS cosine
+  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_emb_near_dup(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return _dedup.embedding_near_dup_pairs(emb, threshold=0.8)
+
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+    round({_DOT.format(a='a.embedding', b='b.embedding')} /
+          ({_NORM.format(v='a.embedding')} * {_NORM.format(v='b.embedding')}), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.8
+"""
+
+
+# -- multimodal -------------------------------------------------------------
+
+def _docs_media(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").cast("binary").alias("payload"),
+    )
+
+
+def q_mm_byte_stats(spark, sf_dir):
+    return byte_stats(_docs_media(spark, sf_dir))
+
+
+ORACLE_MM_STATS = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def q_mm_byte_histogram(spark, sf_dir):
+    """mapInPandas decode-and-featurize shape (rows-only)."""
+    m = _docs_media(spark, sf_dir).filter(F.col("media_id") < 100)
+    h = byte_histogram(m, bins=16)
+    return h.select("media_id", "n_bytes", F.round(F.element_at("hist", 1), 6).alias("h0"))
+
+
+# -- skew -------------------------------------------------------------------
+
+def q_skew_salted_count(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return _skew.salted_count(li, "l_suppkey")
+
+
+ORACLE_SALTED_COUNT = """
+SELECT l_suppkey, COUNT(*) AS count FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = _skew.salted_join_big_skewed(li, p, "p_partkey", buckets=8)
+    return joined.groupBy("p_brand").agg(F.count("*").alias("n_items"))
+
+
+ORACLE_SALTED_JOIN = """
+SELECT p_brand, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_flagship": q_kg_flagship,
+    "kg_extract": q_kg_extract,
+    "cc_star": q_cc_star,
+    "cc_canonical_names": q_cc_canonical_names,
+    "pagerank_star": q_pagerank_star,
+    "sssp_tree": q_sssp_tree,
+    "pricing_summary": q_pricing_summary,
+    "region_volume": q_region_volume,
+    "window_top_orders": q_window_top_orders,
+    "semi_join_segments": q_semi_join_segments,
+    "anti_join_unordered_parts": q_anti_join_unordered_parts,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "imp_edge_parse": q_imp_edge_parse,
+    "imp_smart_keys": q_imp_smart_keys,
+    "imp_unique_insert": q_imp_unique_insert,
+    "gen_clique": q_gen_clique,
+    "gen_tournament": q_gen_tournament,
+    "gen_kpartite": q_gen_kpartite,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_stats": q_text_stats,
+    "text_lang": q_text_lang,
+    "text_quality": q_text_quality,
+    "text_simhash": q_text_simhash,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "emb_near_dup": q_emb_near_dup,
+    "mm_byte_stats": q_mm_byte_stats,
+    "mm_byte_histogram": q_mm_byte_histogram,
+    "skew_salted_count": q_skew_salted_count,
+    "skew_salted_join": q_skew_salted_join,
+}
+
+ORACLES: dict[str, str] = {
+    "kg_flagship": ORACLE_KG_FLAGSHIP,
+    "kg_extract": ORACLE_KG_EXTRACT,
+    "cc_star": ORACLE_CC_STAR,
+    "cc_canonical_names": ORACLE_CC_NAMES,
+    "pricing_summary": ORACLE_PRICING,
+    "region_volume": ORACLE_REGION,
+    "window_top_orders": ORACLE_TOP_ORDERS,
+    "semi_join_segments": ORACLE_SEMI,
+    "anti_join_unordered_parts": ORACLE_ANTI,
+    "events_hourly": ORACLE_HOURLY,
+    "events_sessions": ORACLE_SESSIONS,
+    "imp_edge_parse": ORACLE_EDGE_PARSE,
+    "imp_smart_keys": ORACLE_SMART_KEYS,
+    "imp_unique_insert": ORACLE_UNIQUE_INSERT,
+    "gen_clique": ORACLE_GEN_CLIQUE,
+    "gen_tournament": ORACLE_GEN_TOURNAMENT,
+    "gen_kpartite": ORACLE_GEN_KPARTITE,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_fingerprint": ORACLE_DEDUP_FP,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_LSH,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_lang": _oracle_text_lang(),
+    "text_quality": _oracle_text_quality(),
+    "sim_cosine_topk": ORACLE_SIM_TOPK,
+    "sim_ann_lsh": _oracle_sim_ann(),
+    "emb_near_dup": ORACLE_EMB_NEAR_DUP,
+    "mm_byte_stats": ORACLE_MM_STATS,
+    "skew_salted_count": ORACLE_SALTED_COUNT,
+    "skew_salted_join": ORACLE_SALTED_JOIN,
+    # rows-only (iterative / xxhash64 / mapInPandas — no SQL oracle):
+    #   pagerank_star, sssp_tree, text_simhash, mm_byte_histogram
+}

@@ -45,17 +45,26 @@ def extract_triples(
     sentences: DataFrame,
     pages: DataFrame,
     predicates: dict[str, str] | None = None,
+    default_pred: str | None = None,
 ) -> DataFrame:
     """linked(url, sent_id, pos, entity) x sentences(url, sent_id,
     sentence) x pages(url, warc_ts) -> (subj, pred, obj, url, warc_ts).
+
+    ``default_pred``: when set, sentences with >= 2 linked mentions but
+    no recognized predicate phrase still emit a co-occurrence triple
+    with this predicate id (the mention-co-occurrence edge set that
+    feeds canonicalization).
     """
     ends = linked.groupBy("url", "sent_id").agg(
         F.min_by("entity", "pos").alias("subj"),
         F.max_by("entity", "pos").alias("obj"),
         F.count("*").alias("n_mentions"),
     )
+    pred_col = detect_predicate(F.col("sentence"), predicates)
+    if default_pred is not None:
+        pred_col = F.coalesce(pred_col, F.lit(default_pred))
     preds = sentences.select(
-        "url", "sent_id", detect_predicate(F.col("sentence"), predicates).alias("pred")
+        "url", "sent_id", pred_col.alias("pred")
     ).filter(F.col("pred").isNotNull())
     out = (
         ends.filter(F.col("n_mentions") >= 2)
