@@ -115,7 +115,18 @@ def sssp(
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select("src", "dst", w.alias("w")).localCheckpoint(eager=True)
     spark = edges.sparkSession
+
+    def fp(df) -> tuple[int, int]:
+        # cheap convergence fingerprint (count + xor of row hashes):
+        # one aggregate per superstep instead of a join + count
+        r = df.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(id, dist))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(r["c"]), int(r["h"])
+
     dists = spark.createDataFrame([(source, 0.0)], "id long, dist double")
+    prev = fp(dists)
     for _ in range(max_iter):
         relaxed = (
             e.join(dists.withColumnRenamed("id", "src"), "src")
@@ -127,15 +138,11 @@ def sssp(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        # converged when nothing improved: compare fingerprints
-        changed = (
-            new_dists.join(dists.withColumnRenamed("dist", "old"), "id", "left")
-            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .count()
-        )
+        cur = fp(new_dists)
         dists = new_dists
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     return dists
 
 

@@ -58,8 +58,14 @@ class Pipeline:
         self.spark = spark
         self.cfg = cfg
         self.cat = GraphCatalog(spark, cfg.warehouse)
+        self._metric_buf: list[tuple[str, str, float]] = []
+        self._lineage_buf: list[DataFrame] = []
 
     # -- observability ---------------------------------------------------
+    # Buffered: per-stage rows accumulate driver-side and flush as ONE
+    # append each at the end of run() — a per-metric append would cost a
+    # full write job per data point (the reference pays the analogous
+    # price with per-bulk HTTP progress calls; we don't).
     def _lineage(self, stage: str, table: str) -> None:
         """Per-partition row counts of the stage output (north-rule
         lineage contract; the columnar analogue of the reference's
@@ -69,16 +75,26 @@ class Pipeline:
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
             .withColumn("stage", F.lit(stage))
-            .withColumn("ts", F.current_timestamp())
-            .select("stage", "partition_id", "rows", "ts")
+            .select("stage", "partition_id", "rows")
         )
-        self.cat.append(LINEAGE_TABLE, rows)
+        self._lineage_buf.append(rows)
 
     def _metric(self, stage: str, name: str, value: float) -> None:
-        row = self.spark.createDataFrame(
-            [(stage, name, float(value))], "stage string, metric string, value double"
-        ).withColumn("ts", F.current_timestamp())
-        self.cat.append(METRICS_TABLE, row)
+        self._metric_buf.append((stage, name, float(value)))
+
+    def _flush_observability(self) -> None:
+        if self._metric_buf:
+            rows = self.spark.createDataFrame(
+                self._metric_buf, "stage string, metric string, value double"
+            ).withColumn("ts", F.current_timestamp())
+            self.cat.append(METRICS_TABLE, rows)
+            self._metric_buf = []
+        if self._lineage_buf:
+            out = self._lineage_buf[0]
+            for df in self._lineage_buf[1:]:
+                out = out.unionByName(df)
+            self.cat.append(LINEAGE_TABLE, out.withColumn("ts", F.current_timestamp()))
+            self._lineage_buf = []
 
     def _run_stage(self, stage: str, table: str, fn, resume: bool, **write_kw) -> None:
         if resume and self.cat.exists(table) and self.cat.has_tag(table, "complete"):
@@ -157,6 +173,7 @@ class Pipeline:
             materialize_graph(cat, cfg.graph, verts, edges)
             self._metric("materialize", "wall_sec", time.monotonic() - t0)
             self._lineage("materialize", vt)
+        self._flush_observability()
 
     def _canonical_map(self, linked: DataFrame) -> DataFrame:
         """CC over the surface<->entity bipartite graph: alias variants

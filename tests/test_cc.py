@@ -1,0 +1,77 @@
+"""Connected components: correctness + the SURVEY §5.5 property tests
+(permutation invariance, partition-count invariance, min-id labels)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_importer_spark.cc import connected_components, connected_components_str
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_chain_and_star(spark):
+    # chain 0-1-2-3-4 plus star 10-{11,12,13} plus isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "src long, dst long",
+    )
+    lab = _labels(connected_components(edges))
+    assert {lab[i] for i in range(5)} == {0}
+    assert {lab[i] for i in (10, 11, 12, 13)} == {10}
+    assert lab[20] == lab[21] == 20
+
+
+def test_two_long_chains_converge(spark):
+    n = 64
+    e1 = [(i, i + 1) for i in range(n - 1)]          # chain 0..63
+    e2 = [(100 + i, 100 + i + 1) for i in range(n - 1)]  # chain 100..163
+    edges = spark.createDataFrame(e1 + e2, "src long, dst long")
+    lab = _labels(connected_components(edges))
+    assert {lab[i] for i in range(n)} == {0}
+    assert {lab[100 + i] for i in range(n)} == {100}
+
+
+def test_permutation_and_direction_invariance(spark):
+    edges = [(5, 3), (3, 9), (9, 7), (2, 8)]
+    a = _labels(connected_components(spark.createDataFrame(edges, "src long, dst long")))
+    b = _labels(
+        connected_components(
+            spark.createDataFrame([(d, s) for s, d in reversed(edges)], "src long, dst long")
+        )
+    )
+    assert a == b
+    assert a[5] == a[3] == a[9] == a[7] == 3
+    assert a[2] == a[8] == 2
+
+
+@pytest.mark.parametrize("nparts", [2, 16])
+def test_partition_count_invariance(spark, nparts):
+    """Labels must not depend on physical partitioning (the local[8] vs
+    local[32] scaling bench requires identical output)."""
+    base = spark.range(200).select(
+        F.col("id").alias("src"), F.pmod(F.col("id") * 7 + 3, F.lit(50)).alias("dst")
+    )
+    ref = _labels(connected_components(base.repartition(4)))
+    got = _labels(connected_components(base.repartition(nparts)))
+    assert got == ref
+
+
+def test_self_loops_ignored(spark):
+    edges = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    lab = _labels(connected_components(edges))
+    assert lab == {1: 1, 2: 1}
+
+
+def test_string_adapter(spark):
+    edges = spark.createDataFrame(
+        [("alice", "hub"), ("bob", "hub"), ("carol", "dave")], "src string, dst string"
+    )
+    got = {r["name"]: r["canonical"] for r in connected_components_str(edges).collect()}
+    assert got == {
+        "alice": "alice", "bob": "alice", "hub": "alice",
+        "carol": "carol", "dave": "carol",
+    }

@@ -1,0 +1,193 @@
+"""Training-data operators: dedup, text stats, similarity, multimodal,
+skew helpers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_importer_spark.operators import dedup, similarity, skew, textstats
+from graph_importer_spark.operators.multimodal import (
+    byte_histogram,
+    byte_stats,
+    entropy_of_hist,
+    fake_decode,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "The  quick Brown fox jumps over the lazy dog"),       # near dup (case/ws)
+        (3, "the quick brown fox jumps over the sleepy dog"),      # 1-word change
+        (4, "completely different content about spark engines"),
+        (5, "a b"),                                                # shorter than k
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, docs):
+    g = dedup.exact_dup_groups(docs, "doc_id", "text").collect()
+    assert len(g) == 1
+    assert g[0]["n_dups"] == 2 and g[0]["keeper"] == 0
+
+
+def test_fingerprint_normalizes_case_ws(spark, docs):
+    fp = dedup.fingerprint_dedup(docs, "doc_id", "text").collect()
+    groups = {r["keeper"]: r["n_docs"] for r in fp}
+    assert groups[0] == 3  # docs 0,1,2 share the normal form
+    assert len(fp) == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.lsh_candidate_pairs(
+            docs, "doc_id", "text", k=3, n_hashes=12, bands=6
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0  # same after normalization
+    assert 0.3 <= pairs[(0, 3)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in textstats.simhash64(docs, "doc_id", "text").collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(sh[0], sh[3]) < hamming(sh[0], sh[4])
+
+
+def test_token_counts_and_ratios(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 123"), (1, ""), (2, "   "), (3, "one")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.token_count(F.col("text")).alias("n"),
+            textstats.bpe_token_count(F.col("text")).alias("b"),
+            textstats.punct_ratio(F.col("text")).alias("p"),
+        ).collect()
+    }
+    assert out[0]["n"] == 3
+    assert out[0]["b"] == 5  # Hello , world ! 123
+    assert out[1]["n"] == 0 and out[2]["n"] == 0 and out[3]["n"] == 1
+    assert out[0]["p"] == round(2 / 17, 6)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and it is warm"),
+            (1, "der Hund ist nicht mit der Katze und das ist gut"),
+            (2, "le chat est dans la maison et il est pas content"),
+            (3, "el perro es un animal y no es una planta"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", textstats.lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog and runs far away today"),
+         (1, "!!! ??? ;;; ::: !!!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["q"] for r in df.select("doc_id", textstats.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= got[1] < got[0] <= 1.0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.7, 0.7]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(emb, q, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, 1), (3, 2),
+    ]
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_lsh(emb, q, k=5, n_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2  # 4-bit buckets on random gaussians: partial recall expected
+
+
+def test_embedding_near_dup(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    assert [(r["id1"], r["id2"]) for r in pairs] == [(0, 1)]
+
+
+def test_multimodal_stats_and_histogram(spark):
+    media = synth_media(spark, n=32)
+    stats = byte_stats(media).collect()
+    assert len(stats) == 32 and all(r["n_bytes"] > 0 for r in stats)
+    hist = byte_histogram(media, bins=16)
+    rows = hist.collect()
+    assert all(abs(sum(r["hist"]) - 1.0) < 1e-3 for r in rows)
+    ent = hist.select(entropy_of_hist(F.col("hist")).alias("e")).collect()
+    assert all(0.0 <= r["e"] <= 4.0 + 1e-9 for r in ent)  # log2(16) max
+    assert fake_decode(b"") == (0, 0)
+    w, h = fake_decode(bytes([5, 200]))
+    assert 1 <= w <= 64 and 1 <= h <= 64
+
+
+def test_salted_count_equals_plain(spark):
+    df = spark.range(10000).select(F.pmod("id", F.lit(7)).alias("k"))
+    plain = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    salted = {r["k"]: r["count"] for r in skew.salted_count(df, "k", buckets=8).collect()}
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    facts = spark.range(5000).select(F.pmod("id", F.lit(10)).alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    plain = facts.join(dim, "k").groupBy("k").agg(F.sum("v").alias("s"))
+    salted = skew.salted_join_big_skewed(facts, dim, "k", buckets=4).groupBy("k").agg(F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_collect_set(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 1), ("b", 3)], "k string, v long"
+    )
+    got = {r["k"]: sorted(r["values"]) for r in skew.salted_collect_set(df, "k", "v", buckets=4).collect()}
+    assert got == {"a": [1, 2], "b": [3]}

@@ -1,0 +1,78 @@
+"""End-to-end pipeline: the P/R>=0.95 gate, the byte-identical text
+invariant, lineage/metrics contract, and resume idempotency
+(SURVEY §5.2/§5.6; north_rule correctness gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_importer_spark import synth
+from graph_importer_spark.pipeline import Pipeline, PipelineConfig, run_pipeline
+from graph_importer_spark.materialize import GraphSpec
+
+
+def _pr(got, gt):
+    got = got.select("url", "subj", "pred", "obj").distinct()
+    gt = gt.distinct()
+    tp = got.join(gt, ["url", "subj", "pred", "obj"]).count()
+    return tp / max(got.count(), 1), tp / max(gt.count(), 1)
+
+
+def test_end_to_end_pr_gate(spark, warehouse):
+    pages, gt, aliases = synth.corpus(spark, n_pages=120, n_entities=40)
+    p = run_pipeline(spark, pages, aliases, warehouse)
+    precision, recall = _pr(p.triples(), gt)
+    assert precision >= 0.95, precision
+    assert recall >= 0.95, recall
+
+
+def test_byte_identical_text_stage(spark, warehouse):
+    pages, _, aliases = synth.corpus(spark, n_pages=50, n_entities=20)
+    p = run_pipeline(spark, pages, aliases, warehouse)
+    got = p.cat.read("pages_text").select("url", "text")
+    want = synth.expected_text(spark, n_pages=50, n_entities=20)
+    bad = (
+        got.join(want, "url")
+        .filter(F.col("text") != F.col("expected_text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_lineage_metrics_and_graph_output(spark, warehouse):
+    pages, _, aliases = synth.corpus(spark, n_pages=40, n_entities=15)
+    p = run_pipeline(spark, pages, aliases, warehouse)
+    stages = {r["stage"] for r in p.cat.read("_lineage").select("stage").distinct().collect()}
+    assert {"extract", "mentions", "link", "triples_raw", "canonicalize", "triples", "materialize"} <= stages
+    metrics = {r["metric"] for r in p.cat.read("_metrics").select("metric").distinct().collect()}
+    assert "wall_sec" in metrics and "cc_iterations" in metrics
+    # materialized graph mirrors the vertex/edge contract
+    verts = p.cat.read("kg_vertices")
+    edges = p.cat.read("kg_edges")
+    assert "_key" in verts.columns
+    assert {"_from", "_to", "pred"} <= set(edges.columns)
+    assert edges.filter(~F.col("_from").startswith("vertices/")).count() == 0
+
+
+def test_resume_skips_and_is_idempotent(spark, warehouse):
+    pages, _, aliases = synth.corpus(spark, n_pages=40, n_entities=15)
+    cfg = PipelineConfig(warehouse=warehouse, graph=GraphSpec(name="kg", overwrite=True))
+    p = Pipeline(spark, cfg)
+    p.run(pages, aliases)
+    first = sorted(map(tuple, p.triples().select("subj", "pred", "obj", "url").collect()))
+    snaps_before = len(p.cat.snapshots("pages_text"))
+
+    # resume over a complete run: every stage skipped (no new snapshots)
+    p2 = Pipeline(spark, cfg)
+    p2.run(pages, aliases, resume=True)
+    assert len(p2.cat.snapshots("pages_text")) == snaps_before
+    second = sorted(map(tuple, p2.triples().select("subj", "pred", "obj", "url").collect()))
+    assert first == second
+
+    # simulate a mid-run kill: drop a late stage, resume rebuilds ONLY it
+    p2.cat.drop("triples")
+    p3 = Pipeline(spark, cfg)
+    p3.run(pages, aliases, resume=True)
+    assert len(p3.cat.snapshots("pages_text")) == snaps_before  # untouched
+    third = sorted(map(tuple, p3.triples().select("subj", "pred", "obj", "url").collect()))
+    assert first == third
