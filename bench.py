@@ -12,6 +12,8 @@ Env knobs:
                       scripts/bench_scaling.py
   SPARK_GRAFT_BENCH_PAGES  synthetic corpus size for the e2e run
                            (default 20000)
+  SPARK_GRAFT_BENCH_WEIGHT page heaviness (default 4: ~8 KB html/page,
+                           toward real Common-Crawl density)
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    weight = int(os.environ.get("SPARK_GRAFT_BENCH_WEIGHT", "4"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="graft-bench", cores=cpus)
@@ -61,7 +64,9 @@ def main() -> int:
 
     # -- e2e KG pipeline: the authoritative triples/sec metric ----------
     n_entities = max(200, n_pages // 100)
-    pages, _, aliases = synth.corpus(spark, n_pages=n_pages, n_entities=n_entities)
+    pages, _, aliases = synth.corpus(
+        spark, n_pages=n_pages, n_entities=n_entities, weight=weight
+    )
     pages = pages.localCheckpoint(eager=True)      # materialize input first:
     aliases = aliases.localCheckpoint(eager=True)  # bench the pipeline, not the generator
     wh = tempfile.mkdtemp(prefix="graft_bench_")
@@ -91,6 +96,7 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "n_pages": n_pages,
+        "page_weight": weight,
         "n_triples": n_triples,
         "e2e_sec": round(e2e_sec, 3),
     }

@@ -75,12 +75,22 @@ def _small_star(e: DataFrame) -> DataFrame:
     return re_linked.unionByName(self_link).filter(F.col("u") != F.col("v")).distinct()
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    row = e.agg(
-        F.count("*").alias("c"),
+def _checkpoint_fp(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Eager localCheckpoint + convergence fingerprint in ONE action:
+    the Observation rides along with the checkpoint job, so each CC
+    round costs one job instead of two (the fingerprint alone was ~40%
+    of the loop's driver-blocking time on small graphs)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("c"),
         F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["c"]), int(row["h"])
+    )
+    out = observed.localCheckpoint(eager=True)
+    got = obs.get
+    return out, (int(got["c"]), int(got["h"]))
 
 
 def connected_components(
@@ -95,16 +105,13 @@ def connected_components(
     pipeline's _metrics table (the analogue of the reference's Pregel
     status polling, start_Pregel.py:123-164).
     """
-    e = (
+    e, prev = _checkpoint_fp(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    prev = _fingerprint(e)
     for i in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _fingerprint(e)
+        e, cur = _checkpoint_fp(_small_star(_large_star(e)))
         if on_iteration is not None:
             on_iteration(i, cur[0])
         if cur == prev:

@@ -1,0 +1,197 @@
+"""Command-line surface mirroring the reference's entry points
+(importer.py, generator.py, start_Pregel.py — SURVEY.md §3), runnable
+via ``spark-submit --py-files graph_importer_spark.zip -m`` or plain
+``python -m graph_importer_spark.cli``.
+
+Subcommands:
+  pipeline            synthetic-corpus or parquet pages -> staged KG build
+  import-graphalytics <dir with base.v/.e/.properties> -> vertex/edge tables
+  import-edge-list    <file> -> vertex/edge tables
+  generate            clique | cliques-graph | k-partite | tournament
+  analytics           pagerank | wcc | sssp | labelpropagation
+
+Argument names/defaults follow the reference's arguments.py where a
+counterpart exists (bulk batching and DB endpoints have no analogue:
+batching is Spark partitions, the sink is the table catalog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _add_db_args(p: argparse.ArgumentParser) -> None:
+    # reference arguments.py:15,32-34,40-43 defaults
+    p.add_argument("--warehouse", required=True, help="catalog/warehouse dir")
+    p.add_argument("--graph_name", default="importedGraph")
+    p.add_argument("--vertices", default="vertices")
+    p.add_argument("--edges", default="edges")
+    p.add_argument("--num_shards", type=int, default=5)
+    p.add_argument("--repl_factor", type=int, default=2)
+    p.add_argument("--smart", action="store_true", dest="make_smart")
+    p.add_argument("--smart_attribute", default="smartProp")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--cores", type=int, default=None)
+
+
+def _spec(args):
+    from graph_importer_spark.materialize import GraphSpec
+
+    return GraphSpec(
+        name=args.graph_name,
+        vertices_coll=args.vertices,
+        edges_coll=args.edges,
+        num_shards=args.num_shards,
+        replication_factor=args.repl_factor,
+        smart=args.make_smart,
+        smart_attribute=args.smart_attribute,
+        overwrite=args.overwrite,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="graph_importer_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("pipeline", help="end-to-end KG construction")
+    _add_db_args(pp)
+    pp.add_argument("--pages", default=None, help="parquet dir of pages; default: synthetic corpus")
+    pp.add_argument("--n_pages", type=int, default=10000)
+    pp.add_argument("--n_entities", type=int, default=500)
+    pp.add_argument("--resume", action="store_true")
+
+    pg = sub.add_parser("import-graphalytics")
+    _add_db_args(pg)
+    pg.add_argument("directory")
+
+    pe = sub.add_parser("import-edge-list")
+    _add_db_args(pe)
+    pe.add_argument("filename")
+
+    gen = sub.add_parser("generate")
+    _add_db_args(gen)
+    gen.add_argument("--graphtype", choices=["clique", "cliques-graph", "k-partite", "tournament"], default="clique")
+    gen.add_argument("--num_vertices", type=int, default=100)
+    gen.add_argument("--num_parts", type=int, default=5)  # cliques / k
+    gen.add_argument("--min_size", type=int, default=3)
+    gen.add_argument("--max_size", type=int, default=8)
+    gen.add_argument("--prob_missing_one", type=float, default=0.0)
+    gen.add_argument("--prob_missing_all", type=float, default=0.0)
+    gen.add_argument("--seed", type=int, default=42)
+
+    an = sub.add_parser("analytics")
+    _add_db_args(an)
+    # reference start_Pregel.py params: algorithm, maxGSS, threshold, source
+    an.add_argument("--algorithm", choices=["pagerank", "wcc", "connectedcomponents", "sssp", "labelpropagation"], required=True)
+    an.add_argument("--max_gss", type=int, default=20)
+    an.add_argument("--threshold", type=float, default=1e-4)
+    an.add_argument("--source", type=int, default=0)
+    an.add_argument("--result_field", default="result")
+
+    args = ap.parse_args(argv)
+
+    from graph_importer_spark.session import get_spark
+    from graph_importer_spark.tables import GraphCatalog
+
+    spark = get_spark(cores=args.cores)
+    cat = GraphCatalog(spark, args.warehouse)
+    t0 = time.monotonic()
+
+    if args.cmd == "pipeline":
+        from graph_importer_spark import synth
+        from graph_importer_spark.pipeline import run_pipeline
+
+        if args.pages:
+            pages = spark.read.parquet(args.pages)
+            _, _, aliases = synth.corpus(spark, n_pages=1, n_entities=args.n_entities)
+        else:
+            pages, _, aliases = synth.corpus(
+                spark, n_pages=args.n_pages, n_entities=args.n_entities
+            )
+        p = run_pipeline(
+            spark, pages, aliases, args.warehouse, resume=args.resume, graph=_spec(args)
+        )
+        n = p.triples().count()
+        print(f"triples: {n}  ({n / (time.monotonic() - t0):.1f}/s)")
+
+    elif args.cmd == "import-graphalytics":
+        from graph_importer_spark.importer.graphalytics import import_graphalytics
+
+        done = import_graphalytics(spark, cat, args.directory, _spec(args))
+        print("imported" if done else "skipped (exists, no --overwrite)")
+
+    elif args.cmd == "import-edge-list":
+        from graph_importer_spark.importer.edge_list import import_edge_list
+
+        done = import_edge_list(spark, cat, args.filename, _spec(args))
+        print("imported" if done else "skipped (exists, no --overwrite)")
+
+    elif args.cmd == "generate":
+        from graph_importer_spark.materialize import materialize_graph
+        from graph_importer_spark.operators import generators as G
+
+        if args.graphtype == "clique":
+            edges = G.clique_edges(spark, args.num_vertices, args.prob_missing_one, args.seed)
+            verts = G.prepare_vertices(spark, args.num_vertices, smart=args.make_smart,
+                                       smart_attribute=args.smart_attribute)
+        elif args.graphtype == "tournament":
+            edges = G.tournament_edges(spark, args.num_vertices, args.seed)
+            verts = G.prepare_vertices(spark, args.num_vertices, smart=args.make_smart,
+                                       smart_attribute=args.smart_attribute)
+        elif args.graphtype == "cliques-graph":
+            vdf, edges = G.cliques_graph_edges(
+                spark, args.num_parts, args.min_size, args.max_size,
+                args.prob_missing_one, args.prob_missing_all, args.seed,
+            )
+            verts = vdf.select(F.col("id").cast("string").alias("_key"),
+                               F.col("part").cast("string").alias("part"))
+        else:
+            vdf, edges = G.k_partite_edges(
+                spark, args.num_parts, args.min_size, args.max_size, args.seed
+            )
+            verts = vdf.select(F.col("id").cast("string").alias("_key"),
+                               F.col("part").cast("string").alias("part"))
+        if args.graphtype in ("clique", "tournament"):
+            pass
+        edges_doc = edges.select(
+            F.concat(F.lit(args.vertices + "/"), F.col("src").cast("string")).alias("_from"),
+            F.concat(F.lit(args.vertices + "/"), F.col("dst").cast("string")).alias("_to"),
+        )
+        done = materialize_graph(cat, _spec(args), verts, edges_doc)
+        print("generated" if done else "skipped (exists, no --overwrite)")
+
+    elif args.cmd == "analytics":
+        # the reference POSTs these to server-side Pregel and polls
+        # (start_Pregel.py:28-80); here they run natively and the result
+        # is stored as a column table next to the graph (store/resultField
+        # semantics, arguments.py:156-171)
+        from graph_importer_spark.operators import analytics as A
+
+        et = f"{args.graph_name}_{args.edges}"
+        e = cat.read(et).select(
+            F.xxhash64("_from").alias("src"), F.xxhash64("_to").alias("dst")
+        )
+        if args.algorithm == "pagerank":
+            res = A.pagerank(e, tol=args.threshold, max_iter=args.max_gss)
+        elif args.algorithm in ("wcc", "connectedcomponents"):
+            res = A.connected_components(e, max_iter=args.max_gss).withColumnRenamed(
+                "component", args.result_field
+            )
+        elif args.algorithm == "sssp":
+            res = A.sssp(e, source=args.source, max_iter=args.max_gss)
+        else:
+            res = A.label_propagation(e, max_iter=args.max_gss)
+        out = f"{args.graph_name}_{args.algorithm}"
+        cat.create_or_replace(out, res, tag="complete")
+        print(f"{args.algorithm}: {cat.read(out).count()} rows -> {out} "
+              f"({time.monotonic() - t0:.1f}s)")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -431,6 +431,19 @@ SELECT DISTINCT n_name AS node, canonical FROM e JOIN canon USING (n_nationkey)
 """
 
 
+def q_cc_canonical_dense(spark, sf_dir):
+    """Same canonicalization as cc_canonical_names but via the
+    collision-free dense-id dictionary (operators/ids.py — the 10^12
+    design point of SCALE.md)."""
+    from graph_importer_spark.operators.ids import connected_components_dense
+
+    c, n = T(spark, sf_dir, "customer"), T(spark, sf_dir, "nation")
+    edges = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("c_name").alias("src"), F.col("n_name").alias("dst")
+    )
+    return connected_components_dense(edges).withColumnRenamed("name", "node")
+
+
 def q_pagerank_star(spark, sf_dir):
     """PageRank (rows-only: iterative, not SQL-expressible)."""
     o = T(spark, sf_dir, "orders").limit(2000)
@@ -508,6 +521,30 @@ m AS (
   SELECT part, UNNEST(generate_series(off, off + size - 1)) AS id FROM po)
 SELECT a.id AS src, b.id AS dst FROM m a, m b WHERE a.part < b.part
 """
+
+
+def q_gen_vertex_docs(spark, sf_dir):
+    """P6/F2: generated vertex documents (smart + part + random string
+    attribute) — reference prepare_vertices semantics, deterministic."""
+    return _gen.prepare_vertices(
+        spark, 500, smart=True, num_parts=7, attr=("w", 0.0, 10.0), seed=11
+    )
+
+
+ORACLE_GEN_VERTEX_DOCS = f"""
+SELECT CAST(i AS VARCHAR) AS _key,
+       CAST(i % 7 AS VARCHAR) AS part,
+       CAST(i AS VARCHAR) AS smartProp,
+       printf('%.6f', round(((i % {_M}) * {_A} + 11) % {_M} / {_M}.0 * 10.0, 6)) AS w
+FROM (SELECT UNNEST(generate_series(0, 499)) AS i)
+"""
+
+
+def q_gen_edge_attrs(spark, sf_dir):
+    """P7/F2: tournament edges + deterministic weight attribute
+    (rows-only: keyed on xxhash64 of the pair)."""
+    e = _gen.tournament_edges(spark, 30, seed=3)
+    return _gen.append_edge_attr(e, "weight", 1.0, 5.0, seed=4)
 
 
 # ---------------------------------------------------------------------------
@@ -823,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_extract": q_kg_extract,
     "cc_star": q_cc_star,
     "cc_canonical_names": q_cc_canonical_names,
+    "cc_canonical_dense": q_cc_canonical_dense,
     "pagerank_star": q_pagerank_star,
     "sssp_tree": q_sssp_tree,
     "pricing_summary": q_pricing_summary,
@@ -838,6 +876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_clique": q_gen_clique,
     "gen_tournament": q_gen_tournament,
     "gen_kpartite": q_gen_kpartite,
+    "gen_vertex_docs": q_gen_vertex_docs,
+    "gen_edge_attrs": q_gen_edge_attrs,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
@@ -860,6 +900,7 @@ ORACLES: dict[str, str] = {
     "kg_extract": ORACLE_KG_EXTRACT,
     "cc_star": ORACLE_CC_STAR,
     "cc_canonical_names": ORACLE_CC_NAMES,
+    "cc_canonical_dense": ORACLE_CC_NAMES,
     "pricing_summary": ORACLE_PRICING,
     "region_volume": ORACLE_REGION,
     "window_top_orders": ORACLE_TOP_ORDERS,
@@ -873,6 +914,7 @@ ORACLES: dict[str, str] = {
     "gen_clique": ORACLE_GEN_CLIQUE,
     "gen_tournament": ORACLE_GEN_TOURNAMENT,
     "gen_kpartite": ORACLE_GEN_KPARTITE,
+    "gen_vertex_docs": ORACLE_GEN_VERTEX_DOCS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": ORACLE_DEDUP_FP,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,

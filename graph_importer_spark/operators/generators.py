@@ -138,6 +138,66 @@ def cliques_graph_edges(
     return verts, intra.unionByName(inter)
 
 
+def random_uniform_attr(key, a: float, b: float, seed: int = 42):
+    """F2 parity (vertices_generator.py:32-33, edges_generator.py:59-60):
+    uniform [a,b) property STORED AS STRING — but deterministic
+    (hash-based) instead of the reference's irreproducible ``random.uniform``.
+    Formatted '%.6f' (not a raw double->string cast, which goes
+    scientific for small magnitudes and is engine-specific) so the value
+    is SQL-replayable bit-for-bit."""
+    return F.format_string("%.6f", F.round(_unit(key, seed) * F.lit(b - a) + F.lit(a), 6))
+
+
+def prepare_vertices(
+    spark: SparkSession,
+    n: int,
+    smart: bool = False,
+    smart_attribute: str = "smartProp",
+    num_parts: int | None = None,
+    attr: tuple[str, float, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """P6 parity (prepare_vertices, vertices_generator.py:12-42): vertex
+    docs from an id range, with the reference's four branches (isSmart x
+    smart_attribute=='part') collapsed into declarative F.when columns:
+
+    * ``_key`` = str(id);
+    * smart => a ``smart_attribute`` column = str(id) (or the part id
+      when the smart attribute IS the part attribute);
+    * ``num_parts`` => a ``part`` column = str(id % num_parts);
+    * ``attr=(name, a, b)`` => a uniform random property as string (F2).
+
+    One narrow ``spark.range`` job — the reference streams these through
+    per-bulk Python dict loops (vertices_generator.py:45-71).
+    """
+    df = spark.range(n)
+    cols = [F.col("id").cast("string").alias("_key")]
+    if num_parts is not None:
+        part_c = F.pmod("id", F.lit(num_parts)).cast("string")
+        cols.append(part_c.alias("part"))
+        if smart and smart_attribute == "part":
+            pass  # the part column doubles as the smart attribute
+        elif smart:
+            cols.append(F.col("id").cast("string").alias(smart_attribute))
+    elif smart:
+        cols.append(F.col("id").cast("string").alias(smart_attribute))
+    if attr is not None:
+        name, a, b = attr
+        cols.append(random_uniform_attr(F.col("id"), a, b, seed).alias(name))
+    return df.select(*cols)
+
+
+def append_edge_attr(
+    edges: DataFrame, name: str, a: float, b: float, seed: int = 42
+) -> DataFrame:
+    """P7/F2 parity (append_edges + random edge property,
+    edges_generator.py:32-47,59-60): attach a deterministic uniform
+    random property (string) keyed on the (src, dst) pair."""
+    key = F.xxhash64("src", "dst")
+    # xxhash64 can be negative; _unit needs a non-negative key
+    return edges.withColumn(name, random_uniform_attr(F.abs(key), a, b, seed))
+
+
 def k_partite_edges(
     spark: SparkSession, k: int, min_size: int, max_size: int, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:

@@ -59,7 +59,7 @@ class Pipeline:
         self.cfg = cfg
         self.cat = GraphCatalog(spark, cfg.warehouse)
         self._metric_buf: list[tuple[str, str, float]] = []
-        self._lineage_buf: list[DataFrame] = []
+        self._lineage_buf: list[tuple[str, int, int]] = []
 
     # -- observability ---------------------------------------------------
     # Buffered: per-stage rows accumulate driver-side and flush as ONE
@@ -69,15 +69,12 @@ class Pipeline:
     def _lineage(self, stage: str, table: str) -> None:
         """Per-partition row counts of the stage output (north-rule
         lineage contract; the columnar analogue of the reference's
-        per-bulk progress bars, graphalytics_importer.py:83-90)."""
-        df = self.cat.read(table)
-        rows = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(stage))
-            .select("stage", "partition_id", "rows")
-        )
-        self._lineage_buf.append(rows)
+        per-bulk progress bars, graphalytics_importer.py:83-90).
+        Counts come from the parquet footers the stage just wrote —
+        driver-side metadata, zero extra Spark jobs (the Iceberg
+        manifest's record_count on a real catalog)."""
+        for i, (_fn, n) in enumerate(self.cat.file_row_counts(table)):
+            self._lineage_buf.append((stage, i, int(n)))
 
     def _metric(self, stage: str, name: str, value: float) -> None:
         self._metric_buf.append((stage, name, float(value)))
@@ -90,10 +87,10 @@ class Pipeline:
             self.cat.append(METRICS_TABLE, rows)
             self._metric_buf = []
         if self._lineage_buf:
-            out = self._lineage_buf[0]
-            for df in self._lineage_buf[1:]:
-                out = out.unionByName(df)
-            self.cat.append(LINEAGE_TABLE, out.withColumn("ts", F.current_timestamp()))
+            rows = self.spark.createDataFrame(
+                self._lineage_buf, "stage string, partition_id int, rows long"
+            ).withColumn("ts", F.current_timestamp())
+            self.cat.append(LINEAGE_TABLE, rows)
             self._lineage_buf = []
 
     def _run_stage(self, stage: str, table: str, fn, resume: bool, **write_kw) -> None:
@@ -117,7 +114,11 @@ class Pipeline:
             # regardless of upstream file sizes; also the write clustering.
             p = pages.repartition(nparts, F.xxhash64("url"))
             p = p.filter(F.col("lang") == cfg.lang) if cfg.lang else p
-            return _extract.with_text(p)
+            # html is consumed HERE and never again: dropping it keeps the
+            # raw bytes out of every downstream shuffle/write (at CC page
+            # sizes html is ~15x the extracted text — rewriting it made
+            # the extract stage disk-bound and anti-scaling).
+            return _extract.with_text(p).drop("html")
 
         self._run_stage("extract", "pages_text", s_extract, resume)
 

@@ -45,9 +45,30 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions by BYTES, not by core count:
+        # parallelismFirst=true (the default) refuses to coalesce below
+        # defaultParallelism, so a tiny shuffle on a 32-core session runs
+        # 32 near-empty tasks per stage — pure scheduling overhead that
+        # grows with the cluster instead of the data (measured 3x
+        # end-to-end slowdown local[8] -> local[32] before this).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # 16m locally (small test corpora still spread over all cores);
+        # on a real cluster raise to 64-256m via SPARK_GRAFT_ADVISORY.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "16m"),
+        )
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch sized for FAT rows (html is ~15 KB/page): 1024 rows
+        # ~= 15 MB per batch. The old 10k-row default made 150 MB batches
+        # that serialized whole-batch through JVM heap + worker memory —
+        # measured 6x anti-scaling on the extract stage at 16 cores.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

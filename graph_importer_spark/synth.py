@@ -97,16 +97,25 @@ def aliases_df(spark: SparkSession, n_entities: int) -> DataFrame:
     return canon.unionByName(sec)
 
 
-def _facts(spark: SparkSession, n_pages: int, n_entities: int, seed: int) -> DataFrame:
+def _facts(
+    spark: SparkSession, n_pages: int, n_entities: int, seed: int, weight: int = 1
+) -> DataFrame:
     """One row per fact sentence: (page_id, slot, subj_ent, pred, obj_ent,
     subj_text, obj_text, sentence).
 
     Skew by design: subject entity id = floor(n_ent * u^3) — a power-law
     head (entity 0 and friends dominate), which is what the salting /
     AQE-skew handling downstream is for (SURVEY.md §4 skew row).
+
+    ``weight`` scales facts-per-page (weight=1 keeps the original 1..3
+    formula bit-for-bit; weight=w gives w..3w) — used to make pages
+    approach real Common-Crawl text density for compute-bound benches.
     """
     pages = spark.range(n_pages).withColumnRenamed("id", "page_id")
-    n_facts = (F.pmod(F.xxhash64("page_id", F.lit(seed + 1)), F.lit(3)) + 1).cast("int")
+    n_facts = (
+        F.pmod(F.xxhash64("page_id", F.lit(seed + 1)), F.lit(2 * weight + 1))
+        + weight
+    ).cast("int")
     facts = pages.select(
         "page_id", F.explode(F.sequence(F.lit(0), n_facts - 1)).alias("slot")
     )
@@ -139,18 +148,38 @@ def url_of(page_id: Column) -> Column:
     return F.concat(F.lit("https://synth.example.org/page/"), page_id.cast("string"))
 
 
+# ~1 KB of strip-me boilerplate per weight step: the extractor removes
+# script/style/comment content, so heavier pages cost extraction compute
+# without changing the extracted text (keeps golden tests weight-free).
+_BOILER = (
+    '<script type="text/javascript">'
+    + "var nav = { items: [" + ", ".join(f'"item{i}"' for i in range(40)) + "] };"
+    + "function track(e) { console.log(e); } "
+    + "</script><style>"
+    + " ".join(f".c{i} {{ margin: {i}px; padding: {i}px }}" for i in range(30))
+    + "</style><!-- "
+    + "boilerplate " * 40
+    + " -->"
+)
+
+
 def corpus(
     spark: SparkSession,
     n_pages: int = 1000,
     n_entities: int = 200,
     seed: int = 42,
+    weight: int = 1,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Return (pages, gt_triples, aliases).
 
     gt_triples covers only lang='en' pages — the pipeline filters on lang,
     mirroring a language gate a real CC pipeline applies first.
+
+    ``weight`` (default 1 = bit-identical to the original corpus) scales
+    page heaviness toward real Common-Crawl density: facts per page
+    w..3w and ~1 KB of script/style/comment boilerplate per step.
     """
-    facts = _facts(spark, n_pages, n_entities, seed)
+    facts = _facts(spark, n_pages, n_entities, seed, weight)
     body = facts.groupBy("page_id").agg(
         F.array_join(
             F.transform(
@@ -169,6 +198,7 @@ def corpus(
         title,
         F.lit("</title><style>body { margin: 0; }</style></head><body>"),
         F.lit('<script type="text/javascript">var tracker = 1;</script>'),
+        F.lit(_BOILER * (weight - 1)),
         F.col("paras"),
         F.lit("<p>"),
         filler,
@@ -198,13 +228,20 @@ def corpus(
     return pages, gt, aliases_df(spark, n_entities)
 
 
-def expected_text(spark: SparkSession, n_pages: int = 1000, n_entities: int = 200, seed: int = 42) -> DataFrame:
+def expected_text(
+    spark: SparkSession,
+    n_pages: int = 1000,
+    n_entities: int = 200,
+    seed: int = 42,
+    weight: int = 1,
+) -> DataFrame:
     """Independently-constructed expected extraction output per url.
 
     Mirrors extract.py's contract: script/style elements removed, tags →
-    single space, whitespace collapsed, trimmed.
+    single space, whitespace collapsed, trimmed (boilerplate weight does
+    not change the expected text by construction).
     """
-    facts = _facts(spark, n_pages, n_entities, seed)
+    facts = _facts(spark, n_pages, n_entities, seed, weight)
     body = facts.groupBy("page_id").agg(
         F.array_join(
             F.transform(

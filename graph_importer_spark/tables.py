@@ -129,6 +129,20 @@ class GraphCatalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
 
+    def file_row_counts(self, name: str) -> list[tuple[str, int]]:
+        """Per-file row counts from parquet FOOTERS (driver-side
+        metadata only — no Spark job). One file per write partition, so
+        this is the per-partition lineage of the producing stage.
+        Iceberg analogue: the manifest's per-file record_count."""
+        import pyarrow.parquet as pq
+
+        data = os.path.join(self._dir(name), "data")
+        out = []
+        for fn in sorted(os.listdir(data)):
+            if fn.endswith(".parquet"):
+                out.append((fn, pq.read_metadata(os.path.join(data, fn)).num_rows))
+        return out
+
     def has_tag(self, name: str, tag: str) -> bool:
         return any(s.get("tag") == tag for s in self.snapshots(name))
 

@@ -1,0 +1,157 @@
+"""Scaling-efficiency evidence: the SAME end-to-end KG pipeline job on
+the SAME deterministic input at N and 4N cores, fresh JVM each — the
+sandbox stand-in for N vs 4N executors (north_rule: efficiency >= 0.8).
+
+efficiency = (throughput_4N / throughput_N) / 4
+
+Methodology notes (this sandbox):
+* the host is shared — load from outside the container varies run to
+  run, so each level runs ``repeats`` times INTERLEAVED (N, 4N, N, 4N,
+  ...) and the best (min wall) per level is reported; all samples are
+  recorded in BENCH.md;
+* local[k] threads in one JVM stop scaling beyond ~half the visible
+  CPUs (hypervisor contention), so the default pair is 4 vs 16 of the
+  32 visible cores; override with SPARK_GRAFT_SCALE_CORES="n,4n".
+
+Writes BENCH.md and refreshes the 'Measured scaling' section in
+BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_pages] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from graph_importer_spark.session import get_spark
+from graph_importer_spark import synth
+from graph_importer_spark.pipeline import run_pipeline
+spark = get_spark(app_name="graft-scaling", cores={cores})
+spark.sparkContext.setLogLevel("ERROR")
+pages, _, aliases = synth.corpus(spark, n_pages={n_pages}, n_entities={n_entities}, weight={weight})
+# pages stay LAZY: synthesis is deterministic parallel compute consumed
+# exactly once by the extract stage (materializing ~GBs of html into the
+# block store first would just thrash memory); output identity across
+# levels is asserted via the result fingerprint.
+aliases = aliases.localCheckpoint(eager=True)
+wh = tempfile.mkdtemp(prefix="graft_scale_")
+try:
+    t0 = time.monotonic()
+    p = run_pipeline(spark, pages, aliases, wh)
+    n = p.triples().count()
+    sec = time.monotonic() - t0
+    fp = p.triples().selectExpr("bit_xor(xxhash64(subj, pred, obj, url)) h").collect()[0]["h"]
+finally:
+    shutil.rmtree(wh, ignore_errors=True)
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(sec, 2),
+      "triples": n, "tps": round(n / sec, 1), "fingerprint": fp}}))
+"""
+
+
+def run(cores: int, n_pages: int) -> dict:
+    weight = int(os.environ.get("SPARK_GRAFT_SCALE_WEIGHT", "8"))
+    code = RUNNER.format(repo=REPO, cores=cores, n_pages=n_pages,
+                         n_entities=max(200, n_pages // 100), weight=weight)
+    # Pin the whole process tree (JVM + forked Python UDF workers) to
+    # exactly `cores` CPUs: local[N] only bounds TASK slots — GC, shuffle
+    # IO, and the out-of-process Python workers otherwise spill onto
+    # extra host CPUs, which makes an unpinned local[N] vs local[4N]
+    # comparison measure oversubscription, not capacity scaling.
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    m = re.search(r"RESULT (\{.*\})", out.stdout)
+    if not m:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"no RESULT line for cores={cores}")
+    return json.loads(m.group(1))
+
+
+def main() -> int:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16")
+    n_cores, n4_cores = (int(x) for x in pair.split(","))
+
+    samples: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
+    for i in range(repeats):
+        for cores in (n_cores, n4_cores):  # interleaved: shared-host drift
+            r = run(cores, n_pages)
+            samples[cores].append(r)
+            print(f"round {i} cores={cores}: {r['sec']}s {r['tps']} tps", flush=True)
+
+    best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in samples.items()}
+    fps = {r["fingerprint"] for rs in samples.values() for r in rs}
+    counts = {r["triples"] for rs in samples.values() for r in rs}
+    eff = (best[n4_cores]["tps"] / best[n_cores]["tps"]) / (n4_cores / n_cores)
+
+    sample_rows = [
+        f"| {c} | {i} | {r['sec']} | {r['tps']} |"
+        for c, rs in samples.items()
+        for i, r in enumerate(rs)
+    ]
+    lines = [
+        "# BENCH — scaling evidence (N vs 4N)",
+        "",
+        "End-to-end KG pipeline (extract -> mentions -> link -> triples ->",
+        "canonicalize -> materialize) on the deterministic synthetic corpus",
+        f"({n_pages} pages, weight-8 ~15 KB html each, seed-fixed), identical",
+        "input at both parallelism",
+        f"levels (local[{n_cores}] = N, local[{n4_cores}] = 4N; fresh JVM per run;",
+        f"{repeats} interleaved repeats per level, best wall time per level",
+        "reported — the host is shared and externally loaded, so single",
+        "samples are noisy; all samples below).",
+        "",
+        "| cores | best sec | triples | best triples/sec |",
+        "| --- | --- | --- | --- |",
+        f"| {n_cores} (N) | {best[n_cores]['sec']} | {best[n_cores]['triples']} | {best[n_cores]['tps']} |",
+        f"| {n4_cores} (4N) | {best[n4_cores]['sec']} | {best[n4_cores]['triples']} | {best[n4_cores]['tps']} |",
+        "",
+        f"**Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** "
+        f"(north_rule target >= 0.8).",
+        "",
+        f"Output identity across parallelism levels and repeats: "
+        f"distinct triple counts = {sorted(counts)}, distinct "
+        f"order-insensitive fingerprints = {len(fps)} "
+        "(1 = byte-identical results at every parallelism level).",
+        "",
+        "All samples:",
+        "",
+        "| cores | round | sec | tps |",
+        "| --- | --- | --- | --- |",
+        *sample_rows,
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+    bl_path = os.path.join(REPO, "BASELINE.md")
+    with open(bl_path) as f:
+        bl = f.read()
+    marker = "\n## Measured scaling (this repo)\n"
+    section = (
+        marker
+        + f"\nSame job, same input, local[{n_cores}] vs local[{n4_cores}] ({n_pages} pages, "
+        + f"best of {repeats} interleaved repeats):\n"
+        + f"thr_N = {best[n_cores]['tps']} triples/s, thr_4N = {best[n4_cores]['tps']} triples/s, "
+        + f"efficiency = {eff:.3f} (target >= 0.8). Details: BENCH.md\n"
+    )
+    if marker in bl:
+        bl = bl.split(marker)[0]
+    with open(bl_path, "w") as f:
+        f.write(bl + section)
+    print(f"efficiency {eff:.3f}; wrote BENCH.md + BASELINE.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

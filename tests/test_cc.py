@@ -75,3 +75,23 @@ def test_string_adapter(spark):
         "alice": "alice", "bob": "alice", "hub": "alice",
         "carol": "carol", "dave": "carol",
     }
+
+
+def test_dense_ids_and_cc_dense(spark):
+    from graph_importer_spark.operators.ids import connected_components_dense, dense_ids
+
+    df = spark.createDataFrame([("c",), ("a",), ("b",), ("a",)], "k string")
+    ids = {r["k"]: r["id"] for r in dense_ids(df, "k").collect()}
+    assert sorted(ids.values()) == [0, 1, 2]
+    # deterministic regardless of input layout
+    ids2 = {r["k"]: r["id"] for r in dense_ids(df.repartition(5), "k").collect()}
+    assert ids == ids2
+
+    edges = spark.createDataFrame(
+        [("alice", "hub"), ("bob", "hub"), ("carol", "dave")], "src string, dst string"
+    )
+    got = {r["name"]: r["canonical"] for r in connected_components_dense(edges).collect()}
+    assert got == {
+        "alice": "alice", "bob": "alice", "hub": "alice",
+        "carol": "carol", "dave": "carol",
+    }

@@ -6,9 +6,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from graph_importer_spark.operators.generators import (
+    append_edge_attr,
     clique_edges,
     cliques_graph_edges,
     k_partite_edges,
+    prepare_vertices,
     tournament_edges,
 )
 
@@ -69,6 +71,30 @@ def test_cliques_graph_structure(spark):
 
     sizes = Counter(part_of.values())
     assert len(e) == sum(s * (s - 1) // 2 for s in sizes.values())
+
+
+def test_prepare_vertices_branches(spark):
+    # plain: just _key
+    plain = prepare_vertices(spark, 5)
+    assert plain.columns == ["_key"]
+    assert {r["_key"] for r in plain.collect()} == {"0", "1", "2", "3", "4"}
+    # smart + part + random attr: all four reference branches collapse
+    full = prepare_vertices(spark, 10, smart=True, num_parts=3, attr=("w", 2.0, 4.0))
+    rows = {r["_key"]: r for r in full.collect()}
+    assert full.columns == ["_key", "part", "smartProp", "w"]
+    assert rows["7"]["part"] == "1" and rows["7"]["smartProp"] == "7"
+    assert all(2.0 <= float(r["w"]) < 4.0 for r in rows.values())
+    # smart attribute IS the part attribute -> no duplicate column
+    sp = prepare_vertices(spark, 4, smart=True, smart_attribute="part", num_parts=2)
+    assert sp.columns == ["_key", "part"]
+
+
+def test_append_edge_attr_deterministic(spark):
+    e = tournament_edges(spark, 10, seed=1)
+    a = sorted(map(tuple, append_edge_attr(e, "weight", 0.0, 1.0).collect()))
+    b = sorted(map(tuple, append_edge_attr(e.repartition(7), "weight", 0.0, 1.0).collect()))
+    assert a == b
+    assert all(0.0 <= float(w) < 1.0 for _, _, w in a)
 
 
 def test_cliques_graph_inter_edges(spark):

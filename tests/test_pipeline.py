@@ -26,6 +26,17 @@ def test_end_to_end_pr_gate(spark, warehouse):
     assert recall >= 0.95, recall
 
 
+def test_end_to_end_pr_gate_heavy_pages(spark, warehouse):
+    """Same P/R gate on weight-4 pages (~8 KB html, boilerplate-laden —
+    the bench corpus shape): extraction must strip the noise without
+    disturbing recall."""
+    pages, gt, aliases = synth.corpus(spark, n_pages=60, n_entities=30, weight=4)
+    p = run_pipeline(spark, pages, aliases, warehouse)
+    precision, recall = _pr(p.triples(), gt)
+    assert precision >= 0.95, precision
+    assert recall >= 0.95, recall
+
+
 def test_byte_identical_text_stage(spark, warehouse):
     pages, _, aliases = synth.corpus(spark, n_pages=50, n_entities=20)
     p = run_pipeline(spark, pages, aliases, warehouse)

@@ -1,0 +1,130 @@
+"""Structured Streaming: incremental triples (exactly-once per file),
+streaming extraction parity, watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from graph_importer_spark import synth
+from graph_importer_spark.streaming import (
+    incremental_triples,
+    read_pages_stream,
+    windowed_event_counts,
+)
+from graph_importer_spark.tables import GraphCatalog
+
+
+def _write_pages(spark, path, lo, hi, n_entities=20):
+    pages, _, aliases = synth.corpus(spark, n_pages=hi, n_entities=n_entities)
+    part = pages.filter(
+        F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long").between(lo, hi - 1)
+    )
+    part.coalesce(1).write.mode("append").parquet(path)
+    return aliases
+
+
+def test_incremental_exactly_once_per_file(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    cat = GraphCatalog(spark, str(tmp_path / "wh"))
+
+    aliases = _write_pages(spark, pages_dir, 0, 30)
+    q = incremental_triples(spark, pages_dir, aliases, cat, "triples_s", ckpt)
+    q.awaitTermination(120)
+    n1 = cat.read("triples_s").count()
+    assert n1 > 0
+
+    # restart with NO new files: checkpoint prevents reprocessing
+    q = incremental_triples(spark, pages_dir, aliases, cat, "triples_s", ckpt)
+    q.awaitTermination(120)
+    assert cat.read("triples_s").count() == n1
+
+    # new file arrives -> only the delta is processed (appended)
+    _write_pages(spark, pages_dir, 30, 60)
+    q = incremental_triples(spark, pages_dir, aliases, cat, "triples_s", ckpt)
+    q.awaitTermination(120)
+    n2 = cat.read("triples_s").count()
+    assert n2 > n1
+
+    # incremental union == one-shot batch over all pages
+    pages, _, _ = synth.corpus(spark, n_pages=60, n_entities=20)
+    from graph_importer_spark.streaming import _batch_triples
+
+    want = sorted(
+        map(tuple, _batch_triples(pages, aliases).select("url", "subj", "pred", "obj").collect())
+    )
+    got = sorted(
+        map(tuple, cat.read("triples_s").select("url", "subj", "pred", "obj").collect())
+    )
+    assert got == want
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    _write_pages(spark, pages_dir, 0, 25)
+    from graph_importer_spark.extract import with_text
+    from graph_importer_spark.streaming import extract_stream
+
+    stream = extract_stream(read_pages_stream(spark, pages_dir))
+    assert stream.isStreaming
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream.select("url", "text")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        r["url"]: r["text"]
+        for r in with_text(spark.read.parquet(pages_dir)).select("url", "text").collect()
+    }
+    assert got == want
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    rows = [
+        ("2026-01-01 10:05:00", "click"),
+        ("2026-01-01 10:55:00", "click"),
+        ("2026-01-01 11:05:00", "view"),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    out = str(tmp_path / "agg_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; with a
+    # single availableNow drain nothing may finalize — re-check with a
+    # complete-mode in-memory sink instead for value assertions
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    assert got[("2026-01-01 10:00:00", "click")] == 2
+    assert got[("2026-01-01 11:00:00", "view")] == 1
