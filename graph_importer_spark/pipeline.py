@@ -110,15 +110,18 @@ class Pipeline:
         )
 
         def s_extract():
-            # explicit repartition by url-hash (north rule): uniform layout
-            # regardless of upstream file sizes; also the write clustering.
-            p = pages.repartition(nparts, F.xxhash64("url"))
-            p = p.filter(F.col("lang") == cfg.lang) if cfg.lang else p
-            # html is consumed HERE and never again: dropping it keeps the
-            # raw bytes out of every downstream shuffle/write (at CC page
-            # sizes html is ~15x the extracted text — rewriting it made
-            # the extract stage disk-bound and anti-scaling).
-            return _extract.with_text(p).drop("html")
+            # Extraction runs on the INPUT SPLITS (narrow — parquet is
+            # splittable, maxPartitionBytes bounds each task), and the
+            # explicit url-hash repartition (north rule) happens on the
+            # EXTRACTED text: same uniform layout + write clustering,
+            # but the shuffle carries ~15x less than raw html would.
+            # html dies here — no downstream stage ever moves raw bytes.
+            p = pages.filter(F.col("lang") == cfg.lang) if cfg.lang else pages
+            return (
+                _extract.with_text(p)
+                .drop("html")
+                .repartition(nparts, F.xxhash64("url"))
+            )
 
         self._run_stage("extract", "pages_text", s_extract, resume)
 

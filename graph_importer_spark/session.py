@@ -59,6 +59,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY", "16m"),
         )
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        # start every shuffle wide and let AQE coalesce DOWN by bytes:
+        # partitioning decisions then depend on data volume, not on the
+        # cluster size — the same job gets the same plan at N and 4N
+        # executors, and no shuffle is capped at 2x-cores partitions.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sized for FAT rows (html is ~15 KB/page): 1024 rows
@@ -72,6 +77,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch: on a real cluster every executor has its
+        # own local SSDs; in this single-box sandbox one 400 MB/s virtual
+        # disk is shared by all "executors", which serializes shuffle I/O
+        # and caps scaling. SPARK_GRAFT_LOCAL_DIR=/dev/shm/... emulates
+        # per-executor disk bandwidth for scaling measurements.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
