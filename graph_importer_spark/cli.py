@@ -155,8 +155,6 @@ def main(argv: list[str] | None = None) -> int:
             )
             verts = vdf.select(F.col("id").cast("string").alias("_key"),
                                F.col("part").cast("string").alias("part"))
-        if args.graphtype in ("clique", "tournament"):
-            pass
         edges_doc = edges.select(
             F.concat(F.lit(args.vertices + "/"), F.col("src").cast("string")).alias("_from"),
             F.concat(F.lit(args.vertices + "/"), F.col("dst").cast("string")).alias("_to"),
@@ -182,7 +180,35 @@ def main(argv: list[str] | None = None) -> int:
                 "component", args.result_field
             )
         elif args.algorithm == "sssp":
-            res = A.sssp(e, source=args.source, max_iter=args.max_gss)
+            # edges were rekeyed as xxhash64(_from/_to) document ids above,
+            # so the raw --source integer must be resolved through the SAME
+            # keying: look its _key up in the vertex table (plain or smart
+            # form) and hash the resulting '<coll>/<key>' document id —
+            # otherwise the source can never match a vertex and sssp
+            # "converges" instantly to a single row.
+            vt = f"{args.graph_name}_{args.vertices}"
+            hit = (
+                cat.read(vt)
+                .filter(
+                    F.col("_key").isin(
+                        str(args.source), f"{args.source}:{args.source}"
+                    )
+                )
+                .select("_key")
+                .limit(1)
+                .collect()
+            )
+            if not hit:
+                raise SystemExit(
+                    f"--source {args.source} not found as a _key in {vt}"
+                )
+            src_id = f"{args.vertices}/{hit[0]['_key']}"
+            src_hash = (
+                spark.range(1)
+                .select(F.xxhash64(F.lit(src_id)).alias("h"))
+                .collect()[0]["h"]
+            )
+            res = A.sssp(e, source=src_hash, max_iter=args.max_gss)
         else:
             res = A.label_propagation(e, max_iter=args.max_gss)
         out = f"{args.graph_name}_{args.algorithm}"

@@ -214,7 +214,7 @@ def q_events_sessions(spark, sf_dir, gap_us: int = 1800 * 1_000_000):
 
 
 ORACLE_SESSIONS = """
-SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM (
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
   SELECT user_id,
     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -367,6 +367,13 @@ def q_kg_flagship(spark, sf_dir):
     return trips.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_pairs"))
 
 
+# ORACLE PRECONDITION (documented, checked in tests/test_contract.py):
+# the Spark chain splits per sentence ((?<=[.!?])\s+ — a lookbehind DuckDB's
+# RE2 cannot express) and strips trailing [.!?,;:] from tokens; the oracle
+# treats each document as one whitespace-token unit.  The two agree iff the
+# documents corpus contains no [.!?,;:] characters — true for the driver's
+# testdata, asserted by test_flagship_oracle_precondition so a testdata
+# refresh fails loudly instead of flagging a correct pipeline.
 ORACLE_KG_FLAGSHIP = r"""
 WITH docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS url,
@@ -445,19 +452,62 @@ def q_cc_canonical_dense(spark, sf_dir):
 
 
 def q_pagerank_star(spark, sf_dir):
-    """PageRank (rows-only: iterative, not SQL-expressible)."""
-    o = T(spark, sf_dir, "orders").limit(2000)
+    """PageRank on a deterministic order->customer subgraph.
+
+    ``o_orderkey < 2000`` (not ``limit``: limit without sort is layout-
+    dependent) so the sampled subgraph is a pure function of the data;
+    ``tol=0`` forces exactly 10 supersteps so the chained-CTE oracle
+    replays the same fixed-iteration computation.  Ranks rounded to 6dp
+    (partial-sum order differs between engines below ~1e-12)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     edges = o.select(
         (F.col("o_orderkey") + 1000000).alias("src"), F.col("o_custkey").alias("dst")
     )
-    pr = pagerank(edges, max_iter=10)
+    pr = pagerank(edges, tol=0.0, max_iter=10)
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _oracle_pagerank(iters: int = 10, damping: float = 0.85) -> str:
+    """Mechanically generated chained-CTE replay of analytics.pagerank on
+    the q_pagerank_star subgraph: one MATERIALIZED CTE per superstep
+    (materialized because each r{k} is referenced twice — contribs join +
+    dangling scalar — and an inlining CTE engine would re-evaluate the
+    whole chain exponentially).  Literals are repr()'d Python doubles so
+    the SQL constant equals Spark's F.lit(1.0 - damping) bit-for-bit."""
+    d, om = repr(damping), repr(1.0 - damping)
+    ctes = [
+        "e AS MATERIALIZED (SELECT o_orderkey + 1000000 AS src, o_custkey AS dst"
+        " FROM orders WHERE o_orderkey < 2000)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "v AS MATERIALIZED (SELECT DISTINCT id FROM"
+        " (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
+        "vd AS MATERIALIZED (SELECT v.id, (d.src IS NULL) AS dang"
+        " FROM v LEFT JOIN deg d ON d.src = v.id)",
+        "links AS MATERIALIZED (SELECT e.src, e.dst, deg.out_deg"
+        " FROM e JOIN deg ON e.src = deg.src)",
+        "r0 AS MATERIALIZED (SELECT id, dang, CAST(1.0 AS DOUBLE) AS rank FROM vd)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT vd.id, vd.dang,
+    CAST({om} AS DOUBLE) + CAST({d} AS DOUBLE) * (COALESCE(c.contrib, 0) +
+      (SELECT COALESCE(SUM(rank), 0) FROM {p} WHERE dang) / (SELECT COUNT(*) FROM v)) AS rank
+  FROM vd LEFT JOIN (
+    SELECT l.dst AS id, SUM(r.rank / l.out_deg) AS contrib
+    FROM links l JOIN {p} r ON r.id = l.src GROUP BY l.dst) c ON c.id = vd.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
 def q_sssp_tree(spark, sf_dir):
-    """SSSP on a deterministic binary tree (rows-only: iterative).
-    Tree depth ~log2(n) keeps the superstep count low — the graph shape,
-    not the row count, bounds Bellman-Ford rounds."""
+    """SSSP on a deterministic binary tree.  Tree depth ~log2(n) keeps
+    the superstep count low — the graph shape, not the row count, bounds
+    Bellman-Ford rounds.  Oracle: WITH RECURSIVE min-distance closure
+    (unique path per node in a tree, so the recursion is linear)."""
     edges = (
         spark.range(500)
         .select(
@@ -467,6 +517,21 @@ def q_sssp_tree(spark, sf_dir):
         .filter(F.col("dst") < 500)
     )
     return sssp(edges, source=0, max_iter=15)
+
+
+ORACLE_SSSP = """
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM (
+    SELECT i AS src, UNNEST([2*i + 1, 2*i + 2]) AS dst
+    FROM (SELECT UNNEST(generate_series(0, 499)) AS i))
+  WHERE dst < 500),
+d AS (
+  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dist
+  UNION
+  SELECT e.dst AS id, d.dist + CAST(1 AS DOUBLE) AS dist
+  FROM d JOIN e ON e.src = d.id)
+SELECT id, MIN(dist) AS dist FROM d GROUP BY id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -541,10 +606,67 @@ FROM (SELECT UNNEST(generate_series(0, 499)) AS i)
 
 
 def q_gen_edge_attrs(spark, sf_dir):
-    """P7/F2: tournament edges + deterministic weight attribute
-    (rows-only: keyed on xxhash64 of the pair)."""
+    """P7/F2: tournament edges + deterministic weight attribute keyed on
+    the congruential pair_key (SQL-replayable, ORACLE_GEN_CLIQUE's
+    trick applied to the pair)."""
     e = _gen.tournament_edges(spark, 30, seed=3)
     return _gen.append_edge_attr(e, "weight", 1.0, 5.0, seed=4)
+
+
+ORACLE_GEN_EDGE_ATTRS = f"""
+WITH pairs AS (
+  SELECT a.i AS i, b.j AS j,
+    (((a.i * 30 + b.j) % {_M}) * {_A} + 3) % {_M} / {_M}.0 AS coin
+  FROM (SELECT UNNEST(generate_series(0, 29)) AS i) a,
+       (SELECT UNNEST(generate_series(0, 29)) AS j) b
+  WHERE a.i < b.j),
+t AS (SELECT CASE WHEN coin < 0.5 THEN i ELSE j END AS src,
+             CASE WHEN coin < 0.5 THEN j ELSE i END AS dst FROM pairs)
+SELECT src, dst,
+  printf('%.6f', round(
+    ((((src % {_M}) * {_gen._A2} + (dst % {_M})) % {_M}) * {_A} + 4) % {_M} / {_M}.0
+    * 4.0 + 1.0, 6)) AS weight
+FROM t
+"""
+
+
+def q_gen_cliques_graph(spark, sf_dir):
+    """Reference flagship generator (cliques-graph,
+    clique_generator.py:283-340 / edges_generator.py:99-180) with BOTH
+    Bernoulli probabilities active: intra-clique complete edges +
+    inter-clique pair filter (prob_missing_all) + per-edge filter
+    (prob_missing_one).  Congruential randomness => SQL-replayable."""
+    _, edges = _gen.cliques_graph_edges(
+        spark, 4, 3, 6, prob_missing_one=0.3, prob_missing_all=0.25, seed=7
+    )
+    return edges
+
+
+ORACLE_GEN_CLIQUES_GRAPH = f"""
+WITH p AS (
+  SELECT part, CAST(3 + ((part % {_M}) * {_A} + 7) % 4 AS BIGINT) AS size
+  FROM (SELECT UNNEST(generate_series(0, 3)) AS part)),
+po AS (
+  SELECT part, size,
+    CAST(COALESCE(SUM(size) OVER (ORDER BY part ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM p),
+m AS (
+  SELECT part, UNNEST(generate_series(off, off + size - 1)) AS id FROM po),
+tot AS (SELECT CAST(SUM(size) AS BIGINT) AS t FROM p),
+intra AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM m a JOIN m b ON a.part = b.part AND a.id < b.id),
+cp AS (
+  SELECT a.part AS p1, b.part AS p2
+  FROM (SELECT DISTINCT part FROM m) a, (SELECT DISTINCT part FROM m) b
+  WHERE a.part < b.part
+    AND (((a.part * 4 + b.part) % {_M}) * {_A} + 8) % {_M} / {_M}.0 >= 0.25),
+inter AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM cp JOIN m a ON a.part = cp.p1 JOIN m b ON b.part = cp.p2 CROSS JOIN tot
+  WHERE (((a.id * tot.t + b.id) % {_M}) * {_A} + 9) % {_M} / {_M}.0 >= 0.3)
+SELECT src, dst FROM intra UNION ALL SELECT src, dst FROM inter
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -703,9 +825,34 @@ def _oracle_text_quality() -> str:
 
 
 def q_text_simhash(spark, sf_dir):
-    """SimHash (rows-only: xxhash64-based, no md5 replay)."""
+    """SimHash over md5(token) — the oracle replays every bit vote."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return _ts.simhash64(d, "doc_id", "text")
+
+
+def _oracle_text_simhash() -> str:
+    """Replay simhash64: h = int64 of the first 15 md5 hex chars
+    (a positional polynomial — DuckDB has no conv()), then the same
+    explode-bits / majority-vote / assemble chain."""
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(md5h, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE doc_id < 200),
+hx AS (SELECT doc_id, md5(tok) AS md5h FROM d),
+h AS (SELECT doc_id, {poly} AS h FROM hx),
+bits AS (
+  SELECT doc_id, b, ((h >> b) & 1) * 2 - 1 AS v
+  FROM h, UNNEST(generate_series(0, {_ts.SIMHASH_BITS - 1})) AS u(b)),
+votes AS (SELECT doc_id, b, SUM(v) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 # -- similarity -------------------------------------------------------------
@@ -819,10 +966,75 @@ FROM documents
 
 
 def q_mm_byte_histogram(spark, sf_dir):
-    """mapInPandas decode-and-featurize shape (rows-only)."""
+    """mapInPandas decode-and-featurize shape; all 16 buckets verified.
+    Rounding happens HERE with F.round (HALF_UP, matching DuckDB) —
+    the operator emits exact IEEE fractions (see byte_histogram)."""
     m = _docs_media(spark, sf_dir).filter(F.col("media_id") < 100)
     h = byte_histogram(m, bins=16)
-    return h.select("media_id", "n_bytes", F.round(F.element_at("hist", 1), 6).alias("h0"))
+    cols = [F.round(F.element_at("hist", i + 1), 6).alias(f"h{i}") for i in range(16)]
+    return h.select("media_id", "n_bytes", *cols)
+
+
+def _oracle_mm_hist() -> str:
+    """Byte extraction via hex(): char 2*i-1 of the hex string is byte
+    i's HIGH nibble == bucket index for 16 equal-width bins."""
+    hcols = ",\n  ".join(
+        f"round(CAST(SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / n_bytes, 6) AS h{i}"
+        for i in range(16)
+    )
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, encode(text) AS p FROM documents WHERE doc_id < 100),
+b AS (SELECT media_id, octet_length(p) AS n_bytes,
+        strpos('0123456789ABCDEF', substring(hex(p), 2*i - 1, 1)) - 1 AS bucket
+      FROM m, UNNEST(generate_series(1, octet_length(p))) AS u(i))
+SELECT media_id, n_bytes,
+  {hcols}
+FROM b GROUP BY media_id, n_bytes
+"""
+
+
+# -- streaming (SURVEY §2.7 — the graft's Structured Streaming surface) -----
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """windowed_event_counts executed AS A STREAM (file source over the
+    events parquet, availableNow trigger, complete-mode memory sink) and
+    drained to a batch DataFrame — verifies the streaming operator's
+    results, not just its batch twin (events_hourly).  Window starts are
+    returned as epoch seconds: engine-neutral, timezone-free."""
+    import uuid as _uuid
+
+    from graph_importer_spark import streaming as _stream
+
+    # the file stream source needs a DIRECTORY basePath; pathGlobFilter
+    # narrows it to the events table without copying anything
+    ev = (
+        spark.readStream.schema(T(spark, sf_dir, "events").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "swc_" + _uuid.uuid4().hex[:8]
+    q = (
+        _stream.windowed_event_counts(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("win_start_s"),
+        "event_type",
+        "n_events",
+    )
+
+
+ORACLE_STREAM_WINDOWED = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
 
 
 # -- skew -------------------------------------------------------------------
@@ -876,6 +1088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_clique": q_gen_clique,
     "gen_tournament": q_gen_tournament,
     "gen_kpartite": q_gen_kpartite,
+    "gen_cliques_graph": q_gen_cliques_graph,
     "gen_vertex_docs": q_gen_vertex_docs,
     "gen_edge_attrs": q_gen_edge_attrs,
     "dedup_exact": q_dedup_exact,
@@ -891,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup": q_emb_near_dup,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_byte_histogram": q_mm_byte_histogram,
+    "stream_windowed_counts": q_stream_windowed_counts,
     "skew_salted_count": q_skew_salted_count,
     "skew_salted_join": q_skew_salted_join,
 }
@@ -901,6 +1115,8 @@ ORACLES: dict[str, str] = {
     "cc_star": ORACLE_CC_STAR,
     "cc_canonical_names": ORACLE_CC_NAMES,
     "cc_canonical_dense": ORACLE_CC_NAMES,
+    "pagerank_star": _oracle_pagerank(),
+    "sssp_tree": ORACLE_SSSP,
     "pricing_summary": ORACLE_PRICING,
     "region_volume": ORACLE_REGION,
     "window_top_orders": ORACLE_TOP_ORDERS,
@@ -914,7 +1130,9 @@ ORACLES: dict[str, str] = {
     "gen_clique": ORACLE_GEN_CLIQUE,
     "gen_tournament": ORACLE_GEN_TOURNAMENT,
     "gen_kpartite": ORACLE_GEN_KPARTITE,
+    "gen_cliques_graph": ORACLE_GEN_CLIQUES_GRAPH,
     "gen_vertex_docs": ORACLE_GEN_VERTEX_DOCS,
+    "gen_edge_attrs": ORACLE_GEN_EDGE_ATTRS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": ORACLE_DEDUP_FP,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
@@ -922,12 +1140,19 @@ ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "text_lang": _oracle_text_lang(),
     "text_quality": _oracle_text_quality(),
+    "text_simhash": _oracle_text_simhash(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ann_lsh": _oracle_sim_ann(),
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "mm_byte_stats": ORACLE_MM_STATS,
+    "mm_byte_histogram": _oracle_mm_hist(),
+    "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
     "skew_salted_count": ORACLE_SALTED_COUNT,
     "skew_salted_join": ORACLE_SALTED_JOIN,
-    # rows-only (iterative / xxhash64 / mapInPandas — no SQL oracle):
-    #   pagerank_star, sssp_tree, text_simhash, mm_byte_histogram
+    # every registered query is oracle-checked: the iterative ones replay
+    # as chained/recursive CTEs (pagerank_star, sssp_tree), the hash-based
+    # ones via md5/congruential-hash formulations (text_simhash,
+    # gen_edge_attrs), mapInPandas via hex() byte extraction
+    # (mm_byte_histogram), streaming via its drained batch result
+    # (stream_windowed_counts).
 }

@@ -48,55 +48,79 @@ def pagerank(
     match the reference's Pregel PageRank semantics
     (start_Pregel.py:195-199 threshold convergence).
     """
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
-    verts = _vertices_of(edges).localCheckpoint(eager=True)
-    n = verts.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # static vertex frame with the dangling flag baked in: membership in
+    # the no-out-edges set never changes, so the per-superstep dangling
+    # mass is just a conditional sum over the rank frame — no anti-join
+    # in the loop.
+    verts = (
+        _vertices_of(edges)
+        .join(deg.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.col("out_deg").isNull().alias("is_dangling"))
+        .localCheckpoint(eager=True)
+    )
+    head = verts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("is_dangling"), 1).otherwise(0)).alias("nd"),
+    ).collect()[0]
+    n = int(head["n"])
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # static frame reused every superstep: (src, dst, out_deg)
     links = (
         edges.join(deg, "src")
         .select("src", "dst", "out_deg")
         .localCheckpoint(eager=True)
     )
-    ranks = verts.select("id", F.lit(1.0).alias("rank"))
+    ranks = verts.select("id", "is_dangling", F.lit(1.0).alias("rank"))
+    dangling = float(head["nd"])  # every dangling vertex starts at rank 1.0
     for i in range(max_iter):
         contribs = (
-            links.join(ranks.withColumnRenamed("id", "src"), "src")
+            links.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
-        )
-        # dangling mass = sum of rank held by vertices with no out-edges
-        dangling = (
-            ranks.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
         )
         new_ranks = (
             verts.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
+                "is_dangling",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
+        )
+        # ONE action per superstep: the convergence delta and the NEXT
+        # iteration's dangling mass ride the checkpoint job as an
+        # Observation (same discipline as cc._checkpoint_fp) instead of
+        # two extra scalar collects.
+        obs = Observation()
+        joined = (
+            new_ranks.join(ranks.select("id", F.col("rank").alias("old")), "id")
+            .observe(
+                obs,
+                F.max(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+                ).alias("dangling"),
+            )
+            .select("id", "is_dangling", "rank")
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-            .agg(F.max(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
-        )
-        ranks = new_ranks
+        got = obs.get
+        delta, dangling = float(got["delta"]), float(got["dangling"])
+        ranks = joined
         if on_iteration is not None:
-            on_iteration(i, float(delta))
+            on_iteration(i, delta)
         if delta < tol:
             break
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def sssp(

@@ -97,6 +97,36 @@ def _parts(
     )
 
 
+def _part_pair_edges(
+    members: DataFrame,
+    num_parts: int,
+    prob_missing_all: float = 0.0,
+    prob_missing_one: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Inter-part edges in the scalable shape shared by cliques-graph and
+    k-partite (J4, edges_generator.py:99-180): the theta join (p1 < p2)
+    runs on the PART-LEVEL frame (num_parts rows — a broadcast nested
+    loop over a dim that fits in one packet), then members expand via two
+    equi-joins on the part id.  Never a member-level BNLJ: the O(n^2)
+    cost is output rows only, every join is hash/broadcast."""
+    cl = members.select("part").distinct()
+    cpairs = cl.select(F.col("part").alias("p1")).join(
+        cl.select(F.col("part").alias("p2")), F.col("p1") < F.col("p2")
+    )
+    if prob_missing_all > 0:
+        ckey = F.col("p1") * F.lit(num_parts) + F.col("p2")
+        cpairs = cpairs.filter(_unit(ckey, seed + 1) >= prob_missing_all)
+    a = members.select(F.col("part").alias("p1"), F.col("id").alias("src"))
+    b = members.select(F.col("part").alias("p2"), F.col("id").alias("dst"))
+    inter = cpairs.join(a, "p1").join(b, "p2").select("src", "dst")
+    if prob_missing_one > 0:
+        total = members.count()
+        ekey = F.col("src") * F.lit(total) + F.col("dst")
+        inter = inter.filter(_unit(ekey, seed + 2) >= prob_missing_one)
+    return inter
+
+
 def cliques_graph_edges(
     spark: SparkSession,
     num_cliques: int,
@@ -119,21 +149,9 @@ def cliques_graph_edges(
     m1 = members.select(F.col("part"), F.col("id").alias("src"))
     m2 = members.select(F.col("part"), F.col("id").alias("dst"))
     intra = m1.join(m2, "part").filter(F.col("src") < F.col("dst")).select("src", "dst")
-
-    cl = members.select("part").distinct()
-    c1 = cl.select(F.col("part").alias("p1"))
-    c2 = cl.select(F.col("part").alias("p2"))
-    cpairs = c1.join(c2, F.col("p1") < F.col("p2"))
-    if prob_missing_all > 0:
-        ckey = F.col("p1") * F.lit(num_cliques) + F.col("p2")
-        cpairs = cpairs.filter(_unit(ckey, seed + 1) >= prob_missing_all)
-    a = members.select(F.col("part").alias("p1"), F.col("id").alias("src"))
-    b = members.select(F.col("part").alias("p2"), F.col("id").alias("dst"))
-    inter = cpairs.join(a, "p1").join(b, "p2").select("src", "dst")
-    if prob_missing_one > 0:
-        total = members.count()
-        ekey = F.col("src") * F.lit(total) + F.col("dst")
-        inter = inter.filter(_unit(ekey, seed + 2) >= prob_missing_one)
+    inter = _part_pair_edges(
+        members, num_cliques, prob_missing_all, prob_missing_one, seed
+    )
     verts = members.select("id", "part")
     return verts, intra.unionByName(inter)
 
@@ -187,15 +205,30 @@ def prepare_vertices(
     return df.select(*cols)
 
 
+# pair-key mixing constant for append_edge_attr (any constant coprime
+# with _M and != _A works; intermediates stay < 2^48, no int64 overflow)
+_A2 = 131071
+
+
+def pair_key(src, dst):
+    """Deterministic non-negative int64 key for an edge (src, dst):
+    ((src % M) * A2 + dst % M) % M — SQL-replayable congruential mix
+    (the same trick ORACLE_GEN_CLIQUE uses), unlike xxhash64 which
+    DuckDB cannot replay."""
+    return F.pmod(
+        F.pmod(src, F.lit(_M)) * F.lit(_A2) + F.pmod(dst, F.lit(_M)), F.lit(_M)
+    )
+
+
 def append_edge_attr(
     edges: DataFrame, name: str, a: float, b: float, seed: int = 42
 ) -> DataFrame:
     """P7/F2 parity (append_edges + random edge property,
     edges_generator.py:32-47,59-60): attach a deterministic uniform
-    random property (string) keyed on the (src, dst) pair."""
-    key = F.xxhash64("src", "dst")
-    # xxhash64 can be negative; _unit needs a non-negative key
-    return edges.withColumn(name, random_uniform_attr(F.abs(key), a, b, seed))
+    random property (string) keyed on the (src, dst) pair via the
+    congruential pair_key so the DuckDB oracle replays it bit-for-bit."""
+    key = pair_key(F.col("src"), F.col("dst"))
+    return edges.withColumn(name, random_uniform_attr(key, a, b, seed))
 
 
 def k_partite_edges(
@@ -203,9 +236,11 @@ def k_partite_edges(
 ) -> tuple[DataFrame, DataFrame]:
     """Complete k-partite graph (k_partite_generator.py:10-40: parts are
     'cliques' with prob_missing=0 INTER-part edges and NO intra-part
-    edges). Returns (vertices(id, part), edges(src, dst))."""
+    edges). Returns (vertices(id, part), edges(src, dst)).
+
+    Uses the same part-pair-then-expand shape as cliques_graph_edges —
+    the theta join touches only the k-row part frame, never a
+    member-level BroadcastNestedLoopJoin."""
     members = _parts(spark, k, min_size, max_size, seed).cache()
-    a = members.select(F.col("part").alias("pa"), F.col("id").alias("src"))
-    b = members.select(F.col("part").alias("pb"), F.col("id").alias("dst"))
-    edges = a.join(b, F.col("pa") < F.col("pb")).select("src", "dst")
+    edges = _part_pair_edges(members, k, seed=seed)
     return members.select("id", "part"), edges

@@ -50,7 +50,11 @@ def dense_ids(
 
 
 def connected_components_dense(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    on_iteration=None,
 ) -> DataFrame:
     """connected_components_str without hash collisions: dictionary-map
     string endpoints to dense ids, run CC on longs, map back.
@@ -70,7 +74,7 @@ def connected_components_dense(
         .join(d, dst)
         .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
     )
-    labels = connected_components(e, max_iter=max_iter)
+    labels = connected_components(e, max_iter=max_iter, on_iteration=on_iteration)
     named = labels.join(dictionary, labels.id == dictionary.id).select(
         "name", "component"
     )

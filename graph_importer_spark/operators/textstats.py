@@ -10,8 +10,9 @@ Operators:
 * quality_score    — length/punct/stopword/word-length heuristic
 * lang_id          — stopword-hit n-gram heuristic over 4 languages
 * fingerprint      — md5 of whitespace/case-normalized text
-* simhash64        — 64-bit SimHash over xxhash64(token) (scale path;
-                     not md5-replayable, rows-only oracle)
+* simhash64        — 60-bit SimHash over md5(token) (top 15 hex chars as
+                     the bit source — md5 is bit-identical in Spark and
+                     DuckDB, so the oracle replays the full votes)
 """
 
 from __future__ import annotations
@@ -123,20 +124,36 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.encode(normalize_text(text), "UTF-8"))
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document over xxhash64(token).
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed int64 exactly
 
-    explode tokens -> explode 64 bit positions -> per-(doc,bit) majority
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document over md5(token).
+
+    explode tokens -> explode bit positions -> per-(doc,bit) majority
     vote -> assemble. Shuffle key (doc, bit) is uniform; the vote is a
     partial-aggregating sum. Returns (id_col, simhash long).
+
+    The token hash is the first 15 hex chars of md5 (conv base 16->10):
+    md5 over UTF-8 is bit-identical in Spark and DuckDB, so the oracle
+    replays every vote exactly; 60 bits keeps the value inside a signed
+    int64 in both engines (full 64 would need unsigned semantics DuckDB
+    lacks).  xxhash64 would be ~2x faster JVM-side but is not replayable
+    — for a fingerprint whose whole point is verified dedup, replayable
+    wins.
     """
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
     bits = toks.select(
         id_col,
         "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
     ).select(
         id_col,
         "bit",

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_importer_spark import cc as _cc
+from graph_importer_spark.operators import ids as _ids
 from graph_importer_spark import extract as _extract
 from graph_importer_spark import linking as _linking
 from graph_importer_spark import mentions as _mentions
@@ -51,6 +52,16 @@ class PipelineConfig:
     lang: str = "en"
     max_cc_iter: int = 30
     url_partitions: int | None = None  # default: spark.sql.shuffle.partitions
+    # above this many distinct (surface, entity) pairs, canonicalization
+    # switches from xxhash64 node ids (zero extra shuffles, collision
+    # budget n^2/2^65) to the collision-free dense-id dictionary
+    # (operators/ids.py) — the 10^12 design point of SCALE.md
+    dense_id_threshold: int = 50_000_000
+    # above this many canonical-map rows the triples rewrite joins
+    # plainly (AQE skew-join) instead of force-broadcasting the map:
+    # at the 10^12 design point the entity dictionary is 10^8-10^9 rows,
+    # far over any broadcast threshold
+    broadcast_map_rows: int = 2_000_000
 
 
 class Pipeline:
@@ -150,6 +161,14 @@ class Pipeline:
         def s_triples():
             cmap = cat.read("canonical_map")
             t = cat.read("triples_raw")
+            # size-gate the broadcast from the parquet footers the
+            # canonicalize stage just wrote (driver-side metadata, no
+            # job): a 10^8-row entity dictionary must NOT be broadcast —
+            # fall back to a plain equi-join (AQE skew-join is on).
+            n_map = sum(n for _, n in cat.file_row_counts("canonical_map"))
+            hint = F.broadcast if n_map <= self.cfg.broadcast_map_rows else (lambda d: d)
+            self._metric("triples", "canonical_map_rows", n_map)
+            self._metric("triples", "canonical_map_broadcast", int(n_map <= self.cfg.broadcast_map_rows))
             smap = cmap.select(
                 F.col("entity").alias("subj_e"), F.col("canonical").alias("subj_c")
             )
@@ -157,8 +176,8 @@ class Pipeline:
                 F.col("entity").alias("obj_e"), F.col("canonical").alias("obj_c")
             )
             t = (
-                t.join(F.broadcast(smap), t.subj == smap.subj_e, "left")
-                .join(F.broadcast(omap), t.obj == omap.obj_e, "left")
+                t.join(hint(smap), t.subj == smap.subj_e, "left")
+                .join(hint(omap), t.obj == omap.obj_e, "left")
             )
             return t.select(
                 F.coalesce("subj_c", "subj").alias("subj"),
@@ -187,27 +206,57 @@ class Pipeline:
         Returns (entity, canonical). This is the reference's
         'connectedcomponents'/'wcc' Pregel surface (arguments.py:182-184)
         run natively as the canonicalization stage.
+
+        Node-id strategy is size-gated: xxhash64 string ids (zero extra
+        shuffles) up to cfg.dense_id_threshold pairs, the collision-free
+        dense-id dictionary (operators/ids.connected_components_dense)
+        above it — at 10^12 documents the entity vocabulary makes the
+        n^2/2^65 collision budget real, and one silent hash collision
+        merges two unrelated entities forever.
         """
-        pairs = linked.select("surface", "entity").distinct()
-        edges = pairs.select(
-            F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("src"),
-            F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("dst"),
+        pairs = linked.select("surface", "entity").distinct().localCheckpoint(
+            eager=True
         )
+        n_pairs = pairs.count()
         it_metrics: list[tuple[int, int]] = []
-        labels = _cc.connected_components(
-            edges,
-            max_iter=self.cfg.max_cc_iter,
-            on_iteration=lambda i, n: it_metrics.append((i, n)),
-        )
-        ents = pairs.select("entity").distinct().select(
-            "entity", F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("id")
-        )
-        ent_labels = ents.join(labels, "id").select("entity", "component")
-        canon = ent_labels.groupBy("component").agg(F.min("entity").alias("canonical"))
-        out = ent_labels.join(canon, "component").select("entity", "canonical")
+        hook = lambda i, n: it_metrics.append((i, n))  # noqa: E731
+        use_dense = n_pairs > self.cfg.dense_id_threshold
+        if use_dense:
+            edges = pairs.select(
+                F.concat(F.lit("s:"), "surface").alias("src"),
+                F.concat(F.lit("e:"), "entity").alias("dst"),
+            )
+            named = _ids.connected_components_dense(
+                edges, max_iter=self.cfg.max_cc_iter, on_iteration=hook
+            )
+            # component canonical = min member name; 'e:' < 's:' and every
+            # component contains >=1 entity, so the canonical name is
+            # always the min ENTITY — strip the tag to get the map
+            out = named.filter(F.col("name").startswith("e:")).select(
+                F.substring("name", 3, 2**31 - 1).alias("entity"),
+                F.substring("canonical", 3, 2**31 - 1).alias("canonical"),
+            )
+        else:
+            edges = pairs.select(
+                F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("src"),
+                F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("dst"),
+            )
+            labels = _cc.connected_components(
+                edges, max_iter=self.cfg.max_cc_iter, on_iteration=hook
+            )
+            ents = pairs.select("entity").distinct().select(
+                "entity", F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("id")
+            )
+            ent_labels = ents.join(labels, "id").select("entity", "component")
+            canon = ent_labels.groupBy("component").agg(
+                F.min("entity").alias("canonical")
+            )
+            out = ent_labels.join(canon, "component").select("entity", "canonical")
         for i, n in it_metrics:
             self._metric("canonicalize", f"cc_iter_{i}_edges", n)
         self._metric("canonicalize", "cc_iterations", len(it_metrics))
+        self._metric("canonicalize", "cc_pairs", n_pairs)
+        self._metric("canonicalize", "cc_dense_ids", int(use_dense))
         return out
 
     # -- read-back ---------------------------------------------------------
@@ -222,8 +271,9 @@ def run_pipeline(
     warehouse: str,
     resume: bool = False,
     graph: GraphSpec | None = None,
+    **cfg_overrides,
 ) -> Pipeline:
-    cfg = PipelineConfig(warehouse=warehouse)
+    cfg = PipelineConfig(warehouse=warehouse, **cfg_overrides)
     if graph is not None:
         cfg.graph = graph
     p = Pipeline(spark, cfg)

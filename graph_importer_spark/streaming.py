@@ -117,10 +117,18 @@ def incremental_triples(
     stream = read_pages_stream(spark, pages_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash after the catalog append
+        # commits but before the stream checkpoint commits replays the
+        # batch on restart.  The per-batch snapshot tag makes the body
+        # idempotent — a replayed batch_id is skipped, so the
+        # exactly-once-per-file claim holds end to end.
+        tag = f"stream_batch_{batch_id}"
+        if catalog.exists(table) and catalog.has_tag(table, tag):
+            return
         out = _batch_triples(batch_df, aliases).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        catalog.append(table, out, tag=f"stream_batch_{batch_id}")
+        catalog.append(table, out, tag=tag)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -1,26 +1,33 @@
 """Table catalog: Iceberg-contract semantics, parquet-backed locally.
 
-The north rule targets Iceberg tables.  This container ships no Iceberg
-runtime jar, so the catalog abstracts the four behaviors the pipeline
-actually depends on and implements them on parquet directories, exactly
-mirroring the reference's graph-DDL contract (general.py:51-108 and the
-exists-then-skip guards at graphalytics_importer.py:168-175,
-edge_list.py:61-66, clique_generator.py:262-267):
+The north rule targets Iceberg tables.  The catalog abstracts the four
+behaviors the pipeline depends on, exactly mirroring the reference's
+graph-DDL contract (general.py:51-108 and the exists-then-skip guards at
+graphalytics_importer.py:168-175, edge_list.py:61-66,
+clique_generator.py:262-267):
 
 * create_or_replace  <-> drop-then-create under --overwrite
                          (Iceberg: ``df.writeTo(t).createOrReplace()``)
 * exists / skip      <-> graph_exists guard (resume semantics)
 * append             <-> bulk insert_documents (Iceberg: ``append()``)
-* snapshots/tags     <-> stage checkpoint markers; each commit writes a
-                         JSON snapshot record (Iceberg: snapshot log)
+* snapshots/tags     <-> stage checkpoint markers (Iceberg: snapshot log
+                         + named refs/tags)
 
-On a real cluster, set ``GraphCatalog(spark, uri, use_iceberg=True)``
-and every call maps 1:1 onto ``spark.catalog`` + ``writeTo`` — the
-pipeline code does not change.
+Two backends behind one API:
 
-Atomicity note: local commits write data to a temp dir then os.rename —
-same swap discipline Iceberg gets from its metadata pointer, adequate
-for single-writer pipelines (which is what the reference is too).
+* ``use_iceberg=True``  — the real mapping: a Hadoop-type Iceberg
+  catalog is configured on the session, writes go through
+  ``writeTo().createOrReplace()/append()``, tags are Iceberg named refs
+  (``ALTER TABLE .. CREATE TAG``), snapshots/lineage come from the
+  ``.snapshots`` / ``.files`` metadata tables.  Requires the
+  iceberg-spark-runtime jar (``iceberg_available()``); this container
+  does not ship it, so the branch is exercised by a skipped-unless-jar
+  test (tests/test_tables_iceberg.py) and runs unchanged on a real
+  cluster.
+* default               — parquet directories + a JSON snapshot record
+  per commit.  Local commits write data to a temp dir then os.rename —
+  the same swap discipline Iceberg gets from its metadata pointer,
+  adequate for single-writer pipelines (which the reference is too).
 """
 
 from __future__ import annotations
@@ -35,18 +42,62 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the iceberg-spark-runtime jar is on the session's JVM
+    classpath (the real-cluster precondition for ``use_iceberg=True``)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 class GraphCatalog:
-    def __init__(self, spark: SparkSession, warehouse: str, use_iceberg: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        use_iceberg: bool = False,
+        catalog_name: str = "graft",
+        namespace: str = "db",
+    ):
         self.spark = spark
         self.warehouse = warehouse
         self.use_iceberg = use_iceberg
-        if use_iceberg:  # pragma: no cover - needs iceberg runtime jar
-            raise NotImplementedError(
-                "wire spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog"
+        self.catalog_name = catalog_name
+        self.namespace = namespace
+        if use_iceberg:
+            if not iceberg_available(spark):
+                raise NotImplementedError(
+                    "use_iceberg=True needs the iceberg-spark-runtime jar on "
+                    "the classpath (spark-submit --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-...); not shipped in this container"
+                )
+            # Hadoop-type catalog rooted at the warehouse path — catalogs
+            # are instantiated lazily, so setting conf post-startup works
+            spark.conf.set(
+                f"spark.sql.catalog.{catalog_name}",
+                "org.apache.iceberg.spark.SparkCatalog",
             )
-        os.makedirs(warehouse, exist_ok=True)
+            spark.conf.set(f"spark.sql.catalog.{catalog_name}.type", "hadoop")
+            spark.conf.set(f"spark.sql.catalog.{catalog_name}.warehouse", warehouse)
+            spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS `{catalog_name}`.`{namespace}`"
+            )
+        else:
+            os.makedirs(warehouse, exist_ok=True)
 
-    # -- paths ---------------------------------------------------------
+    # -- identifiers / paths --------------------------------------------
+    def _ident(self, name: str) -> str:
+        return f"`{self.catalog_name}`.`{self.namespace}`.`{name}`"
+
+    def _meta_ident(self, name: str, meta: str) -> str:
+        """4-part identifier for an Iceberg metadata table
+        (catalog.ns.table.snapshots / .files / .refs)."""
+        return self._ident(name) + f".`{meta}`"
+
     def _dir(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
@@ -56,6 +107,8 @@ class GraphCatalog:
     # -- existence probes (reference: general.py:13-25 graph/collection
     #    exists — drives resume-or-skip) --------------------------------
     def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._ident(name))
         return os.path.exists(self._meta_path(name))
 
     def _read_meta(self, name: str) -> dict:
@@ -63,10 +116,34 @@ class GraphCatalog:
             return json.load(f)
 
     def snapshots(self, name: str) -> list[dict]:
-        return self._read_meta(name).get("snapshots", []) if self.exists(name) else []
+        if not self.exists(name):
+            return []
+        if self.use_iceberg:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id, committed_at, operation FROM "
+                f"{self._meta_ident(name, 'snapshots')} ORDER BY committed_at"
+            ).collect()
+            tags = self._ice_tags(name)
+            return [
+                {
+                    "snapshot_id": r["snapshot_id"],
+                    "op": r["operation"],
+                    "tag": tags.get(r["snapshot_id"]),
+                    "ts": r["committed_at"].timestamp(),
+                }
+                for r in rows
+            ]
+        return self._read_meta(name).get("snapshots", [])
 
     def properties(self, name: str) -> dict:
-        return self._read_meta(name).get("properties", {}) if self.exists(name) else {}
+        if not self.exists(name):
+            return {}
+        if self.use_iceberg:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._ident(name)}"
+            ).collect()
+            return {r["key"]: r["value"] for r in rows}
+        return self._read_meta(name).get("properties", {})
 
     # -- writes ---------------------------------------------------------
     def create_or_replace(
@@ -83,9 +160,26 @@ class GraphCatalog:
         ``bucket_by=(n, col)`` mirrors ArangoDB's numberOfShards /
         Iceberg's bucket(n, col) transform: data is hash-clustered into n
         files per partition so a downstream equi-join on ``col`` can be
-        planned shuffle-free (bucketed join) on a real catalog; locally
-        we repartition by the hash so file layout matches.
+        planned shuffle-free (bucketed join / storage-partitioned join)
+        on a real catalog; locally we repartition by the hash so file
+        layout matches.
         """
+        if self.use_iceberg:
+            writer = df.writeTo(self._ident(name)).using("iceberg")
+            transforms = []
+            if partition_by:
+                transforms += [F.col(c) for c in partition_by]
+            if bucket_by is not None:
+                n, col = bucket_by
+                transforms.append(F.bucket(n, col))
+            if transforms:
+                writer = writer.partitionedBy(*transforms)
+            for k, v in (properties or {}).items():
+                writer = writer.tableProperty(str(k), str(v))
+            writer.createOrReplace()
+            if tag:
+                self._ice_tag(name, tag)
+            return
         d = self._dir(name)
         tmp = d + ".tmp-" + uuid.uuid4().hex[:8]
         writer_df = df
@@ -115,6 +209,11 @@ class GraphCatalog:
         if not self.exists(name):
             self.create_or_replace(name, df, tag=tag)
             return
+        if self.use_iceberg:
+            df.writeTo(self._ident(name)).append()
+            if tag:
+                self._ice_tag(name, tag)
+            return
         df.write.mode("append").parquet(os.path.join(self._dir(name), "data"))
         meta = self._read_meta(name)
         meta["snapshots"].append(self._snap("append", tag))
@@ -122,18 +221,30 @@ class GraphCatalog:
             json.dump(meta, f, indent=1)
 
     def drop(self, name: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+            return
         if os.path.exists(self._dir(name)):
             shutil.rmtree(self._dir(name))
 
     # -- reads ----------------------------------------------------------
     def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(name))
         return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
 
     def file_row_counts(self, name: str) -> list[tuple[str, int]]:
-        """Per-file row counts from parquet FOOTERS (driver-side
-        metadata only — no Spark job). One file per write partition, so
-        this is the per-partition lineage of the producing stage.
-        Iceberg analogue: the manifest's per-file record_count."""
+        """Per-file row counts — driver-side metadata only, no Spark job
+        over the data.  Iceberg: the current snapshot's manifest
+        (``.files`` metadata table: file_path, record_count).  Local:
+        parquet footers.  One file per write partition, so this is the
+        per-partition lineage of the producing stage."""
+        if self.use_iceberg:
+            rows = self.spark.sql(
+                f"SELECT file_path, record_count FROM "
+                f"{self._meta_ident(name, 'files')} ORDER BY file_path"
+            ).collect()
+            return [(r["file_path"], int(r["record_count"])) for r in rows]
         import pyarrow.parquet as pq
 
         data = os.path.join(self._dir(name), "data")
@@ -144,7 +255,30 @@ class GraphCatalog:
         return out
 
     def has_tag(self, name: str, tag: str) -> bool:
+        if self.use_iceberg:
+            if not self.exists(name):
+                return False
+            n = self.spark.sql(
+                f"SELECT COUNT(*) AS n FROM {self._meta_ident(name, 'refs')} "
+                f"WHERE type = 'TAG' AND name = '{tag}'"
+            ).collect()[0]["n"]
+            return n > 0
         return any(s.get("tag") == tag for s in self.snapshots(name))
+
+    # -- iceberg helpers ------------------------------------------------
+    def _ice_tag(self, name: str, tag: str) -> None:
+        """Stage-checkpoint marker as an Iceberg named ref on the current
+        snapshot (the exact analogue of the local JSON tag record)."""
+        self.spark.sql(
+            f"ALTER TABLE {self._ident(name)} CREATE OR REPLACE TAG `{tag}`"
+        )
+
+    def _ice_tags(self, name: str) -> dict:
+        rows = self.spark.sql(
+            f"SELECT name, snapshot_id FROM {self._meta_ident(name, 'refs')} "
+            f"WHERE type = 'TAG'"
+        ).collect()
+        return {r["snapshot_id"]: r["name"] for r in rows}
 
     @staticmethod
     def _snap(op: str, tag: str | None) -> dict:

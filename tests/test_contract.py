@@ -80,6 +80,21 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     assert a == b
 
 
+def test_flagship_oracle_precondition(duck):
+    """ORACLE_KG_FLAGSHIP treats each document as one whitespace-token
+    unit while the pipeline splits sentences on (?<=[.!?])\\s+ and strips
+    trailing [.!?,;:] — semantics that coincide only on a punctuation-free
+    corpus.  Assert that precondition on the actual testdata so a future
+    refresh breaks HERE, not as a silent oracle mismatch."""
+    n = duck.sql(
+        "SELECT COUNT(*) FROM documents WHERE regexp_matches(text, '[.!?,;:]')"
+    ).fetchone()[0]
+    assert n == 0, (
+        "documents corpus now contains sentence punctuation; "
+        "ORACLE_KG_FLAGSHIP must encode the sentence split before trusting it"
+    )
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_CONTRACT_FULL"),
     reason="full sweep via scripts/check_contract.py or SPARK_GRAFT_CONTRACT_FULL=1",

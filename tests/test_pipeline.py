@@ -37,6 +37,24 @@ def test_end_to_end_pr_gate_heavy_pages(spark, warehouse):
     assert recall >= 0.95, recall
 
 
+def test_end_to_end_dense_ids_path(spark, warehouse):
+    """Force the collision-free dense-id canonicalization (the 10^12
+    design point) through run_pipeline and hold the same P/R gate — the
+    two node-id strategies must be observably equivalent."""
+    pages, gt, aliases = synth.corpus(spark, n_pages=120, n_entities=40)
+    p = run_pipeline(
+        spark, pages, aliases, warehouse, dense_id_threshold=0, broadcast_map_rows=0
+    )
+    m = {
+        (r["metric"]): r["value"]
+        for r in p.cat.read("_metrics").filter(F.col("stage") == "canonicalize").collect()
+    }
+    assert m["cc_dense_ids"] == 1.0
+    precision, recall = _pr(p.triples(), gt)
+    assert precision >= 0.95, precision
+    assert recall >= 0.95, recall
+
+
 def test_byte_identical_text_stage(spark, warehouse):
     pages, _, aliases = synth.corpus(spark, n_pages=50, n_entities=20)
     p = run_pipeline(spark, pages, aliases, warehouse)
