@@ -86,7 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analytics")
     _add_db_args(an)
     # reference start_Pregel.py params: algorithm, maxGSS, threshold, source
-    an.add_argument("--algorithm", choices=["pagerank", "wcc", "connectedcomponents", "sssp", "labelpropagation"], required=True)
+    an.add_argument("--algorithm", choices=["pagerank", "wcc", "connectedcomponents", "scc", "sssp", "labelpropagation"], required=True)
     an.add_argument("--max_gss", type=int, default=20)
     an.add_argument("--threshold", type=float, default=1e-4)
     an.add_argument("--source", type=int, default=0)
@@ -179,6 +179,10 @@ def main(argv: list[str] | None = None) -> int:
             res = A.connected_components(e, max_iter=args.max_gss).withColumnRenamed(
                 "component", args.result_field
             )
+        elif args.algorithm == "scc":
+            res = A.strongly_connected_components(
+                e, max_iter=args.max_gss
+            ).withColumnRenamed("scc", args.result_field)
         elif args.algorithm == "sssp":
             # edges were rekeyed as xxhash64(_from/_to) document ids above,
             # so the raw --source integer must be resolved through the SAME

@@ -45,7 +45,11 @@ from graph_importer_spark.operators import generators as _gen
 from graph_importer_spark.operators import similarity as _sim
 from graph_importer_spark.operators import skew as _skew
 from graph_importer_spark.operators import textstats as _ts
-from graph_importer_spark.operators.analytics import pagerank, sssp
+from graph_importer_spark.operators.analytics import (
+    pagerank,
+    sssp,
+    strongly_connected_components,
+)
 from graph_importer_spark.operators.multimodal import byte_histogram, byte_stats
 from graph_importer_spark.cc import connected_components, connected_components_str
 
@@ -534,6 +538,47 @@ SELECT id, MIN(dist) AS dist FROM d GROUP BY id
 """
 
 
+def q_scc_cycles(spark, sf_dir):
+    """SCC (reference catalog 'scc', arguments.py:176-188) on a
+    deterministic digraph: three cycles (sizes 5/7/9) chained by
+    one-way cross edges + a feeder chain — SCCs are exactly the cycles
+    plus chain singletons.  Oracle: recursive transitive closure ->
+    mutual-reachability -> min member id."""
+    a = spark.range(5).select(F.col("id").alias("src"), ((F.col("id") + 1) % 5).alias("dst"))
+    b = spark.range(7).select(
+        (F.col("id") + 10).alias("src"), (((F.col("id") + 1) % 7) + 10).alias("dst")
+    )
+    c = spark.range(9).select(
+        (F.col("id") + 20).alias("src"), (((F.col("id") + 1) % 9) + 20).alias("dst")
+    )
+    extra = spark.createDataFrame(
+        [(4, 10), (16, 20), (30, 31), (31, 32), (32, 0)], "src long, dst long"
+    )
+    edges = a.unionByName(b).unionByName(c).unionByName(extra)
+    return strongly_connected_components(edges)
+
+
+ORACLE_SCC = """
+WITH RECURSIVE e AS (
+  SELECT i AS src, (i + 1) % 5 AS dst FROM (SELECT UNNEST(generate_series(0, 4)) AS i)
+  UNION ALL
+  SELECT 10 + i, 10 + (i + 1) % 7 FROM (SELECT UNNEST(generate_series(0, 6)) AS i)
+  UNION ALL
+  SELECT 20 + i, 20 + (i + 1) % 9 FROM (SELECT UNNEST(generate_series(0, 8)) AS i)
+  UNION ALL
+  SELECT * FROM (VALUES (4, 10), (16, 20), (30, 31), (31, 32), (32, 0)) t(src, dst)),
+r(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+mutual AS (
+  SELECT r1.a, r1.b FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a)
+SELECT v.id, CAST(LEAST(v.id, COALESCE(MIN(m.b), v.id)) AS BIGINT) AS scc
+FROM v LEFT JOIN mutual m ON m.a = v.id GROUP BY v.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Synthetic graph generators (SURVEY §2.6 F1-F5, §2.3 J1/J4 — reference
 # generator surface, deterministic hash randomness)
@@ -725,6 +770,32 @@ inter AS (
 SELECT id1, id2, round(i / (n1.n + n2.n - i), 6) AS jaccard
 FROM inter JOIN sizes n1 ON n1.doc_id = id1 JOIN sizes n2 ON n2.doc_id = id2
 WHERE round(i / (n1.n + n2.n - i), 6) >= 0.1
+"""
+
+
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """ngram_jaccard_pairs with the doc-frequency hot-shingle cap active
+    (the 100 TB skew guard: a boilerplate shingle in df docs makes an
+    O(df^2) join bucket; capped shingles leave the pair join, sizes
+    still count them — a stated lower-bound approximation)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return _dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.05, max_df=20
+    )
+
+
+ORACLE_DEDUP_JACCARD_CAPPED = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+j AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2, round(i / (n1.n + n2.n - i), 6) AS jaccard
+FROM inter JOIN sizes n1 ON n1.doc_id = id1 JOIN sizes n2 ON n2.doc_id = id2
+WHERE round(i / (n1.n + n2.n - i), 6) >= 0.05
 """
 
 
@@ -1075,6 +1146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_canonical_dense": q_cc_canonical_dense,
     "pagerank_star": q_pagerank_star,
     "sssp_tree": q_sssp_tree,
+    "scc_cycles": q_scc_cycles,
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
     "window_top_orders": q_window_top_orders,
@@ -1094,6 +1166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_stats": q_text_stats,
     "text_lang": q_text_lang,
@@ -1117,6 +1190,7 @@ ORACLES: dict[str, str] = {
     "cc_canonical_dense": ORACLE_CC_NAMES,
     "pagerank_star": _oracle_pagerank(),
     "sssp_tree": ORACLE_SSSP,
+    "scc_cycles": ORACLE_SCC,
     "pricing_summary": ORACLE_PRICING,
     "region_volume": ORACLE_REGION,
     "window_top_orders": ORACLE_TOP_ORDERS,
@@ -1136,6 +1210,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": ORACLE_DEDUP_FP,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_jaccard_capped": ORACLE_DEDUP_JACCARD_CAPPED,
     "dedup_minhash_lsh": ORACLE_DEDUP_LSH,
     "text_stats": ORACLE_TEXT_STATS,
     "text_lang": _oracle_text_lang(),

@@ -170,6 +170,110 @@ def sssp(
     return dists
 
 
+def _fp(df: DataFrame, cols: list[str]) -> tuple[DataFrame, tuple[int, int]]:
+    """Eager localCheckpoint + (count, xor-hash) fingerprint in one job
+    (cc._checkpoint_fp generalized to arbitrary key columns)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("c"),
+        F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)).alias("h"),
+    )
+    out = observed.localCheckpoint(eager=True)
+    got = obs.get
+    return out, (int(got["c"]), int(got["h"]))
+
+
+def strongly_connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """SCC on a directed edges(src, dst) frame -> (id, scc); scc = min
+    member id (the same canonical-id convention as connected_components).
+
+    Completes the reference's Pregel algorithm catalog
+    (arguments.py:176-188 lists 'scc'; the reference only launches it
+    server-side — here it runs natively as the coloring algorithm of
+    Orzan / FW-BW-style partitioning on DataFrames):
+
+    per outer round over the not-yet-assigned subgraph:
+      1. min-label FORWARD propagation to a fixpoint: color(v) = min id
+         that reaches v (CC-shaped join+groupBy-min supersteps, map-side
+         partial agg absorbs hot heads);
+      2. roots = {v : color(v) = v}; SCC(root) = BACKWARD closure of the
+         root along edges whose tail has the same color (a vertex both
+         reached-by and reaching the root within its color class);
+      3. assign, remove those vertices, repeat — each round settles at
+         least every root's SCC, so rounds <= the longest SCC chain.
+
+    Every superstep localCheckpoints with an Observation-fused
+    convergence fingerprint (one job per superstep, lineage truncated) —
+    the same scale discipline as cc.py.
+    """
+    e0 = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = _vertices_of(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "id long, scc long")
+    remaining = verts
+    e = e0
+    for _outer in range(max_iter):
+        if remaining.isEmpty():
+            break
+        # 1) forward min-color propagation on the remaining subgraph
+        colors, prev = _fp(remaining.select("id", F.col("id").alias("color")), ["id", "color"])
+        for _ in range(max_iter):
+            contribs = (
+                e.join(colors.select(F.col("id").alias("src"), "color"), "src")
+                .groupBy("dst")
+                .agg(F.min("color").alias("in_color"))
+                .withColumnRenamed("dst", "id")
+            )
+            colors, cur = _fp(
+                colors.join(contribs, "id", "left").select(
+                    "id", F.least("color", F.coalesce("in_color", "color")).alias("color")
+                ),
+                ["id", "color"],
+            )
+            if cur == prev:
+                break
+            prev = cur
+        # 2) backward closure of each root within its color class
+        closure, prev = _fp(
+            colors.filter(F.col("color") == F.col("id")).select("id", F.col("id").alias("root")),
+            ["id", "root"],
+        )
+        tails = e.join(colors.select(F.col("id").alias("src"), F.col("color").alias("src_color")), "src")
+        for _ in range(max_iter):
+            preds = (
+                tails.join(closure.select(F.col("id").alias("dst"), "root"), "dst")
+                .filter(F.col("src_color") == F.col("root"))
+                .select(F.col("src").alias("id"), "root")
+            )
+            closure, cur = _fp(closure.unionByName(preds).distinct(), ["id", "root"])
+            if cur == prev:
+                break
+            prev = cur
+        assigned = assigned.unionByName(
+            closure.select("id", F.col("root").alias("scc"))
+        ).localCheckpoint(eager=True)
+        remaining = remaining.join(closure, "id", "left_anti").localCheckpoint(eager=True)
+        done = closure.select(F.col("id").alias("gone"))
+        e = (
+            e.join(done.withColumnRenamed("gone", "src"), "src", "left_anti")
+            .join(done.withColumnRenamed("gone", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not remaining.isEmpty():
+            raise RuntimeError(f"scc did not settle within {max_iter} rounds")
+    return assigned
+
+
 def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """Synchronous LPA (reference catalog 'labelpropagation',
     arguments.py:176-188): each vertex adopts the min most-frequent

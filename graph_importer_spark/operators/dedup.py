@@ -126,17 +126,32 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from counts —
     the shared-shingle equi-join is the blocker (no all-pairs cross).
     Returns (id1, id2, jaccard) with jaccard >= threshold, rounded to 6.
+
+    ``max_df`` is the hot-key guard for corpus scale: a shingle present
+    in > max_df documents ("the end of the", boilerplate) would form an
+    O(df^2) join bucket — with it set, such shingles are excluded from
+    the PAIR JOIN (sizes still count every shingle, so the reported
+    jaccard becomes a lower bound and pairs sharing ONLY ubiquitous
+    shingles are missed: the standard df-capped blocking approximation,
+    stated rather than silent).  None = exact (small-corpus default).
     """
     sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("id1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id2"), "shingle")
+    joinable = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        joinable = sh.join(
+            dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    a = joinable.select(F.col(id_col).alias("id1"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id2"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id1") < F.col("id2"))

@@ -214,10 +214,16 @@ class Pipeline:
         n^2/2^65 collision budget real, and one silent hash collision
         merges two unrelated entities forever.
         """
-        pairs = linked.select("surface", "entity").distinct().localCheckpoint(
-            eager=True
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        pairs = (
+            linked.select("surface", "entity")
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        n_pairs = pairs.count()
+        n_pairs = int(obs.get["n"])  # rides the checkpoint job — no count job
         it_metrics: list[tuple[int, int]] = []
         hook = lambda i, n: it_metrics.append((i, n))  # noqa: E731
         use_dense = n_pairs > self.cfg.dense_id_threshold

@@ -10,6 +10,7 @@ from graph_importer_spark.operators.analytics import (
     label_propagation,
     pagerank,
     sssp,
+    strongly_connected_components,
 )
 
 
@@ -59,3 +60,25 @@ def test_label_propagation_two_cliques(spark):
     assert len({labels[i] for i in (0, 1, 2)}) == 1
     assert len({labels[i] for i in (11, 12, 13)}) == 1
     assert labels[0] != labels[11]
+
+
+def test_scc_cycles_and_singletons(spark):
+    # two 3-cycles joined one-way + a feeder vertex: SCCs = the cycles
+    # (id = min member) and the feeder as a singleton
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 12), (12, 10), (99, 1)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_scc_partition_invariance(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40)], "src long, dst long"
+    )
+    a = sorted(map(tuple, strongly_connected_components(edges).collect()))
+    b = sorted(
+        map(tuple, strongly_connected_components(edges.repartition(13)).collect())
+    )
+    assert a == b and len(a) == 40

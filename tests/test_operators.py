@@ -66,6 +66,23 @@ def test_ngram_jaccard_values(spark, docs):
     assert (0, 4) not in pairs
 
 
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark, docs):
+    # max_df=1: every shared shingle exceeds the cap, so the pair join
+    # is empty — the hot-key guard blocks, it doesn't merely downweight
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.0, max_df=1
+    )
+    assert capped.count() == 0
+    # a permissive cap reproduces the exact result
+    loose = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3, max_df=10**6
+        ).collect()
+    }
+    assert loose[(0, 1)] == 1.0 and (0, 4) not in loose
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in textstats.simhash64(docs, "doc_id", "text").collect()}
     def hamming(a, b):
