@@ -46,6 +46,7 @@ from graph_importer_spark.operators import similarity as _sim
 from graph_importer_spark.operators import skew as _skew
 from graph_importer_spark.operators import textstats as _ts
 from graph_importer_spark.operators.analytics import (
+    label_propagation,
     pagerank,
     sssp,
     strongly_connected_components,
@@ -536,6 +537,47 @@ d AS (
   FROM d JOIN e ON e.src = d.id)
 SELECT id, MIN(dist) AS dist FROM d GROUP BY id
 """
+
+
+def q_lpa_cliques(spark, sf_dir):
+    """Label propagation (reference catalog 'labelpropagation') on two
+    6-cliques joined by one bridge edge.  Synchronous LPA with min
+    most-frequent tie-break; the oracle replays it as fixed-iteration
+    chained CTEs — valid because the synchronous update is idempotent at
+    its fixpoint, so SQL@k == Spark's early-exit result for any k >= the
+    convergence round (k=5 here, cliques converge in 2)."""
+    a = _gen.clique_edges(spark, 6)
+    b = a.select((F.col("src") + 10).alias("src"), (F.col("dst") + 10).alias("dst"))
+    bridge = spark.createDataFrame([(5, 10)], "src long, dst long")
+    edges = a.unionByName(b).unionByName(bridge)
+    return label_propagation(edges, max_iter=5)
+
+
+def _oracle_lpa(iters: int = 5) -> str:
+    ctes = [
+        "e AS MATERIALIZED ("
+        "  SELECT a.i AS src, b.j AS dst"
+        "  FROM (SELECT UNNEST(generate_series(0, 5)) AS i) a,"
+        "       (SELECT UNNEST(generate_series(0, 5)) AS j) b WHERE a.i < b.j"
+        "  UNION ALL"
+        "  SELECT a.i + 10, b.j + 10"
+        "  FROM (SELECT UNNEST(generate_series(0, 5)) AS i) a,"
+        "       (SELECT UNNEST(generate_series(0, 5)) AS j) b WHERE a.i < b.j"
+        "  UNION ALL SELECT 5, 10)",
+        "sym AS MATERIALIZED ("
+        "  SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT s.u AS id, l.label,
+      ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{k - 1} l ON l.id = s.v
+    GROUP BY s.u, l.label) t WHERE rn = 1)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
 
 
 def q_scc_cycles(spark, sf_dir):
@@ -1147,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_star": q_pagerank_star,
     "sssp_tree": q_sssp_tree,
     "scc_cycles": q_scc_cycles,
+    "lpa_cliques": q_lpa_cliques,
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
     "window_top_orders": q_window_top_orders,
@@ -1191,6 +1234,7 @@ ORACLES: dict[str, str] = {
     "pagerank_star": _oracle_pagerank(),
     "sssp_tree": ORACLE_SSSP,
     "scc_cycles": ORACLE_SCC,
+    "lpa_cliques": _oracle_lpa(),
     "pricing_summary": ORACLE_PRICING,
     "region_volume": ORACLE_REGION,
     "window_top_orders": ORACLE_TOP_ORDERS,
