@@ -46,6 +46,7 @@ from graph_importer_spark.operators import similarity as _sim
 from graph_importer_spark.operators import skew as _skew
 from graph_importer_spark.operators import textstats as _ts
 from graph_importer_spark.operators.analytics import (
+    hits,
     label_propagation,
     pagerank,
     sssp,
@@ -537,6 +538,56 @@ d AS (
   FROM d JOIN e ON e.src = d.id)
 SELECT id, MIN(dist) AS dist FROM d GROUP BY id
 """
+
+
+def q_hits_star(spark, sf_dir):
+    """HITS (reference catalog 'hits') on the order->customer star:
+    fixed 10 L1-normalized power-iteration supersteps, replayed by the
+    oracle as chained CTEs (L1 chosen over L2 exactly so the SQL replay
+    is plain sums; 6dp rounding absorbs partial-sum order)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    edges = o.select(
+        (F.col("o_orderkey") + 1000000).alias("src"), F.col("o_custkey").alias("dst")
+    )
+    h = hits(edges, max_iter=10)
+    return h.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _oracle_hits(iters: int = 10) -> str:
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_orderkey + 1000000 AS src, o_custkey AS dst"
+        " FROM orders WHERE o_orderkey < 1000)",
+        "v AS MATERIALIZED (SELECT DISTINCT id FROM"
+        " (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
+        "s0 AS MATERIALIZED (SELECT id,"
+        " CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM v) AS hub,"
+        " CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM v) AS authority FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(s.hub) AS a_raw"
+            f" FROM e JOIN s{k - 1} s ON s.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT e.src AS id, SUM(a.a_raw) AS h_raw"
+            f" FROM e JOIN a{k} a ON a.id = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT v.id,"
+            f" COALESCE(h.h_raw, 0) / (SELECT SUM(h_raw) FROM h{k}) AS hub,"
+            f" COALESCE(a.a_raw, 0) / (SELECT SUM(a_raw) FROM a{k}) AS authority"
+            f" FROM v LEFT JOIN h{k} h ON h.id = v.id"
+            f" LEFT JOIN a{k} a ON a.id = v.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(hub, 6) AS hub, round(authority, 6) AS authority FROM s{iters}"
+    )
 
 
 def q_lpa_cliques(spark, sf_dir):
@@ -1190,6 +1241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_tree": q_sssp_tree,
     "scc_cycles": q_scc_cycles,
     "lpa_cliques": q_lpa_cliques,
+    "hits_star": q_hits_star,
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
     "window_top_orders": q_window_top_orders,
@@ -1235,6 +1287,7 @@ ORACLES: dict[str, str] = {
     "sssp_tree": ORACLE_SSSP,
     "scc_cycles": ORACLE_SCC,
     "lpa_cliques": _oracle_lpa(),
+    "hits_star": _oracle_hits(),
     "pricing_summary": ORACLE_PRICING,
     "region_volume": ORACLE_REGION,
     "window_top_orders": ORACLE_TOP_ORDERS,

@@ -274,6 +274,69 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 30) -> DataF
     return assigned
 
 
+def hits(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """HITS hubs/authorities (reference catalog 'hits',
+    arguments.py:176-188) -> (id, hub, authority), L1-normalized
+    (sum(hub) == sum(authority) == 1 each superstep).
+
+    Power iteration: authority(v) = sum of hub over in-neighbors,
+    hub(v) = sum of authority over out-neighbors, then L1 normalize —
+    chosen over the usual L2 because plain sums replay exactly in the
+    SQL oracle (no sqrt of a sum under reordered float addition).
+    Fixed ``max_iter`` supersteps (no early exit) so the chained-CTE
+    oracle replays the identical computation.  Each superstep is two
+    join+groupBy-sum pairs (map-side partials absorb hub pages) and one
+    Observation-fused checkpoint.
+    """
+    from pyspark.sql import Observation
+
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    verts = _vertices_of(e).localCheckpoint(eager=True)
+    n = verts.count()
+    spark = edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id long, hub double, authority double")
+    scores = verts.select(
+        "id", (F.lit(1.0) / n).alias("hub"), (F.lit(1.0) / n).alias("authority")
+    )
+    for _ in range(max_iter):
+        auth = (
+            e.join(scores.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+            .withColumnRenamed("dst", "id")
+        )
+        hub = (
+            e.join(auth.select(F.col("id").alias("dst"), "a_raw"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a_raw").alias("h_raw"))
+            .withColumnRenamed("src", "id")
+        )
+        raw = (
+            verts.join(auth, "id", "left")
+            .join(hub, "id", "left")
+            .select(
+                "id",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+            )
+        )
+        obs = Observation()
+        raw = raw.observe(
+            obs, F.sum("h_raw").alias("hs"), F.sum("a_raw").alias("as_")
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        hs, as_ = float(got["hs"]), float(got["as_"])
+        if hs == 0.0 or as_ == 0.0:
+            break  # no edges touched: scores are already the fixpoint
+        scores = raw.select(
+            "id",
+            (F.col("h_raw") / F.lit(hs)).alias("hub"),
+            (F.col("a_raw") / F.lit(as_)).alias("authority"),
+        )
+    return scores.select("id", "hub", "authority")
+
+
 def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """Synchronous LPA (reference catalog 'labelpropagation',
     arguments.py:176-188): each vertex adopts the min most-frequent

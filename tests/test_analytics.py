@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from graph_importer_spark.operators.analytics import (
+    hits,
     label_propagation,
     pagerank,
     sssp,
@@ -82,3 +83,17 @@ def test_scc_partition_invariance(spark):
         map(tuple, strongly_connected_components(edges.repartition(13)).collect())
     )
     assert a == b and len(a) == 40
+
+
+def test_hits_star_normalization_and_ordering(spark):
+    # star: orders (hubs) -> customers (authorities); customer authority
+    # is monotone in in-degree, hubs of same-degree customers are equal
+    edges = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 1), (103, 2), (104, 3)], "src long, dst long"
+    )
+    rows = {r["id"]: r for r in hits(edges, max_iter=10).collect()}
+    assert sum(r["hub"] for r in rows.values()) == pytest.approx(1.0)
+    assert sum(r["authority"] for r in rows.values()) == pytest.approx(1.0)
+    assert rows[1]["authority"] > rows[2]["authority"] == rows[3]["authority"]
+    assert rows[100]["hub"] == pytest.approx(rows[101]["hub"])
+    assert rows[100]["hub"] > rows[103]["hub"]  # points at the big authority
