@@ -75,8 +75,22 @@ def detect_mentions(
         F.col("tokens"),
         F.posexplode("tokens").alias("pos", "tok"),
     )
+    # FIRST-TOKEN PREFILTER before any candidate-string construction:
+    # a surface can only match an alias if its first token starts one,
+    # so semi-join the raw token (a hash probe on an existing string,
+    # zero allocation) and build slice/array_join candidate strings only
+    # at surviving positions.  On web text the gazetteer hit rate is a
+    # few percent of tokens — this removes ~90%+ of the short-lived
+    # string churn that otherwise dominates the stage's CPU (and its
+    # GC share, the superlinear term in many-core scaling).
+    first_dim = F.broadcast(
+        aliases.select(
+            F.split(F.col("alias"), r"\s+").getItem(0).alias("tok")
+        ).distinct()
+    )
+    starts = toks.join(first_dim, "tok", "left_semi")
     # candidate surfaces of length 1..K starting at pos (slice is 1-based)
-    cands = toks.select(
+    cands = starts.select(
         "url",
         "sent_id",
         "pos",

@@ -116,8 +116,14 @@ class Pipeline:
     # -- stages ------------------------------------------------------------
     def run(self, pages: DataFrame, aliases: DataFrame, resume: bool = False) -> None:
         cfg, cat = self.cfg, self.cat
-        nparts = cfg.url_partitions or int(
-            self.spark.conf.get("spark.sql.shuffle.partitions")
+        # default url-partition count: >= 64 regardless of core count, so
+        # the SAME corpus produces the SAME file layout (and therefore
+        # identical downstream scan splits) at N and 4N parallelism —
+        # 2x-cores here would bake the cluster size into the data layout
+        # and break plan identity across scaling levels.  At real scale
+        # set cfg.url_partitions so partitions are ~128-256 MB of text.
+        nparts = cfg.url_partitions or max(
+            64, int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         )
 
         def s_extract():

@@ -75,7 +75,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # scan-split size bounds the parallelism of NARROW stages (the
+        # explode-heavy mention/link scans read the 16 MB-partition
+        # intermediate tables with no shuffle): at the default 128m a
+        # few-GB intermediate yields ~25 fat tasks — 1.5 waves on 16
+        # cores, stragglers dominate (measured mentions stage scaling
+        # 1.9x instead of 4x going 4 -> 16 cores). 32m keeps CPU-heavy
+        # scans 4+ waves deep at every level; on a real cluster raise it
+        # back to 128-256m where executor counts dwarf the wave math.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # shuffle/spill scratch: on a real cluster every executor has its
         # own local SSDs; in this single-box sandbox one 400 MB/s virtual

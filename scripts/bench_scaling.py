@@ -32,6 +32,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNNER = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
+# Scratch (shuffle spill) AND the stage warehouse live on tmpfs for the
+# scaling runs: this sandbox has ONE shared ~400 MB/s virtual disk, so
+# on-disk shuffle/stage I/O is a fixed-bandwidth resource that does not
+# grow from N to 4N "executors" — on a real cluster every executor
+# brings its own local SSDs, so disk bandwidth scales WITH the cluster.
+# tmpfs emulates that (the quantity under test is compute/shuffle
+# scaling, not one-virtual-disk contention); documented in BENCH.md.
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft_scratch")
+os.makedirs(os.environ["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
+# Heap stays at the 8g default for BOTH levels: measured twice that a
+# 32g heap at local[16] blows the link stage up ~10x in this sandbox
+# (huge -Xms + G1 geometry under a memory-ballooning hypervisor), so
+# per-core heap scaling — correct on a real cluster, where each
+# executor is its own JVM — is actively harmful in single-JVM local
+# mode.
 from graph_importer_spark.session import get_spark
 from graph_importer_spark import synth
 from graph_importer_spark.pipeline import run_pipeline
@@ -43,7 +58,7 @@ pages, _, aliases = synth.corpus(spark, n_pages={n_pages}, n_entities={n_entitie
 # block store first would just thrash memory); output identity across
 # levels is asserted via the result fingerprint.
 aliases = aliases.localCheckpoint(eager=True)
-wh = tempfile.mkdtemp(prefix="graft_scale_")
+wh = tempfile.mkdtemp(prefix="graft_scale_", dir="/dev/shm")
 try:
     t0 = time.monotonic()
     p = run_pipeline(spark, pages, aliases, wh)
