@@ -25,6 +25,34 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _package_zip() -> str:
+    """Zip the package for --py-files-style shipping to executors.
+
+    local[k] executors share the driver's sys.path; real (separate-JVM)
+    executors do not — their Python workers must import this package
+    from a shipped archive, exactly the `spark-submit --py-files
+    graph_importer_spark.zip` deployment the north rule names.  Cached
+    by source mtime."""
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "graph_importer_spark")
+    out = os.path.join("/tmp", "graph_importer_spark.zip")
+    srcs = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(pkg)
+        for f in fs
+        if f.endswith(".py")
+    ]
+    newest = max(os.path.getmtime(s) for s in srcs)
+    if not os.path.exists(out) or newest > os.path.getmtime(out):
+        with zipfile.ZipFile(out + ".tmp", "w") as z:
+            for s in srcs:
+                z.write(s, os.path.relpath(s, root))
+        os.replace(out + ".tmp", out)
+    return out
+
+
 def get_spark(
     app_name: str = "graph_importer_spark",
     cores: int | None = None,
@@ -38,9 +66,16 @@ def get_spark(
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or 2 * cores
+    # SPARK_GRAFT_MASTER=spark://host:7077 switches to a (standalone)
+    # cluster master — separate executor JVMs with their own heaps, the
+    # geometry of a real N-executor cluster (scripts/spark_cluster.py
+    # starts one on this box for the scaling evidence; `cores` then
+    # means TOTAL cores across executors and only sizes the shuffle
+    # default).  Unset -> single-JVM local[cores].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
@@ -100,6 +135,30 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master.startswith("spark://"):
+        builder = (
+            builder.config("spark.submit.pyFiles", _package_zip())
+            .config(
+                "spark.executor.cores", os.environ.get("SPARK_GRAFT_EXEC_CORES", "4")
+            )
+            .config(
+                "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g")
+            )
+            # don't start jobs until every worker's executor has joined —
+            # otherwise the first stages of a scaling run execute on a
+            # partial cluster and the sample under-reports the level
+            .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+            .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+            # locality wait OFF: every executor is on THIS host, so
+            # RACK/NODE locality is meaningless — but checkpointed and
+            # AQE-coalesced blocks carry executor-level preferences, and
+            # the default 3s wait serializes every small stage into
+            # locality waves (measured: 4 executors SLOWER than 1 with
+            # the default; the pipeline runs hundreds of small stages).
+            # On a real multi-node cluster, locality waits pay for
+            # avoided network reads; on localhost they buy nothing.
+            .config("spark.locality.wait", "0s")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -74,17 +74,52 @@ print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(sec, 2),
 
 def run(cores: int, n_pages: int) -> dict:
     weight = int(os.environ.get("SPARK_GRAFT_SCALE_WEIGHT", "8"))
+    # default = pinned local[k]. SPARK_GRAFT_SCALE_MODE=cluster runs the
+    # literal N-vs-4N-executor geometry (scripts/spark_cluster.py), but
+    # measured ~8x slower here than local at identical core budgets
+    # (300k pages, 4 executors: 9.6k tps vs ~77k tps local[16]) even
+    # with locality waits disabled — the sandbox's loopback RPC/shuffle
+    # serialization between executor JVMs dominates, which a real
+    # cluster's NICs + per-node disks do not.  local[k] with the whole
+    # process tree taskset-pinned to exactly k cores is the faithful
+    # capacity-scaling stand-in on this box.
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "local")
     code = RUNNER.format(repo=REPO, cores=cores, n_pages=n_pages,
                          n_entities=max(200, n_pages // 100), weight=weight)
-    # Pin the whole process tree (JVM + forked Python UDF workers) to
-    # exactly `cores` CPUs: local[N] only bounds TASK slots — GC, shuffle
-    # IO, and the out-of-process Python workers otherwise spill onto
-    # extra host CPUs, which makes an unpinned local[N] vs local[4N]
-    # comparison measure oversubscription, not capacity scaling.
-    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO,
-    )
+    env = dict(os.environ)
+    cluster_procs = None
+    if mode == "cluster":
+        # N vs 4N EXECUTORS, literally: 1 vs 4 standalone workers, each
+        # a separate JVM pinned to its own 4-core range with its own
+        # heap — the resource geometry of adding executors to a real
+        # cluster.  The driver + master are pinned OUTSIDE the measured
+        # core budget and are identical at both levels (the scaled
+        # quantity is executors only, as the north rule states).
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import spark_cluster
+
+        cpw = 4
+        cluster_procs = spark_cluster.start_cluster(
+            n_workers=cores // cpw, cores_per_worker=cpw, driver_cpus="16-17"
+        )
+        env["SPARK_GRAFT_MASTER"] = spark_cluster.MASTER_URL
+        env["SPARK_GRAFT_EXEC_CORES"] = str(cpw)
+        pin = "16-17"
+    else:
+        # single-JVM fallback: pin the whole process tree (JVM + forked
+        # Python UDF workers) to exactly `cores` CPUs — local[N] only
+        # bounds TASK slots; GC, shuffle IO, and Python workers would
+        # otherwise spill onto extra host CPUs and the comparison would
+        # measure oversubscription, not capacity scaling.
+        pin = f"0-{cores - 1}"
+    cmd = ["taskset", "-c", pin, sys.executable, "-c", code]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
+        )
+    finally:
+        if cluster_procs is not None:
+            spark_cluster.stop_cluster(cluster_procs)
     m = re.search(r"RESULT (\{.*\})", out.stdout)
     if not m:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
@@ -110,6 +145,22 @@ def main() -> int:
     counts = {r["triples"] for rs in samples.values() for r in rs}
     eff = (best[n4_cores]["tps"] / best[n_cores]["tps"]) / (n4_cores / n_cores)
 
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "local")
+    if mode == "cluster":
+        level_desc = [
+            f"levels = standalone cluster with {n_cores // 4} vs {n4_cores // 4}",
+            "worker/executor JVMs (4 cores + 8g heap each, every worker",
+            "taskset-pinned to its own disjoint core range; driver + master",
+            "pinned outside the measured budget, identical at both levels —",
+            "the scaled quantity is EXECUTORS, per the north rule). Shuffle",
+            "scratch + stage warehouse on tmpfs: the sandbox's single shared",
+            "~400 MB/s virtual disk is a fixed resource that a real N->4N",
+            "cluster does not share (each executor brings its own disks).",
+        ]
+    else:
+        level_desc = [
+            f"levels (local[{n_cores}] = N, local[{n4_cores}] = 4N; fresh JVM per run;",
+        ]
     sample_rows = [
         f"| {c} | {i} | {r['sec']} | {r['tps']} |"
         for c, rs in samples.items()
@@ -122,10 +173,10 @@ def main() -> int:
         "canonicalize -> materialize) on the deterministic synthetic corpus",
         f"({n_pages} pages, weight-8 ~15 KB html each, seed-fixed), identical",
         "input at both parallelism",
-        f"levels (local[{n_cores}] = N, local[{n4_cores}] = 4N; fresh JVM per run;",
+        *level_desc,
         f"{repeats} interleaved repeats per level, best wall time per level",
         "reported — the host is shared and externally loaded, so single",
-        "samples are noisy; all samples below).",
+        "samples are noisy; all samples below.",
         "",
         "| cores | best sec | triples | best triples/sec |",
         "| --- | --- | --- | --- |",
@@ -153,9 +204,14 @@ def main() -> int:
     with open(bl_path) as f:
         bl = f.read()
     marker = "\n## Measured scaling (this repo)\n"
+    lv = (
+        f"{n_cores // 4} vs {n4_cores // 4} pinned executor JVMs (4 cores each)"
+        if mode == "cluster"
+        else f"local[{n_cores}] vs local[{n4_cores}]"
+    )
     section = (
         marker
-        + f"\nSame job, same input, local[{n_cores}] vs local[{n4_cores}] ({n_pages} pages, "
+        + f"\nSame job, same input, {lv} ({n_pages} pages, "
         + f"best of {repeats} interleaved repeats):\n"
         + f"thr_N = {best[n_cores]['tps']} triples/s, thr_4N = {best[n4_cores]['tps']} triples/s, "
         + f"efficiency = {eff:.3f} (target >= 0.8). Details: BENCH.md\n"
