@@ -86,7 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analytics")
     _add_db_args(an)
     # reference start_Pregel.py params: algorithm, maxGSS, threshold, source
-    an.add_argument("--algorithm", choices=["pagerank", "wcc", "connectedcomponents", "scc", "sssp", "labelpropagation"], required=True)
+    # full reference catalog (arguments.py:176-188): every algorithm the
+    # reference can launch server-side runs natively here
+    an.add_argument(
+        "--algorithm",
+        choices=[
+            "pagerank", "wcc", "connectedcomponents", "scc", "sssp",
+            "labelpropagation", "hits", "linerank", "effectivecloseness", "slpa",
+        ],
+        required=True,
+    )
     an.add_argument("--max_gss", type=int, default=20)
     an.add_argument("--threshold", type=float, default=1e-4)
     an.add_argument("--source", type=int, default=0)
@@ -213,6 +222,18 @@ def main(argv: list[str] | None = None) -> int:
                 .collect()[0]["h"]
             )
             res = A.sssp(e, source=src_hash, max_iter=args.max_gss)
+        elif args.algorithm == "hits":
+            res = A.hits(e, max_iter=args.max_gss)
+        elif args.algorithm == "linerank":
+            res = A.linerank(e, max_iter=args.max_gss).withColumnRenamed(
+                "linerank", args.result_field
+            )
+        elif args.algorithm == "effectivecloseness":
+            res = A.effective_closeness(e, max_iter=args.max_gss).withColumnRenamed(
+                "closeness", args.result_field
+            )
+        elif args.algorithm == "slpa":
+            res = A.slpa(e, max_iter=args.max_gss)
         else:
             res = A.label_propagation(e, max_iter=args.max_gss)
         out = f"{args.graph_name}_{args.algorithm}"

@@ -46,9 +46,12 @@ from graph_importer_spark.operators import similarity as _sim
 from graph_importer_spark.operators import skew as _skew
 from graph_importer_spark.operators import textstats as _ts
 from graph_importer_spark.operators.analytics import (
+    effective_closeness,
     hits,
     label_propagation,
+    linerank,
     pagerank,
+    slpa,
     sssp,
     strongly_connected_components,
 )
@@ -672,6 +675,194 @@ FROM v LEFT JOIN mutual m ON m.a = v.id GROUP BY v.id
 """
 
 
+def q_linerank_star(spark, sf_dir):
+    """LineRank (reference catalog 'linerank') on the order->customer
+    star (same deterministic subgraph as hits_star): fixed 10
+    supersteps over edge ranks via incidence decomposition — the line
+    graph is never materialized.  6dp rounding absorbs partial-sum
+    association differences between engines."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    edges = o.select(
+        (F.col("o_orderkey") + 1000000).alias("src"), F.col("o_custkey").alias("dst")
+    )
+    lr = linerank(edges, max_iter=10)
+    return lr.select("id", F.round("linerank", 6).alias("linerank"))
+
+
+def _oracle_linerank(iters: int = 10, damping: float = 0.85) -> str:
+    """Chained-CTE replay of analytics.linerank on the q_linerank_star
+    subgraph — one MATERIALIZED CTE per superstep over EDGE ranks (the
+    oracle works on the same incidence decomposition, not the
+    materialized line graph, so both sides do the identical float
+    sequence)."""
+    d, om = repr(damping), repr(1.0 - damping)
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_orderkey + 1000000 AS src,"
+        " o_custkey AS dst FROM orders WHERE o_orderkey < 1000)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "ed AS MATERIALIZED (SELECT e.src, e.dst, d.out_deg"
+        " FROM e LEFT JOIN deg d ON d.src = e.dst)",
+        "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM e)",
+        "r0 AS MATERIALIZED (SELECT src, dst, out_deg,"
+        " CAST(1 AS DOUBLE) / (SELECT m FROM mm) AS rank FROM ed)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT ed.src, ed.dst, ed.out_deg,
+    CAST({om} AS DOUBLE) / (SELECT m FROM mm) + CAST({d} AS DOUBLE) * (COALESCE(c.s, 0) +
+      (SELECT COALESCE(SUM(rank), 0) FROM {p} WHERE out_deg IS NULL) / (SELECT m FROM mm)) AS rank
+  FROM ed LEFT JOIN (
+    SELECT r.dst AS src, SUM(r.rank / r.out_deg) AS s
+    FROM {p} r WHERE r.out_deg IS NOT NULL GROUP BY r.dst) c ON c.src = ed.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, round(SUM(rank), 6) AS linerank FROM (
+  SELECT src AS id, rank FROM r{iters}
+  UNION ALL SELECT dst AS id, rank FROM r{iters}) GROUP BY id"""
+    )
+
+
+def q_effective_closeness_tree(spark, sf_dir):
+    """Effective closeness (reference catalog 'effectivecloseness') on
+    the deterministic 500-node binary tree (same shape as sssp_tree,
+    symmetrized): Flajolet-Martin neighborhood sketches, 8 registers,
+    10 hops.  The Spark side early-exits at the global sketch fixpoint;
+    parity with the fixed-10-hop oracle holds because post-fixpoint
+    increments are identically zero."""
+    edges = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.array(F.col("id") * 2 + 1, F.col("id") * 2 + 2)).alias("dst"),
+        )
+        .filter(F.col("dst") < 500)
+    )
+    ec = effective_closeness(edges, registers=8, max_iter=10, seed=17)
+    return ec.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def _oracle_effective_closeness(
+    iters: int = 10, registers: int = 8, seed: int = 17
+) -> str:
+    """Chained-CTE replay of analytics.effective_closeness: the FM
+    sketch state is rows (id, reg, mask) merged with bit_or per hop —
+    int64 bit math is exact in both engines; per-hop estimates use
+    AVG over integer-valued doubles (exact sum -> bitwise-identical
+    mean) through pow(2, .)/0.77351."""
+    z = "CAST(bit_count(((~mask) & (mask + 1)) - 1) AS DOUBLE)"
+    ctes = [
+        "base AS MATERIALIZED (SELECT src, dst FROM ("
+        "  SELECT i AS src, UNNEST([2*i + 1, 2*i + 2]) AS dst"
+        "  FROM (SELECT UNNEST(generate_series(0, 499)) AS i)) WHERE dst < 500)",
+        "sym AS MATERIALIZED ("
+        " SELECT src, dst FROM base UNION SELECT dst, src FROM base)",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        f"regs AS (SELECT UNNEST(generate_series(0, {registers - 1})) AS reg)",
+        f"""s0 AS MATERIALIZED (
+  SELECT id, reg, (CAST(1 AS BIGINT) << LEAST(bit_count((hp & -hp) - 1), 40)) AS mask
+  FROM (SELECT id, reg,
+          GREATEST(((id % {_M}) * {_A} + reg * 131 + {seed}) % {_M}, CAST(1 AS BIGINT)) AS hp
+        FROM v, regs))""",
+        f"e0 AS MATERIALIZED (SELECT id, pow(2.0, AVG({z})) / 0.77351 AS est"
+        " FROM s0 GROUP BY id)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT id, reg, bit_or(mask) AS mask FROM (
+    SELECT id, reg, mask FROM s{k - 1}
+    UNION ALL
+    SELECT e.src AS id, s.reg, s.mask FROM sym e JOIN s{k - 1} s ON s.id = e.dst)
+  GROUP BY id, reg)"""
+        )
+        ctes.append(
+            f"e{k} AS MATERIALIZED (SELECT id, pow(2.0, AVG({z})) / 0.77351 AS est"
+            f" FROM s{k} GROUP BY id)"
+        )
+    # sum_dist accrues left-to-right exactly as the Spark loop does
+    terms = " + ".join(
+        f"CAST({k} AS DOUBLE) * (e{k}.est - e{k - 1}.est)" for k in range(1, iters + 1)
+    )
+    joins = " ".join(f"JOIN e{k} ON e{k}.id = e0.id" for k in range(1, iters + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e0.id,
+  round(CASE WHEN (CAST(0 AS DOUBLE) + {terms}) > 0
+        THEN (e{iters}.est - 1.0) / (CAST(0 AS DOUBLE) + {terms})
+        ELSE 0.0 END, 6) AS closeness
+FROM e0 {joins}"""
+    )
+
+
+def q_slpa_overlap(spark, sf_dir):
+    """SLPA (reference catalog 'slpa') on two 6-cliques OVERLAPPING in
+    two shared vertices {4,5} — the canonical overlapping-community
+    case plain LPA cannot express.  5 rounds, threshold 1/3, congruential
+    speaker draws -> fully deterministic, replayed by the window-cumsum
+    oracle."""
+    a = _gen.clique_edges(spark, 6)
+    b = a.select((F.col("src") + 4).alias("src"), (F.col("dst") + 4).alias("dst"))
+    edges = a.unionByName(b)
+    return slpa(edges, max_iter=5, thr_num=1, thr_den=3, seed=5)
+
+
+def _oracle_slpa(iters: int = 5, seed: int = 5) -> str:
+    clique = (
+        "SELECT a.i AS src, b.j AS dst"
+        " FROM (SELECT UNNEST(generate_series(0, 5)) AS i) a,"
+        " (SELECT UNNEST(generate_series(0, 5)) AS j) b WHERE a.i < b.j"
+    )
+    ctes = [
+        f"e AS MATERIALIZED ({clique} UNION SELECT src + 4, dst + 4 FROM ({clique}))",
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e)",
+        "m0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label,"
+        " CAST(1 AS BIGINT) AS cnt FROM sym)",
+    ]
+    for t in range(1, iters + 1):
+        pick = (
+            f"FLOOR(CAST((((s.u % {_M}) * {_gen._A2} + (s.v % {_M})) % {_M}"
+            f" * {_A} + {seed + t}) % {_M} AS DOUBLE) * mc.total / {_M}.0)"
+        )
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT s.u, mc.label FROM sym s JOIN (
+    SELECT id, label, cnt,
+      SUM(cnt) OVER (PARTITION BY id ORDER BY label) AS cum,
+      SUM(cnt) OVER (PARTITION BY id) AS total
+    FROM m{t - 1}) mc ON mc.id = s.v
+  WHERE mc.cum - mc.cnt <= {pick} AND {pick} < mc.cum)"""
+        )
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT u AS id, label,
+      ROW_NUMBER() OVER (PARTITION BY u ORDER BY COUNT(*) DESC, label ASC) AS rn
+    FROM p{t} GROUP BY u, label) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT id, label, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT id, label, cnt FROM m{t - 1}
+    UNION ALL SELECT id, label, CAST(1 AS BIGINT) FROM h{t}) GROUP BY id, label)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT m.id, m.label, m.cnt
+FROM m{iters} m JOIN (SELECT id, SUM(cnt) AS total FROM m{iters} GROUP BY id) tt
+  ON tt.id = m.id
+WHERE m.cnt * 3 >= tt.total"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthetic graph generators (SURVEY §2.6 F1-F5, §2.3 J1/J4 — reference
 # generator surface, deterministic hash randomness)
@@ -1242,6 +1433,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scc_cycles": q_scc_cycles,
     "lpa_cliques": q_lpa_cliques,
     "hits_star": q_hits_star,
+    "linerank_star": q_linerank_star,
+    "effective_closeness_tree": q_effective_closeness_tree,
+    "slpa_overlap": q_slpa_overlap,
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
     "window_top_orders": q_window_top_orders,
@@ -1288,6 +1482,9 @@ ORACLES: dict[str, str] = {
     "scc_cycles": ORACLE_SCC,
     "lpa_cliques": _oracle_lpa(),
     "hits_star": _oracle_hits(),
+    "linerank_star": _oracle_linerank(),
+    "effective_closeness_tree": _oracle_effective_closeness(),
+    "slpa_overlap": _oracle_slpa(),
     "pricing_summary": ORACLE_PRICING,
     "region_volume": ORACLE_REGION,
     "window_top_orders": ORACLE_TOP_ORDERS,

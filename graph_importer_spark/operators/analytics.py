@@ -337,6 +337,264 @@ def hits(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     return scores.select("id", "hub", "authority")
 
 
+def linerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 10) -> DataFrame:
+    """LineRank (reference catalog 'linerank', arguments.py:176-188):
+    PageRank on the LINE graph — edge (u,v) links to every out-edge
+    (v,w) of its head — computed WITHOUT materializing the line graph
+    (Kang et al., "Centralities in Large Networks": incidence
+    decomposition).  The line graph has sum(deg^2) edges — quadratic in
+    hub degree, fatal at web scale — but each superstep only needs the
+    per-vertex sum of incoming-edge ranks, so it runs as one
+    groupBy(head) aggregate + one equi-join back to the edge frame:
+    O(|E|) per superstep.  Vertex score = sum of incident edge ranks
+    (both endpoints).  Fixed ``max_iter`` supersteps, dangling-edge mass
+    redistributed uniformly — the chained-CTE oracle replays the exact
+    computation.  Returns (id, linerank); sum(rank over edges) == 1 per
+    superstep up to float association.
+    """
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    # out_deg at the HEAD vertex: how many line-graph successors (v,w)
+    # the edge (u,v) fans out to; null -> dangling edge.
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = (
+        e.join(deg.withColumnRenamed("src", "dst"), "dst", "left")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    m = ed.count()
+    if m == 0:
+        return spark.createDataFrame([], "id long, linerank double")
+    ranks = ed.select("src", "dst", "out_deg", (F.lit(1.0) / m).alias("rank"))
+    dangling = (
+        ranks.filter(F.col("out_deg").isNull()).count() * (1.0 / m)
+    )
+    for _ in range(max_iter):
+        # S(v) = sum over incoming edges (u,v) of rank/out_deg(v): feeds
+        # every edge with src = v.  Map-side partials absorb hub heads.
+        contrib = (
+            ranks.filter(F.col("out_deg").isNotNull())
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("s"))
+            .withColumnRenamed("dst", "src")
+        )
+        new_ranks = ed.join(contrib, "src", "left").select(
+            "src",
+            "dst",
+            "out_deg",
+            (
+                F.lit((1.0 - damping) / m)
+                + F.lit(damping)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / m))
+            ).alias("rank"),
+        )
+        obs = Observation()
+        ranks = (
+            new_ranks.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("out_deg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dang"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dangling = float(obs.get["dang"])
+    return (
+        ranks.select(F.col("src").alias("id"), "rank")
+        .unionByName(ranks.select(F.col("dst").alias("id"), "rank"))
+        .groupBy("id")
+        .agg(F.sum("rank").alias("linerank"))
+    )
+
+
+def effective_closeness(
+    edges: DataFrame, registers: int = 8, max_iter: int = 10, seed: int = 17
+) -> DataFrame:
+    """Effective closeness (reference catalog 'effectivecloseness';
+    Kang et al. HADI): per-vertex Flajolet-Martin neighborhood sketches
+    instead of all-pairs BFS — the ONLY way closeness survives web
+    scale (exact closeness is O(n*m)).
+
+    State is (id, register, int64 bitmask): bit index of vertex u in
+    register r is the number of trailing zeros of the congruential hash
+    h(u, r) (geometric distribution — standard FM).  One superstep per
+    hop merges neighbor sketches with a ``bit_or`` aggregate (map-side
+    partials; the merge is idempotent and commutative).  After hop k,
+    est_k(v) = FM estimate 2^mean_r(z_r) / 0.77351 (z_r = lowest unset
+    bit) ~= |{u : dist(u,v) <= k}|; sum_dist accrues k*(est_k -
+    est_{k-1}); closeness(v) = (est_K - 1)/sum_dist (0 if isolated).
+    Early exit at the global sketch fixpoint is parity-safe: once
+    sketches stop changing every later increment is 0, so the result
+    equals the fixed-``max_iter`` chained-CTE oracle replay.  Every
+    operation is int64 bit math + the congruential hash — replayable in
+    SQL bit-for-bit."""
+    from graph_importer_spark.operators.generators import _A, _M
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = _vertices_of(sym)
+    regs = verts.sparkSession.range(registers).select(F.col("id").alias("reg"))
+    # init: self-only sketch, one geometric bit per register
+    h = F.pmod(F.pmod("id", F.lit(_M)) * F.lit(_A) + F.col("reg") * 131 + F.lit(seed), F.lit(_M))
+    # bit index = trailing zeros of the hash (geometric); tz(0) is
+    # undefined so hash 0 is nudged to 1 (bit 0) — same guard in the SQL.
+    sk = (
+        verts.crossJoin(regs)
+        .withColumn("hp", F.greatest(h, F.lit(1)).cast("long"))
+        .withColumn(
+            "mask",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), least(bit_count((hp & -hp) - 1), 40))"
+            ),
+        )
+        .select("id", "reg", "mask")
+    )
+    z = F.expr("CAST(bit_count(((~mask) & (mask + 1)) - 1) AS DOUBLE)")
+    est = lambda s: s.groupBy("id").agg(  # noqa: E731
+        (F.pow(F.lit(2.0), F.avg(z)) / F.lit(0.77351)).alias("est")
+    )
+    sk, prev = _fp(sk, ["id", "reg", "mask"])
+    acc = (
+        est(sk)
+        .select("id", F.col("est").alias("prev_est"), F.lit(0.0).alias("sum_dist"))
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, max_iter + 1):
+        merged = sym.join(
+            sk.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "reg", "mask")
+        sk, cur = _fp(
+            sk.unionByName(merged).groupBy("id", "reg").agg(
+                F.expr("bit_or(mask)").alias("mask")
+            ),
+            ["id", "reg", "mask"],
+        )
+        acc = (
+            acc.join(est(sk), "id")
+            .select(
+                "id",
+                F.col("est").alias("prev_est"),
+                (
+                    F.col("sum_dist") + F.lit(float(k)) * (F.col("est") - F.col("prev_est"))
+                ).alias("sum_dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if cur == prev:
+            break
+        prev = cur
+    return acc.select(
+        "id",
+        F.when(
+            F.col("sum_dist") > 0.0, (F.col("prev_est") - 1.0) / F.col("sum_dist")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
+
+
+def slpa(
+    edges: DataFrame,
+    max_iter: int = 5,
+    thr_num: int = 1,
+    thr_den: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Speaker-Listener Label Propagation (reference catalog 'slpa',
+    arguments.py:176-188; Xie et al.): OVERLAPPING communities — each
+    vertex keeps a label MEMORY (multiset) instead of one label.
+
+    Per round t: every neighbor v of listener u SPEAKS one label drawn
+    from v's memory with probability proportional to its count; u
+    LISTENS by adopting the most frequent spoken label (min tie-break)
+    into its memory.  The draw is derandomized as the congruential hash
+    of (u, v, t) mapped through the memory's cumulative counts (integer
+    division — exact in any engine), so the whole run is deterministic
+    and SQL-replayable.  Memory totals are invariant (1 + rounds heard),
+    so the post-filter ``cnt/total >= thr_num/thr_den`` is evaluated as
+    exact integer arithmetic.  Returns overlapping (id, label, cnt)
+    memberships.
+
+    Scale shape per round: one window cumsum over memory (partitioned
+    by speaker), one equi-join memory->edges, two aggregates — no
+    all-pairs, no per-row Python."""
+    from graph_importer_spark.operators.generators import _A, _A2, _M
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    mem = _vertices_of(sym).select(
+        "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
+    )
+    for t in range(1, max_iter + 1):
+        # cumulative counts over each speaker's memory (label-ordered):
+        # the draw lands in exactly one [cum - cnt, cum) slot.
+        cum = (
+            mem.withColumn(
+                "cum", F.sum("cnt").over(Window.partitionBy("id").orderBy("label"))
+            )
+            .withColumn(
+                "total",
+                F.sum("cnt").over(
+                    Window.partitionBy("id").rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            .withColumnRenamed("id", "dst")
+        )
+        # congruential draw keyed by (listener, speaker, round) — the
+        # same bounded-intermediate int64 hash family as the generators.
+        h = F.pmod(
+            F.pmod(
+                F.pmod(F.col("src"), F.lit(_M)) * F.lit(_A2)
+                + F.pmod(F.col("dst"), F.lit(_M)),
+                F.lit(_M),
+            )
+            * F.lit(_A)
+            + F.lit(seed + t),
+            F.lit(_M),
+        )
+        # pick = floor(h * total / M) in [0, total): h*total < 2^25 is
+        # exact in double, so FLOOR of the correctly-rounded quotient is
+        # the exact integer quotient in any engine.
+        pick = F.floor(h.cast("double") * F.col("total") / F.lit(float(_M)))
+        heard = (
+            sym.join(cum, "dst")
+            .filter((F.col("cum") - F.col("cnt") <= pick) & (pick < F.col("cum")))
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count("*").alias("n"))
+            .groupBy("id")
+            .agg(F.expr("min_by(label, struct(-n, label))").alias("label"))
+        )
+        mem = (
+            mem.unionByName(heard.select("id", "label", F.lit(1).cast("long").alias("cnt")))
+            .groupBy("id", "label")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    totals = mem.groupBy("id").agg(F.sum("cnt").alias("total"))
+    return (
+        mem.join(totals, "id")
+        .filter(F.col("cnt") * thr_den >= F.lit(thr_num) * F.col("total"))
+        .select("id", "label", "cnt")
+    )
+
+
 def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """Synchronous LPA (reference catalog 'labelpropagation',
     arguments.py:176-188): each vertex adopts the min most-frequent

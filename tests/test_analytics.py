@@ -7,9 +7,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from graph_importer_spark.operators.analytics import (
+    effective_closeness,
     hits,
     label_propagation,
+    linerank,
     pagerank,
+    slpa,
     sssp,
     strongly_connected_components,
 )
@@ -83,6 +86,81 @@ def test_scc_partition_invariance(spark):
         map(tuple, strongly_connected_components(edges.repartition(13)).collect())
     )
     assert a == b and len(a) == 40
+
+
+def test_linerank_mass_and_centrality(spark):
+    # path 0->1->2->3 plus a hub edge into 1: edge mass sums to ~1 per
+    # superstep, and the high-traffic middle vertex outranks the leaves
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (9, 1)], "src long, dst long"
+    )
+    rows = {r["id"]: r["linerank"] for r in linerank(edges, max_iter=20).collect()}
+    # each edge rank counted at both endpoints -> vertex total ~= 2.0
+    assert sum(rows.values()) == pytest.approx(2.0, abs=1e-6)
+    assert rows[1] > rows[0] and rows[1] > rows[9]  # incident to 3 edges
+    assert rows[2] > rows[3]  # interior beats the sink leaf
+
+
+def test_linerank_partition_invariance(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40)], "src long, dst long"
+    )
+    a = sorted((r["id"], round(r["linerank"], 9)) for r in linerank(edges).collect())
+    b = sorted(
+        (r["id"], round(r["linerank"], 9))
+        for r in linerank(edges.repartition(13)).collect()
+    )
+    assert a == b and len(a) == 40
+
+
+def test_effective_closeness_orders_center_over_leaf(spark):
+    # path graph 0-1-2-3-4: the center (2) has the smallest distance sum,
+    # the FM estimate must preserve that ordering; symmetric pairs match
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {
+        r["id"]: r["closeness"]
+        for r in effective_closeness(edges, registers=32, max_iter=8).collect()
+    }
+    assert len(rows) == 5
+    assert rows[2] == max(rows.values())  # center is most central
+    assert all(v > 0 for v in rows.values())
+
+
+def test_effective_closeness_isolated_zero(spark):
+    # a vertex with no edges after symmetrization never appears; a
+    # 2-node component gets closeness 1/(dist sum) = 1/est-ish > 0
+    edges = spark.createDataFrame([(7, 8)], "src long, dst long")
+    rows = effective_closeness(edges, max_iter=3).collect()
+    assert {r["id"] for r in rows} == {7, 8}
+
+
+def test_slpa_overlapping_membership(spark):
+    # two 6-cliques sharing {4,5}: the shared vertices should retain
+    # labels from BOTH communities above the 1/3 threshold more often
+    # than pure members; every vertex keeps at least one label
+    def clique(lo):
+        return [(lo + a, lo + b) for a in range(6) for b in range(6) if a < b]
+
+    edges = spark.createDataFrame(clique(0) + clique(4), "src long, dst long")
+    rows = slpa(edges, max_iter=5).collect()
+    by_id: dict[int, set] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["label"])
+    assert set(by_id) == set(range(10))  # nobody dropped
+    # labels stay within the vertex universe and memberships are communities
+    assert all(lbl in range(10) for s in by_id.values() for lbl in s)
+
+
+def test_slpa_deterministic(spark):
+    def clique(lo):
+        return [(lo + a, lo + b) for a in range(6) for b in range(6) if a < b]
+
+    edges = spark.createDataFrame(clique(0) + clique(4), "src long, dst long")
+    a = sorted(map(tuple, slpa(edges, max_iter=4).collect()))
+    b = sorted(map(tuple, slpa(edges.repartition(7), max_iter=4).collect()))
+    assert a == b
 
 
 def test_hits_star_normalization_and_ordering(spark):
