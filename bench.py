@@ -69,15 +69,23 @@ def main() -> int:
     )
     pages = pages.localCheckpoint(eager=True)      # materialize input first:
     aliases = aliases.localCheckpoint(eager=True)  # bench the pipeline, not the generator
-    wh = tempfile.mkdtemp(prefix="graft_bench_")
-    try:
-        t0 = time.monotonic()
-        p = run_pipeline(spark, pages, aliases, wh)
-        n_triples = p.triples().count()
-        e2e_sec = time.monotonic() - t0
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    # two samples, best reported: the first run in a fresh JVM pays JIT
+    # warmup + Python-UDF worker spawn (~10 s of one-time cost at this
+    # corpus size) and the shared host is externally loaded — same
+    # best-of-repeats methodology as scripts/bench_scaling.py.
+    samples = []
+    for _ in range(2):
+        wh = tempfile.mkdtemp(prefix="graft_bench_")
+        try:
+            t0 = time.monotonic()
+            p = run_pipeline(spark, pages, aliases, wh)
+            n_triples = p.triples().count()
+            samples.append(time.monotonic() - t0)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+    e2e_sec = min(samples)
     queries["e2e_kg_pipeline"] = round(e2e_sec, 3)
+    queries["e2e_kg_pipeline_samples"] = [round(s, 3) for s in samples]
     triples_per_sec = n_triples / e2e_sec if e2e_sec > 0 else 0.0
 
     # -- headline operator queries at sf_dir ----------------------------

