@@ -1284,6 +1284,55 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (coarse-quantizer inverted lists): deterministic
+    hash-sampled centroids, one-pass nearest-centroid assignment,
+    nprobe=3 of 8 lists probed, exact cosine re-rank.  The oracle
+    replays centroid sampling, assignment (6dp round + centroid-id
+    tie-break) and probing."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return _sim.ann_topk_ivf(emb, queries, k=3, n_centroids=8, nprobe=3)
+
+
+def _oracle_sim_ivf(k: int = 3, n_centroids: int = 8, nprobe: int = 3, seed: int = 42) -> str:
+    cos = (
+        "round({d} / ({na} * {nb}), 6)".format(
+            d=_DOT.format(a="{a}", b="{b}"),
+            na=_NORM.format(v="{a}"),
+            nb=_NORM.format(v="{b}"),
+        )
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+cents AS (
+  SELECT neighbor_id AS centroid_id, cv AS pv FROM c
+  ORDER BY ((neighbor_id % {_sim._M}) * {_sim._A} + {seed}) % {_sim._M}, neighbor_id
+  LIMIT {n_centroids}),
+assign AS (
+  SELECT neighbor_id, cv, centroid_id AS list_id FROM (
+    SELECT c.neighbor_id, c.cv, cents.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY {cos.format(a='c.cv', b='cents.pv')} DESC, cents.centroid_id ASC) AS rn
+    FROM c, cents) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, qv, centroid_id AS list_id FROM (
+    SELECT q.query_id, q.qv, cents.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {cos.format(a='q.qv', b='cents.pv')} DESC, cents.centroid_id ASC) AS rn
+    FROM q, cents) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT query_id, neighbor_id, {cos.format(a='qv', b='cv')} AS cosine
+  FROM assign JOIN probe USING (list_id) WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return _dedup.embedding_near_dup_pairs(emb, threshold=0.8)
@@ -1463,6 +1512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_simhash": q_text_simhash,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_ivf": q_sim_ann_ivf,
     "emb_near_dup": q_emb_near_dup,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_byte_histogram": q_mm_byte_histogram,
@@ -1512,6 +1562,7 @@ ORACLES: dict[str, str] = {
     "text_simhash": _oracle_text_simhash(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ann_lsh": _oracle_sim_ann(),
+    "sim_ann_ivf": _oracle_sim_ivf(),
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "mm_byte_stats": ORACLE_MM_STATS,
     "mm_byte_histogram": _oracle_mm_hist(),

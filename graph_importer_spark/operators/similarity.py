@@ -5,10 +5,18 @@
   aggregate) for the dot product, window top-k.  Queries side is small
   and broadcast, so the 'cross' is a broadcast nested loop over one
   corpus scan — linear in corpus size, embarrassingly parallel.
-* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+* LSH-bucketed ANN — a scale path: random-hyperplane signatures
   (deterministic LCG hyperplanes, replayable in SQL), candidates from
   same-bucket equi-join, exact re-rank inside buckets.  Recall traded
   for touching ~1/2^bits of the corpus per query.
+* IVF-bucketed ANN — the second scale path (coarse-quantizer inverted
+  lists, the FAISS IVF-Flat shape): centroids are a deterministic
+  hash-sample of corpus vectors (k-means float averaging is not
+  cross-engine replayable and a sampled coarse quantizer is the
+  standard bootstrap at scale), each corpus vector is assigned to its
+  nearest centroid in ONE broadcast aggregate pass, and a query probes
+  its ``nprobe`` nearest lists — touching ~nprobe/n_centroids of the
+  corpus via a plain equi-join on list id.
 
 No Python UDFs anywhere: at 10^9 vectors the dot product must stay in
 codegen; a Pandas-UDF variant benched ~6x slower at 64 dims (Arrow
@@ -112,6 +120,92 @@ def lsh_signature(vec_col: str | Column, n_bits: int = 8, seed: int = 42) -> Col
         )
         sig = sig + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sig
+
+
+def ivf_centroids(
+    corpus_normed: DataFrame, n_centroids: int = 8, seed: int = 42
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_centroids`` corpus
+    vectors whose congruential id-hash is smallest (ties by id).
+
+    At 10^9 rows this is a TakeOrderedAndProject (per-partition top-n,
+    driver merge) — no global sort shuffle.  Expects the
+    (neighbor_id, cv, cn) frame produced by ``with_norm``."""
+    h = F.pmod(
+        F.pmod("neighbor_id", F.lit(_M)) * F.lit(_A) + F.lit(seed), F.lit(_M)
+    )
+    return (
+        corpus_normed.orderBy(h.asc(), F.col("neighbor_id").asc())
+        .limit(n_centroids)
+        .select(
+            F.col("neighbor_id").alias("centroid_id"),
+            F.col("cv").alias("pv"),
+            F.col("cn").alias("pn"),
+        )
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-Flat ANN: assign corpus vectors to inverted lists by nearest
+    centroid, probe the query's ``nprobe`` nearest lists, exact cosine
+    re-rank inside.  Returns (query_id, neighbor_id, cosine, rank).
+
+    Scale shape at 10^9 vectors: the centroid set is tiny and
+    broadcast; assignment is one corpus scan + one hash aggregate
+    (max_by is algebraic -> map-side partials, no window sort-shuffle
+    over the corpus); probing touches ~nprobe/n_centroids of the corpus
+    through a broadcast equi-join on list id.  Each corpus vector lives
+    in exactly one list, so probed candidates are never duplicated.
+    Assignment similarity is rounded to 6dp with centroid-id tie-break
+    — deterministic and bit-replayable in SQL (the DuckDB oracle
+    replays centroid sampling, assignment and probing)."""
+    c = with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+    cents = ivf_centroids(c, n_centroids, seed).localCheckpoint(eager=True)
+    sim = F.round(cosine("cv", "pv", "cn", "pn"), 6)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .groupBy("neighbor_id")
+        .agg(
+            F.first("cv").alias("cv"),
+            F.first("cn").alias("cn"),
+            F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("list_id"),
+        )
+    )
+    q = with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
+    qsim = F.round(cosine("qv", "pv", "qn", "pn"), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("psim", qsim)
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("list_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qv", "cv", "qn", "cn"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def ann_topk_lsh(

@@ -166,6 +166,47 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall > 0.2  # 4-bit buckets on random gaussians: partial recall expected
 
 
+def test_ann_ivf_recall_on_clustered_data(spark):
+    # 4 tight clusters around orthogonal axes in 8-d: IVF with enough
+    # probes must recover the exact neighbors (same-cluster vectors
+    # dominate cosine, and a whole cluster lands in one inverted list)
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(120):
+        axis = i % 4
+        v = [rnd.gauss(0, 0.05) for _ in range(8)]
+        v[axis * 2] += 1.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+
+
+def test_ann_ivf_partition_invariance(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.ann_topk_ivf(emb, q, k=3).collect()))
+    b = sorted(
+        map(tuple, similarity.ann_topk_ivf(emb.repartition(11), q, k=3).collect())
+    )
+    assert a == b and len(a) > 0
+
+
 def test_embedding_near_dup(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
