@@ -48,12 +48,14 @@ from graph_importer_spark.operators import textstats as _ts
 from graph_importer_spark.operators.analytics import (
     effective_closeness,
     hits,
+    kcore,
     label_propagation,
     linerank,
     pagerank,
     slpa,
     sssp,
     strongly_connected_components,
+    triangle_count,
 )
 from graph_importer_spark.operators.multimodal import byte_histogram, byte_stats
 from graph_importer_spark.cc import connected_components, connected_components_str
@@ -863,6 +865,94 @@ WHERE m.cnt * 3 >= tt.total"""
     )
 
 
+# The part co-purchase graph both undirected algorithms below run on:
+# parts sharing an order (o_orderkey < 2000 — deterministic predicate,
+# not limit).  At sf0.01: 15,147 edges over 1,952 vertices.
+_COPURCHASE_SQL = """
+li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 2000),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey)"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    return (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    )
+
+
+def q_tri_copurchase(spark, sf_dir):
+    """Per-vertex triangle counts on the part co-purchase graph —
+    degree-ordered compact-forward join (analytics.triangle_count); the
+    oracle replays the orientation and the wedge-closure joins."""
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+ORACLE_TRI_COPURCHASE = f"""
+WITH {_COPURCHASE_SQL},
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+o AS MATERIALIZED (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+t AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM o e1 JOIN o e2 ON e2.u = e1.v JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+pv AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+  GROUP BY id)
+SELECT d.id, COALESCE(pv.triangles, 0) AS triangles
+FROM deg d LEFT JOIN pv ON pv.id = d.id
+"""
+
+
+def q_kcore_copurchase(spark, sf_dir):
+    """4-core of the part co-purchase graph (analytics.kcore: iterative
+    peel, Observation-fused convergence).  Peel reaches its fixpoint in
+    3 rounds at sf0.01; the oracle replays 8 fixed rounds — valid
+    because the synchronous peel is idempotent at the fixpoint (same
+    argument as the LPA oracle)."""
+    return kcore(_copurchase_edges(spark, sf_dir), k=4)
+
+
+def _oracle_kcore(k: int = 4, iters: int = 8) -> str:
+    ctes = [
+        _COPURCHASE_SQL.lstrip(),
+        "s0 AS MATERIALIZED ("
+        "  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT u FROM s{r - 1} GROUP BY u HAVING COUNT(*) >= {k})"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT s.u, s.v FROM s{r - 1} s
+  JOIN k{r} a ON a.u = s.u JOIN k{r} b ON b.u = s.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS id, COUNT(*) AS deg FROM s{iters} GROUP BY u"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthetic graph generators (SURVEY §2.6 F1-F5, §2.3 J1/J4 — reference
 # generator surface, deterministic hash randomness)
@@ -1485,6 +1575,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linerank_star": q_linerank_star,
     "effective_closeness_tree": q_effective_closeness_tree,
     "slpa_overlap": q_slpa_overlap,
+    "tri_copurchase": q_tri_copurchase,
+    "kcore_copurchase": q_kcore_copurchase,
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
     "window_top_orders": q_window_top_orders,
@@ -1535,6 +1627,8 @@ ORACLES: dict[str, str] = {
     "linerank_star": _oracle_linerank(),
     "effective_closeness_tree": _oracle_effective_closeness(),
     "slpa_overlap": _oracle_slpa(),
+    "tri_copurchase": ORACLE_TRI_COPURCHASE,
+    "kcore_copurchase": _oracle_kcore(),
     "pricing_summary": ORACLE_PRICING,
     "region_volume": ORACLE_REGION,
     "window_top_orders": ORACLE_TOP_ORDERS,

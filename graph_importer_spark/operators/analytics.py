@@ -625,3 +625,115 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         if same == 0:
             break
     return labels
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, distinct, no
+    self-loops — the shared preamble of the undirected algorithms."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts on the undirected simple graph of
+    edges(src, dst) -> (id, triangles); vertices in no triangle report 0.
+
+    Compact-forward / degree-ordered node-iterator (the standard
+    distributed triangle-count shape): orient every undirected edge from
+    its (degree, id)-smaller endpoint to the larger one.  The oriented
+    graph is a DAG under that total order, and each triangle {x,y,z}
+    with x < y < z appears exactly once as the path x->y->z plus the
+    closing edge x->z — so one self-equi-join builds the wedges and one
+    more equi-join closes them.  No cross joins, no windows.
+
+    Scale: orientation caps every out-degree at O(sqrt(m)), so the wedge
+    join shuffles O(m^1.5) rows worst case — hub vertices (power-law
+    webgraphs) land on the *incoming* side where map-side partial
+    aggregation absorbs them; AQE skew-split handles residual hot keys.
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = und.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    per_vertex = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.select("id")
+        .join(per_vertex, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """k-core of the undirected simple graph of edges(src, dst):
+    iteratively peel vertices of degree < k until none remain.  Returns
+    (id, deg) — surviving vertices with their degree *inside* the core.
+
+    Each peel round is one degree aggregation (map-side partials) plus
+    two left-semi joins restricting the symmetric adjacency to
+    survivors; the frame localCheckpoints with an Observation-fused
+    fingerprint per round (one job, truncated lineage — the cc.py
+    discipline).  Rounds are bounded by the peel depth (the graph's
+    degeneracy ordering height), tiny for web-like graphs; the
+    synchronous peel is idempotent at its fixpoint, so a fixed-iteration
+    SQL replay at any round >= convergence matches exactly.
+    """
+    und = _undirected(edges)
+    sym = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    cur, prev = _fp(sym, ["u", "v"])
+    for _ in range(max_iter):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        cur, fp = _fp(
+            cur.join(keep, "u", "left_semi").join(
+                keep.withColumnRenamed("u", "v"), "v", "left_semi"
+            ),
+            ["u", "v"],
+        )
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"kcore did not settle within {max_iter} rounds")
+    return cur.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))

@@ -175,3 +175,57 @@ def test_hits_star_normalization_and_ordering(spark):
     assert rows[1]["authority"] > rows[2]["authority"] == rows[3]["authority"]
     assert rows[100]["hub"] == pytest.approx(rows[101]["hub"])
     assert rows[100]["hub"] > rows[103]["hub"]  # points at the big authority
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from graph_importer_spark.operators.analytics import triangle_count
+
+    # K4 (every vertex in 3 of the 4 triangles) + pendant vertex 9 (0)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    from graph_importer_spark.operators.analytics import triangle_count
+
+    # same triangle given with mixed orientations and duplicates
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    got = {r["id"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_partition_invariance(spark):
+    from graph_importer_spark.operators.analytics import triangle_count
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges = spark.createDataFrame(k5 + [(4, 20), (20, 21)], "src long, dst long")
+    a = sorted(map(tuple, triangle_count(edges).collect()))
+    b = sorted(map(tuple, triangle_count(edges.repartition(13)).collect()))
+    assert a == b
+    assert dict(a)[0] == 6  # C(4,2) triangles of K5 touch each vertex
+
+
+def test_kcore_peels_tail_keeps_cliques(spark):
+    from graph_importer_spark.operators.analytics import kcore
+
+    def clique(lo, n):
+        return [(lo + a, lo + b) for a in range(n) for b in range(n) if a < b]
+
+    # 6-clique + 4-clique + bridge + 3-vertex tail chain off the 4-clique
+    edges = spark.createDataFrame(
+        clique(0, 6) + clique(10, 4) + [(5, 10), (13, 20), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["deg"] for r in kcore(edges, k=3).collect()}
+    assert got == {0: 5, 1: 5, 2: 5, 3: 5, 4: 5, 5: 6, 10: 4, 11: 3, 12: 3, 13: 3}
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    from graph_importer_spark.operators.analytics import kcore
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    assert kcore(edges, k=3).count() == 0  # triangle is a 2-core only
