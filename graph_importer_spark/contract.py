@@ -235,6 +235,102 @@ SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events F
 """
 
 
+def q_asof_last_click(spark, sf_dir):
+    """Backward as-of join (operators/joins.asof_join): every error
+    event picks the user's most recent click at-or-before it — the
+    union-tag single-shuffle shape, no join blow-up.  Missing matches
+    are coalesced to -1 so the frame stays integer-typed for the
+    driver's value hash; the operator itself returns NULLs
+    (tests/test_joins_sampling.py covers that)."""
+    from graph_importer_spark.operators.joins import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(errors, clicks, on="user_id", right_payload=["click_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.coalesce("r_click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("r_ts"), F.lit(-1)
+        ).alias("gap_sec"),
+    )
+
+
+# The oracle replays the identical union-tag window program (DuckDB's
+# native ASOF JOIN leaves equal-timestamp ties unspecified; this pins
+# them the same way the operator does: larger click_id wins).
+ORACLE_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id AS k, ts AS t FROM events WHERE event_type = 'error'),
+r AS (
+  SELECT event_id AS click_id, user_id AS k, ts AS t
+  FROM events WHERE event_type = 'click'),
+u AS (
+  SELECT k, t, 1 AS side, CAST(NULL AS BIGINT) AS click_id,
+         CAST(NULL AS TIMESTAMP) AS rts, event_id FROM l
+  UNION ALL
+  SELECT k, t, 0, click_id, t, NULL FROM r),
+c AS (
+  SELECT k, t, side, event_id,
+    LAST_VALUE(click_id IGNORE NULLS) OVER w AS m_click,
+    LAST_VALUE(rts IGNORE NULLS) OVER w AS m_ts
+  FROM u
+  WINDOW w AS (PARTITION BY k ORDER BY t, side, click_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, k AS user_id, COALESCE(m_click, -1) AS click_id,
+  COALESCE(date_diff('second', m_ts, t), -1) AS gap_sec
+FROM c WHERE side = 1
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling): keep all
+    errors, half the clicks, a quarter of the views — the congruential
+    coin is partition-invariant and the CASE-rate predicate reaches the
+    scan (no join, no shuffle)."""
+    from graph_importer_spark.operators.sampling import stratified_sample
+
+    ev = T(spark, sf_dir, "events")
+    keep = stratified_sample(
+        ev, "event_type", "event_id", {"click": 0.5, "view": 0.25, "error": 1.0}
+    )
+    return keep.select("event_id", "event_type")
+
+
+def _oracle_sample_stratified(seed: int = 42) -> str:
+    from graph_importer_spark.operators.generators import _A, _M
+
+    coin = f"CAST(((event_id % {_M}) * {_A} + {seed}) % {_M} AS DOUBLE) / {_M}.0"
+    return f"""
+SELECT event_id, event_type FROM events
+WHERE {coin} < CASE event_type WHEN 'click' THEN 0.5 WHEN 'error' THEN 1.0
+                               WHEN 'view' THEN 0.25 ELSE 0.0 END
+"""
+
+
+def q_sample_hash(spark, sf_dir):
+    """Plain deterministic Bernoulli sample of the documents corpus at
+    1/8 — membership is a pure function of doc_id (reproducible across
+    partitionings, cluster sizes and reruns, unlike df.sample)."""
+    from graph_importer_spark.operators.sampling import hash_sample
+
+    docs = T(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.125).select("doc_id", "lang", "n_chars")
+
+
+def _oracle_sample_hash(seed: int = 42) -> str:
+    from graph_importer_spark.operators.generators import _A, _M
+
+    coin = f"CAST(((doc_id % {_M}) * {_A} + {seed}) % {_M} AS DOUBLE) / {_M}.0"
+    return f"SELECT doc_id, lang, n_chars FROM documents WHERE {coin} < 0.125"
+
+
 # ---------------------------------------------------------------------------
 # Importer-compat operators (SURVEY §2.1-2.2: P1-P5, J3 — reference parse
 # semantics executed by the Spark importer code paths)
@@ -1584,6 +1680,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join_unordered_parts": q_anti_join_unordered_parts,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "asof_last_click": q_asof_last_click,
+    "sample_stratified": q_sample_stratified,
+    "sample_hash": q_sample_hash,
     "imp_edge_parse": q_imp_edge_parse,
     "imp_smart_keys": q_imp_smart_keys,
     "imp_unique_insert": q_imp_unique_insert,
@@ -1636,6 +1735,9 @@ ORACLES: dict[str, str] = {
     "anti_join_unordered_parts": ORACLE_ANTI,
     "events_hourly": ORACLE_HOURLY,
     "events_sessions": ORACLE_SESSIONS,
+    "asof_last_click": ORACLE_ASOF,
+    "sample_stratified": _oracle_sample_stratified(),
+    "sample_hash": _oracle_sample_hash(),
     "imp_edge_parse": ORACLE_EDGE_PARSE,
     "imp_smart_keys": ORACLE_SMART_KEYS,
     "imp_unique_insert": ORACLE_UNIQUE_INSERT,

@@ -1,0 +1,95 @@
+"""Temporal joins Spark's built-in operator set lacks.
+
+The reference has no temporal joins at all (its only joins are the
+clique/k-partite range joins, clique_generator.py:19-57, and the AQL
+dedup insert, edges_generator.py:60-97); a KG/event pipeline at web
+scale needs the as-of join constantly (attribution: "the last click
+before this error", feature backfill: "the latest profile snapshot at
+training-example time").
+
+Scale-first shape — the union-tag trick, NOT join-then-filter:
+
+* join+filter(ts_r <= ts_l)+max_by shuffles the (left x right-per-key)
+  blow-up: a hot user with 10^5 events on each side materializes 10^10
+  intermediate rows before the aggregate.
+* Here both sides are unioned with a side tag and shuffled ONCE on the
+  key; one running `last_value(..., ignorenulls) OVER (PARTITION BY key
+  ORDER BY ts, side, id ROWS UNBOUNDED PRECEDING)` carries the most
+  recent right payload forward; filtering back to left rows yields the
+  match.  Cost = one hash shuffle + one in-partition sort of n_l + n_r
+  rows — the same cost as the sessionization window, with no
+  intermediate blow-up.  (Per-key data must fit a partition's sort
+  spill budget — same constraint as any keyed window; salt-by-time-
+  bucket is the escape hatch for a pathological single key.)
+
+Determinism: ties inside the right side at the same (key, ts) are
+broken toward the larger id (ORDER BY puts it last, last_value wins) —
+bit-replayable in the DuckDB oracle (contract.py ORACLE_ASOF uses the
+same window program).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    strict: bool = False,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row picks the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (``<`` when ``strict``) sharing
+    the ``on`` key; left rows with no predecessor keep NULL payload.
+
+    ``right_payload`` — right columns to carry (default: all but the
+    key and the timestamp; emitted as ``r_<name>`` plus ``r_ts``).
+    ``tolerance`` — optional max age: matches older than
+    ``left_ts - tolerance`` are nulled out (pandas ``merge_asof``
+    semantics).
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias("r_ts"), *[F.col(c).alias(f"r_{c}") for c in right_payload]
+    )
+    # side=0 sorts right rows before left at equal ts => inclusive (<=)
+    # match; strict mode instead sorts them after (side=2), so a right
+    # row at exactly left_ts is not visible to that left row.
+    r = right.select(
+        F.col(on).alias("k"),
+        F.col(right_ts).alias("t"),
+        F.lit(2 if strict else 0).alias("side"),
+        payload.alias("p"),
+    )
+    lcols = [F.col(c) for c in left.columns]
+    l = left.select(  # noqa: E741
+        F.col(on).alias("k"),
+        F.col(left_ts).alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast(r.schema["p"].dataType).alias("p"),
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("p").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "match", F.last("p", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("side") == 1)
+    if tolerance is not None:
+        fresh = F.col("match.r_ts") >= (F.col("t") - tolerance)
+        out = out.withColumn("match", F.when(fresh, F.col("match")))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col("match.r_ts").alias("r_ts"),
+        *[F.col(f"match.r_{c}").alias(f"r_{c}") for c in right_payload],
+    )

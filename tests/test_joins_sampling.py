@@ -1,0 +1,101 @@
+"""As-of join (operators/joins.py) and deterministic sampling
+(operators/sampling.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graph_importer_spark.operators.joins import asof_join
+from graph_importer_spark.operators.sampling import hash_sample, stratified_sample
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(100, 1, _ts(10)), (101, 1, _ts(30)), (102, 2, _ts(5)), (103, 3, _ts(20))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, _ts(8), 1.0), (2, 1, _ts(10), 2.0), (3, 1, _ts(29), 3.0),
+         (4, 2, _ts(6), 4.0), (5, 3, _ts(20), 5.0), (6, 3, _ts(20), 6.0)],
+        "click_id long, user_id long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    got = {
+        r["event_id"]: (r["r_click_id"], r["r_ts"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert got[100] == (2, _ts(10))  # inclusive: equal-ts click matches
+    assert got[101] == (3, _ts(29))
+    assert got[102] == (None, None)  # user 2's only click is later
+    assert got[103] == (6, _ts(20))  # same-(user,ts) tie -> larger payload
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left, right = _frames(spark)
+    got = {
+        r["event_id"]: r["r_click_id"]
+        for r in asof_join(left, right, on="user_id", strict=True).collect()
+    }
+    assert got[100] == 1  # equal-ts click no longer visible
+    assert got[103] is None
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    got = {
+        r["event_id"]: r["r_click_id"]
+        for r in asof_join(
+            left, right, on="user_id", tolerance=F.expr("INTERVAL 0.5 SECOND")
+        ).collect()
+    }
+    assert got[100] == 2  # age 0 <= 0.5s: kept
+    assert got[101] is None  # age 1s > 0.5s: nulled out
+
+
+def test_asof_partition_invariance(spark):
+    left, right = _frames(spark)
+    a = sorted(map(tuple, asof_join(left, right, on="user_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(left.repartition(7), right.repartition(5), on="user_id").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_hash_sample_partition_invariant_and_pushed_down(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.125).collect())
+    b = sorted(
+        r["doc_id"] for r in hash_sample(docs.repartition(9), "doc_id", 0.125).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    # the sampling predicate is a pure expression over a scanned column:
+    # no shuffle appears in the plan
+    plan = hash_sample(docs, "doc_id", 0.125)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    got = stratified_sample(df, "grp", "id", {"a": 0.5, "b": 0.1}).groupBy("grp").count()
+    counts = {r["grp"]: r["count"] for r in got.collect()}
+    assert abs(counts["a"] / 2000 - 0.5) < 0.1
+    assert abs(counts["b"] / 2000 - 0.1) < 0.05
+
+
+def test_stratified_sample_default_drops(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, grp string")
+    assert stratified_sample(df, "grp", "id", {"x": 1.0}).count() == 1
