@@ -1627,6 +1627,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_incremental_triples(spark, sf_dir):
+    """incremental_triples executed AS A STREAM: the documents corpus is
+    written out as 4 page files, consumed 2-files-per-trigger (so the
+    foreachBatch body really runs multiple incremental appends through
+    the snapshot-tagged catalog), and the accumulated triples table is
+    aggregated to the flagship shape.  The oracle is ORACLE_KG_FLAGSHIP
+    itself — streaming-vs-batch parity IS the check (micro-batching must
+    not change the result: extraction is stateless per page and the
+    gazetteer is pinned up front)."""
+    import tempfile
+
+    from graph_importer_spark import streaming as _stream
+    from graph_importer_spark.tables import GraphCatalog
+
+    pages = _docs_as_pages(spark, sf_dir)
+    gaz = _top_token_gazetteer(_extract.with_text(pages))
+    root = tempfile.mkdtemp(prefix="stream_inc_")
+    pages.repartition(4).write.mode("overwrite").parquet(f"{root}/pages")
+    catalog = GraphCatalog(spark, f"{root}/wh")
+    q = _stream.incremental_triples(
+        spark,
+        f"{root}/pages",
+        gaz,
+        catalog,
+        "triples_stream",
+        f"{root}/ckpt",
+        default_pred="cooccurs_with",
+        max_alias_tokens=1,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    return (
+        catalog.read("triples_stream")
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 # -- skew -------------------------------------------------------------------
 
 def q_skew_salted_count(spark, sf_dir):
@@ -1708,6 +1746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_byte_stats": q_mm_byte_stats,
     "mm_byte_histogram": q_mm_byte_histogram,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_incremental_triples": q_stream_incremental_triples,
     "skew_salted_count": q_skew_salted_count,
     "skew_salted_join": q_skew_salted_join,
 }
@@ -1763,6 +1802,7 @@ ORACLES: dict[str, str] = {
     "mm_byte_stats": ORACLE_MM_STATS,
     "mm_byte_histogram": _oracle_mm_hist(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
+    "stream_incremental_triples": ORACLE_KG_FLAGSHIP,
     "skew_salted_count": ORACLE_SALTED_COUNT,
     "skew_salted_join": ORACLE_SALTED_JOIN,
     # every registered query is oracle-checked: the iterative ones replay

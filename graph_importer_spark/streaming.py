@@ -87,12 +87,18 @@ def windowed_event_counts(
     )
 
 
-def _batch_triples(pages: DataFrame, aliases: DataFrame) -> DataFrame:
+def _batch_triples(
+    pages: DataFrame,
+    aliases: DataFrame,
+    default_pred: str | None = None,
+    max_alias_tokens: int | None = None,
+) -> DataFrame:
     pt = _extract.with_text(pages)
-    m = _mentions.detect_mentions(pt, aliases)
+    kw = {} if max_alias_tokens is None else {"max_alias_tokens": max_alias_tokens}
+    m = _mentions.detect_mentions(pt, aliases, **kw)
     linked = _linking.link_mentions(m, aliases)
     sents = _mentions.split_sentences(pt)
-    return _triples.extract_triples(linked, sents, pt)
+    return _triples.extract_triples(linked, sents, pt, default_pred=default_pred)
 
 
 def incremental_triples(
@@ -103,6 +109,9 @@ def incremental_triples(
     table: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    default_pred: str | None = None,
+    max_alias_tokens: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """foreachBatch incremental pipeline: each micro-batch of new page
     files runs the full extract->link->triples chain and APPENDS to
@@ -114,7 +123,7 @@ def incremental_triples(
     Returns the StreamingQuery; with ``available_now`` the caller can
     ``awaitTermination()`` for drain-and-stop semantics.
     """
-    stream = read_pages_stream(spark, pages_path)
+    stream = read_pages_stream(spark, pages_path, max_files_per_trigger)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a crash after the catalog append
@@ -125,7 +134,7 @@ def incremental_triples(
         tag = f"stream_batch_{batch_id}"
         if catalog.exists(table) and catalog.has_tag(table, tag):
             return
-        out = _batch_triples(batch_df, aliases).withColumn(
+        out = _batch_triples(batch_df, aliases, default_pred, max_alias_tokens).withColumn(
             "batch_id", F.lit(batch_id)
         )
         catalog.append(table, out, tag=tag)
