@@ -46,6 +46,11 @@ HEADLINE = [
     "text_quality",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
+    "tri_copurchase",
+    "kcore_copurchase",
+    "asof_last_click",
+    "sample_stratified",
     "skew_salted_count",
 ]
 
