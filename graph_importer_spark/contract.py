@@ -182,6 +182,48 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 """
 
 
+def q_events_json_stats(spark, sf_dir):
+    """JSON scalar-function surface (SURVEY §2.6 absent-row): pull the
+    numeric field out of the props JSON string per event and aggregate
+    per type.  get_json_object is a codegen'd expression — the JSON
+    never leaves the JVM."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """Grouping-set surface (SURVEY §2.4): ROLLUP over
+    (l_returnflag, l_linestatus) with subtotal and grand-total rows —
+    one pass, partial aggregation at every grouping level."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+  CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch form of the streaming op)."""
     e = T(spark, sf_dir, "events")
@@ -1716,6 +1758,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_top_orders": q_window_top_orders,
     "semi_join_segments": q_semi_join_segments,
     "anti_join_unordered_parts": q_anti_join_unordered_parts,
+    "events_json_stats": q_events_json_stats,
+    "rollup_pricing": q_rollup_pricing,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "asof_last_click": q_asof_last_click,
@@ -1772,6 +1816,8 @@ ORACLES: dict[str, str] = {
     "window_top_orders": ORACLE_TOP_ORDERS,
     "semi_join_segments": ORACLE_SEMI,
     "anti_join_unordered_parts": ORACLE_ANTI,
+    "events_json_stats": ORACLE_EVENTS_JSON,
+    "rollup_pricing": ORACLE_ROLLUP,
     "events_hourly": ORACLE_HOURLY,
     "events_sessions": ORACLE_SESSIONS,
     "asof_last_click": ORACLE_ASOF,
