@@ -93,12 +93,14 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "wcc", "connectedcomponents", "scc", "sssp",
             "labelpropagation", "hits", "linerank", "effectivecloseness", "slpa",
+            "trianglecount", "kcore",
         ],
         required=True,
     )
     an.add_argument("--max_gss", type=int, default=20)
     an.add_argument("--threshold", type=float, default=1e-4)
     an.add_argument("--source", type=int, default=0)
+    an.add_argument("--k", type=int, default=2, help="k for --algorithm kcore")
     an.add_argument("--result_field", default="result")
 
     args = ap.parse_args(argv)
@@ -234,6 +236,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.algorithm == "slpa":
             res = A.slpa(e, max_iter=args.max_gss)
+        elif args.algorithm == "trianglecount":
+            res = A.triangle_count(e)
+        elif args.algorithm == "kcore":
+            res = A.kcore(e, k=args.k, max_iter=args.max_gss)
         else:
             res = A.label_propagation(e, max_iter=args.max_gss)
         out = f"{args.graph_name}_{args.algorithm}"

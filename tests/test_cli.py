@@ -59,3 +59,35 @@ def test_cli_pipeline_synthetic(spark, tmp_path, capsys):
     assert "triples:" in capsys.readouterr().out
     cat = GraphCatalog(spark, wh)
     assert cat.exists("triples") and cat.exists("kg_vertices")
+
+
+def test_cli_analytics_triangles_and_kcore(spark, tmp_path):
+    wh = str(tmp_path / "wh_tri")
+    rc = main([
+        "generate", "--warehouse", wh, "--graphtype", "clique",
+        "--num_vertices", "8", "--graph_name", "g", "--overwrite",
+    ])
+    assert rc == 0
+    cat = GraphCatalog(spark, wh)
+
+    rc = main([
+        "analytics", "--warehouse", wh, "--graph_name", "g",
+        "--algorithm", "trianglecount",
+    ])
+    assert rc == 0
+    tri = {r["triangles"] for r in cat.read("g_trianglecount").collect()}
+    assert tri == {21}  # K8: each vertex in C(7,2) triangles
+
+    rc = main([
+        "analytics", "--warehouse", wh, "--graph_name", "g",
+        "--algorithm", "kcore", "--k", "7",
+    ])
+    assert rc == 0
+    core = cat.read("g_kcore")
+    assert core.count() == 8  # K8 is a 7-core
+    rc = main([
+        "analytics", "--warehouse", wh, "--graph_name", "g",
+        "--algorithm", "kcore", "--k", "8",
+    ])
+    assert rc == 0
+    assert cat.read("g_kcore").count() == 0
