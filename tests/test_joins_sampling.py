@@ -99,3 +99,39 @@ def test_stratified_sample_rates(spark):
 def test_stratified_sample_default_drops(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, grp string")
     assert stratified_sample(df, "grp", "id", {"x": 1.0}).count() == 1
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    # differential test vs the pandas reference implementation on
+    # random frames (unique (key, ts) per side -> no tie ambiguity)
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(7)
+    seen_l, seen_r = set(), set()
+    lrows, rrows = [], []
+    for i in range(300):
+        k, s = rnd.randint(0, 9), rnd.randint(0, 500)
+        if (k, s) not in seen_l:
+            seen_l.add((k, s))
+            lrows.append((i, k, _ts(0) + dt.timedelta(seconds=s)))
+    for i in range(300):
+        k, s = rnd.randint(0, 9), rnd.randint(0, 500)
+        if (k, s) not in seen_r:
+            seen_r.add((k, s))
+            rrows.append((1000 + i, k, _ts(0) + dt.timedelta(seconds=s)))
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "click_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["r_click_id"]
+        for r in asof_join(left, right, on="user_id", right_payload=["click_id"]).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["click_id", "user_id", "ts"]).sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    want = {
+        int(row.event_id): (None if pd.isna(row.click_id) else int(row.click_id))
+        for row in ref.itertuples()
+    }
+    assert got == want and len(got) == len(lrows)
