@@ -1669,6 +1669,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sessions(spark, sf_dir):
+    """stateful_sessions executed AS A STREAM (applyInPandasWithState
+    keyed state, file source over the events parquet, availableNow,
+    update-mode memory sink).  Emissions are cumulative and monotone,
+    so max per user = final totals; oracle = ORACLE_SESSIONS (the batch
+    lag-window sessionization)."""
+    import uuid as _uuid
+
+    from graph_importer_spark import streaming as _stream
+
+    ev = (
+        spark.readStream.schema(T(spark, sf_dir, "events").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "ssq_" + _uuid.uuid4().hex[:8]
+    q = (
+        _stream.stateful_sessions(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+
+
 def q_stream_incremental_triples(spark, sf_dir):
     """incremental_triples executed AS A STREAM: the documents corpus is
     written out as 4 page files, consumed 2-files-per-trigger (so the
@@ -1790,6 +1825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_byte_stats": q_mm_byte_stats,
     "mm_byte_histogram": q_mm_byte_histogram,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessions": q_stream_sessions,
     "stream_incremental_triples": q_stream_incremental_triples,
     "skew_salted_count": q_skew_salted_count,
     "skew_salted_join": q_skew_salted_join,
@@ -1848,6 +1884,7 @@ ORACLES: dict[str, str] = {
     "mm_byte_stats": ORACLE_MM_STATS,
     "mm_byte_histogram": _oracle_mm_hist(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
+    "stream_sessions": ORACLE_SESSIONS,
     "stream_incremental_triples": ORACLE_KG_FLAGSHIP,
     "skew_salted_count": ORACLE_SALTED_COUNT,
     "skew_salted_join": ORACLE_SALTED_JOIN,
