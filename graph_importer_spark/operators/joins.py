@@ -63,33 +63,33 @@ def asof_join(
     # match; strict mode instead sorts them after (side=2), so a right
     # row at exactly left_ts is not visible to that left row.
     r = right.select(
-        F.col(on).alias("k"),
-        F.col(right_ts).alias("t"),
-        F.lit(2 if strict else 0).alias("side"),
-        payload.alias("p"),
+        F.col(on).alias("__asof_k"),
+        F.col(right_ts).alias("__asof_t"),
+        F.lit(2 if strict else 0).alias("__asof_side"),
+        payload.alias("__asof_p"),
     )
     lcols = [F.col(c) for c in left.columns]
     l = left.select(  # noqa: E741
-        F.col(on).alias("k"),
-        F.col(left_ts).alias("t"),
-        F.lit(1).alias("side"),
-        F.lit(None).cast(r.schema["p"].dataType).alias("p"),
+        F.col(on).alias("__asof_k"),
+        F.col(left_ts).alias("__asof_t"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(r.schema["__asof_p"].dataType).alias("__asof_p"),
         *lcols,
     )
     w = (
-        Window.partitionBy("k")
-        .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("p").asc_nulls_first())
+        Window.partitionBy("__asof_k")
+        .orderBy(F.col("__asof_t").asc(), F.col("__asof_side").asc(), F.col("__asof_p").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r, allowMissingColumns=True).withColumn(
-        "match", F.last("p", ignorenulls=True).over(w)
+        "__asof_m", F.last("__asof_p", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("side") == 1)
+    out = carried.filter(F.col("__asof_side") == 1)
     if tolerance is not None:
-        fresh = F.col("match.r_ts") >= (F.col("t") - tolerance)
-        out = out.withColumn("match", F.when(fresh, F.col("match")))
+        fresh = F.col("__asof_m.r_ts") >= (F.col("__asof_t") - tolerance)
+        out = out.withColumn("__asof_m", F.when(fresh, F.col("__asof_m")))
     return out.select(
         *[F.col(c) for c in left.columns],
-        F.col("match.r_ts").alias("r_ts"),
-        *[F.col(f"match.r_{c}").alias(f"r_{c}") for c in right_payload],
+        F.col("__asof_m.r_ts").alias("r_ts"),
+        *[F.col(f"__asof_m.r_{c}").alias(f"r_{c}") for c in right_payload],
     )
