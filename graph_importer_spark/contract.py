@@ -182,6 +182,57 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 """
 
 
+def q_quantiles_value(spark, sf_dir):
+    """Exact distributed quantiles (SURVEY §2.4): percentile_disc picks
+    an actual data value (no interpolation arithmetic to diverge
+    cross-engine) per event_type.  Spark computes it as a single-pass
+    sort-based aggregate per group."""
+    ev = T(spark, sf_dir, "events")
+    qd = lambda p: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        qd(0.25).alias("p25"),
+        qd(0.5).alias("p50"),
+        qd(0.9).alias("p90"),
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT event_type, COUNT(*) AS n_events,
+  quantile_disc(value, 0.25) AS p25,
+  quantile_disc(value, 0.5) AS p50,
+  quantile_disc(value, 0.9) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_pivot_hourly(spark, sf_dir):
+    """Pivot surface (SURVEY §2.4): hour-of-day x event_type count
+    matrix — groupBy().pivot() with an explicit value list (at scale the
+    list must be pinned; letting Spark scan for distinct pivot values is
+    an extra pass over the data)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour(F.col("ts").cast("timestamp")).alias("hour_of_day"))
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+ORACLE_PIVOT = """
+SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'view') AS view,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'signup') AS signup
+FROM events GROUP BY 1
+"""
+
+
 def q_events_json_stats(spark, sf_dir):
     """JSON scalar-function surface (SURVEY §2.6 absent-row): pull the
     numeric field out of the props JSON string per event and aggregate
@@ -1793,6 +1844,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_top_orders": q_window_top_orders,
     "semi_join_segments": q_semi_join_segments,
     "anti_join_unordered_parts": q_anti_join_unordered_parts,
+    "quantiles_value": q_quantiles_value,
+    "pivot_hourly": q_pivot_hourly,
     "events_json_stats": q_events_json_stats,
     "rollup_pricing": q_rollup_pricing,
     "events_hourly": q_events_hourly,
@@ -1852,6 +1905,8 @@ ORACLES: dict[str, str] = {
     "window_top_orders": ORACLE_TOP_ORDERS,
     "semi_join_segments": ORACLE_SEMI,
     "anti_join_unordered_parts": ORACLE_ANTI,
+    "quantiles_value": ORACLE_QUANTILES,
+    "pivot_hourly": ORACLE_PIVOT,
     "events_json_stats": ORACLE_EVENTS_JSON,
     "rollup_pricing": ORACLE_ROLLUP,
     "events_hourly": ORACLE_HOURLY,
