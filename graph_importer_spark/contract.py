@@ -382,6 +382,47 @@ FROM c WHERE side = 1
 """
 
 
+def q_interval_prior_clicks(spark, sf_dir):
+    """Interval/range join (operators/joins.interval_join): how many
+    clicks did the user make in the 10 minutes up to each error —
+    the time-bucketed equi-join shape (<=2 bucket probes per row), not
+    an inequality theta join; zeros kept via a left join back."""
+    from graph_importer_spark.operators.joins import interval_join
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = interval_join(errors, clicks, on="user_id", lower_s=-600, upper_s=0)
+    counts = j.groupBy("event_id").agg(F.count("*").alias("n_prior_clicks"))
+    return (
+        errors.select("event_id", "user_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_prior_clicks", F.lit(0)).alias("n_prior_clicks"),
+        )
+    )
+
+
+ORACLE_INTERVAL = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS lt
+  FROM events WHERE event_type = 'error'),
+r AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS rt
+  FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, COUNT(r.rt) AS n_prior_clicks
+FROM l LEFT JOIN r
+  ON r.user_id = l.user_id AND r.rt >= l.lt - 600 AND r.rt <= l.lt
+GROUP BY l.event_id, l.user_id
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling (operators/sampling): keep all
     errors, half the clicks, a quarter of the views — the congruential
@@ -1851,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "asof_last_click": q_asof_last_click,
+    "interval_prior_clicks": q_interval_prior_clicks,
     "sample_stratified": q_sample_stratified,
     "sample_hash": q_sample_hash,
     "imp_edge_parse": q_imp_edge_parse,
@@ -1912,6 +1954,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": ORACLE_HOURLY,
     "events_sessions": ORACLE_SESSIONS,
     "asof_last_click": ORACLE_ASOF,
+    "interval_prior_clicks": ORACLE_INTERVAL,
     "sample_stratified": _oracle_sample_stratified(),
     "sample_hash": _oracle_sample_hash(),
     "imp_edge_parse": ORACLE_EDGE_PARSE,

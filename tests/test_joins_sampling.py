@@ -135,3 +135,47 @@ def test_asof_matches_pandas_merge_asof(spark):
         for row in ref.itertuples()
     }
     assert got == want and len(got) == len(lrows)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import random
+
+    from graph_importer_spark.operators.joins import interval_join
+
+    rnd = random.Random(13)
+    lrows = [
+        (i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=rnd.randint(0, 900)))
+        for i in range(120)
+    ]
+    rrows = [
+        (500 + i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=rnd.randint(0, 900)))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "click_id long, user_id long, ts timestamp")
+    got = {
+        (r["event_id"], r["r_click_id"])
+        for r in interval_join(left, right, on="user_id", lower_s=-60, upper_s=30).collect()
+    }
+    want = {
+        (e, c)
+        for (e, ku, lt) in lrows
+        for (c, kr, rt) in rrows
+        if ku == kr and lt + dt.timedelta(seconds=-60) <= rt <= lt + dt.timedelta(seconds=30)
+    }
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_inclusive_bounds_and_plan(spark):
+    from graph_importer_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame([(1, 7, _ts(30))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 7, _ts(20)), (11, 7, _ts(30)), (12, 7, _ts(35)), (13, 7, _ts(36)), (14, 8, _ts(30))],
+        "click_id long, user_id long, ts timestamp",
+    )
+    j = interval_join(left, right, on="user_id", lower_s=-10, upper_s=5)
+    got = sorted(r["r_click_id"] for r in j.collect())
+    assert got == [10, 11, 12]  # both endpoints inclusive; key 8 excluded
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
