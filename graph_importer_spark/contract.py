@@ -1718,6 +1718,41 @@ FROM b GROUP BY media_id, n_bytes
 """
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """1->N frame-sampling plumbing (operators/multimodal.frame_sample):
+    each payload split into 4 contiguous chunks through mapInPandas,
+    frames fingerprinted JVM-side (md5).  ORACLE PRECONDITION: the
+    oracle slices the text as VARCHAR, which equals byte slicing iff the
+    corpus is pure ASCII — true for the driver's testdata (asserted in
+    tests/test_contract.py::test_frame_oracle_ascii_precondition)."""
+    from graph_importer_spark.operators.multimodal import frame_sample
+
+    m = _docs_media(spark, sf_dir).filter(F.col("media_id") < 100)
+    return frame_sample(m, n_frames=4).select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+ORACLE_MM_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id, text AS p, length(text) AS b
+  FROM documents WHERE doc_id < 100),
+sz AS (SELECT media_id, p, b, b // 4 AS size FROM m),
+f AS (
+  SELECT media_id, CAST(k AS BIGINT) AS frame_idx,
+         CASE WHEN k < 3 THEN substring(p, k * size + 1, size)
+              ELSE substring(p, 3 * size + 1, b - 3 * size) END AS frame
+  FROM sz, UNNEST(generate_series(0, 3)) AS t(k) WHERE b >= 4
+  UNION ALL
+  SELECT media_id, CAST(0 AS BIGINT), p FROM sz WHERE b < 4)
+SELECT media_id, frame_idx, length(frame) AS n_bytes, md5(frame) AS frame_md5
+FROM f
+"""
+
+
 # -- streaming (SURVEY §2.7 — the graft's Structured Streaming surface) -----
 
 def q_stream_windowed_counts(spark, sf_dir):
@@ -1919,6 +1954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup": q_emb_near_dup,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_byte_histogram": q_mm_byte_histogram,
+    "mm_frame_sample": q_mm_frame_sample,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sessions": q_stream_sessions,
     "stream_incremental_triples": q_stream_incremental_triples,
@@ -1981,6 +2017,7 @@ ORACLES: dict[str, str] = {
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "mm_byte_stats": ORACLE_MM_STATS,
     "mm_byte_histogram": _oracle_mm_hist(),
+    "mm_frame_sample": ORACLE_MM_FRAMES,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
     "stream_sessions": ORACLE_SESSIONS,
     "stream_incremental_triples": ORACLE_KG_FLAGSHIP,

@@ -142,3 +142,82 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(512)) + 16).alias("meta_height"),
     )
     return df
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, n_frames: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """UDTF-shaped 1->N frame sampling plumbing: split each payload into
+    ``n_frames`` contiguous chunks (deterministic stand-in for keyframe
+    extraction — the real codec call would replace the slicing, the
+    Arrow batch shape and fan-out stay identical).  Frame k of a
+    b-byte payload is bytes [k*(b//n), (k+1)*(b//n)) with the remainder
+    appended to the last frame; payloads shorter than ``n_frames``
+    bytes emit one frame.
+
+    Plumbing notes at real media scale: binary in/binary out through
+    Arrow both ways, one output row per frame (pre-partition by
+    media_id hash upstream if frames feed a keyed stage), zero
+    driver involvement.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = b"" if payload is None else bytes(payload)
+                if len(b) < n_frames:
+                    rows.append((mid, 0, b))
+                    continue
+                size = len(b) // n_frames
+                for k in range(n_frames):
+                    end = (k + 1) * size if k < n_frames - 1 else len(b)
+                    rows.append((mid, k, b[k * size : end]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.select("media_id", payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: truncate/stride the byte stream to
+    width*height bytes (a real implementation decodes, resamples and
+    re-encodes; tests pin the plumbing with this)."""
+    b = bytes(payload or b"")
+    target = max(1, width * height)
+    if len(b) <= target:
+        return b
+    step = len(b) // target
+    return b[:: max(1, step)][:target]
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Batch resize plumbing over mapInPandas: same schema out as in,
+    payload replaced by the resized bytes and meta_width/meta_height
+    updated.  Uses the real codec when available (HAVE_PIL), else the
+    deterministic ``fake_resize`` — the stub boundary is the codec
+    call only, never the Spark plumbing."""
+    if HAVE_PIL:  # pragma: no cover - no image libs in this container
+        raise NotImplementedError("wire PIL resize into the batch loop here")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = [
+                fake_resize(p, width, height) for p in out[payload_col]
+            ]
+            out["meta_width"] = width
+            out["meta_height"] = height
+            yield out
+
+    return media.mapInPandas(run, media.schema)

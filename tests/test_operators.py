@@ -249,3 +249,39 @@ def test_salted_collect_set(spark):
     )
     got = {r["k"]: sorted(r["values"]) for r in skew.salted_collect_set(df, "k", "v", buckets=4).collect()}
     assert got == {"a": [1, 2], "b": [3]}
+
+
+def test_frame_sample_fanout_and_reassembly(spark):
+    from graph_importer_spark.operators import multimodal as mm
+
+    media = mm.synth_media(spark, n=12)
+    frames = mm.frame_sample(media, n_frames=4).collect()
+    by_id = {}
+    for r in sorted(frames, key=lambda r: (r["media_id"], r["frame_idx"])):
+        by_id.setdefault(r["media_id"], []).append(bytes(r["frame"]))
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(by_id) == set(payloads)
+    for mid, chunks in by_id.items():
+        assert len(chunks) == 4  # payloads are ~72 bytes, always 4 frames
+        assert b"".join(chunks) == payloads[mid]  # lossless partition
+
+
+def test_frame_sample_short_payload_single_frame(spark):
+    from graph_importer_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"ab"), "f", 1, 1)], mm.MEDIA_SCHEMA
+    )
+    rows = mm.frame_sample(media, n_frames=4).collect()
+    assert len(rows) == 1 and bytes(rows[0]["frame"]) == b"ab"
+
+
+def test_resize_media_fake_codec(spark):
+    from graph_importer_spark.operators import multimodal as mm
+
+    media = mm.synth_media(spark, n=6)
+    out = mm.resize_media(media, width=4, height=3).collect()
+    assert {r["media_id"] for r in out} == set(range(6))
+    for r in out:
+        assert r["meta_width"] == 4 and r["meta_height"] == 3
+        assert len(bytes(r["payload"])) <= 12
