@@ -182,6 +182,49 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 """
 
 
+def q_approx_distinct_users(spark, sf_dir):
+    """Mergeable FM cardinality sketch (operators/sketches.fm_distinct):
+    approximate distinct users per event_type.  Unlike
+    approx_count_distinct's engine-internal HLL++ bytes, every bit of
+    this sketch is replayable in SQL — the oracle recomputes the
+    identical masks/bit_or/estimate, so the 'approximate' operator
+    still gets an EXACT correctness gate."""
+    from graph_importer_spark.operators.sketches import fm_distinct
+
+    ev = T(spark, sf_dir, "events")
+    est = fm_distinct(ev, ["event_type"], "user_id", registers=16, seed=9)
+    return est.select(
+        "event_type", F.round("approx_distinct", 4).alias("approx_users")
+    )
+
+
+def _oracle_fm_distinct(registers: int = 16, seed: int = 9) -> str:
+    def mask(r: int) -> str:
+        h = (
+            f"GREATEST(((user_id % {_gen._M}) * {_gen._A} + {r * 131 + seed})"
+            f" % {_gen._M}, CAST(1 AS BIGINT))"
+        )
+        return (
+            f"bit_or((CAST(1 AS BIGINT) <<"
+            f" LEAST(bit_count((({h}) & -({h})) - 1), 40))) AS m{r}"
+        )
+
+    masks = ",\n    ".join(mask(r) for r in range(registers))
+    zsum = " + ".join(
+        f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS DOUBLE)"
+        for r in range(registers)
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type,
+    {masks}
+  FROM events GROUP BY event_type)
+SELECT event_type,
+  round(pow(2.0, ({zsum}) / {registers}.0) / 0.77351, 4) AS approx_users
+FROM s
+"""
+
+
 def q_quantiles_value(spark, sf_dir):
     """Exact distributed quantiles (SURVEY §2.4): percentile_disc picks
     an actual data value (no interpolation arithmetic to diverge
@@ -1920,6 +1963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_top_orders": q_window_top_orders,
     "semi_join_segments": q_semi_join_segments,
     "anti_join_unordered_parts": q_anti_join_unordered_parts,
+    "approx_distinct_users": q_approx_distinct_users,
     "quantiles_value": q_quantiles_value,
     "pivot_hourly": q_pivot_hourly,
     "events_json_stats": q_events_json_stats,
@@ -1983,6 +2027,7 @@ ORACLES: dict[str, str] = {
     "window_top_orders": ORACLE_TOP_ORDERS,
     "semi_join_segments": ORACLE_SEMI,
     "anti_join_unordered_parts": ORACLE_ANTI,
+    "approx_distinct_users": _oracle_fm_distinct(),
     "quantiles_value": ORACLE_QUANTILES,
     "pivot_hourly": ORACLE_PIVOT,
     "events_json_stats": ORACLE_EVENTS_JSON,

@@ -285,3 +285,27 @@ def test_resize_media_fake_codec(spark):
     for r in out:
         assert r["meta_width"] == 4 and r["meta_height"] == 3
         assert len(bytes(r["payload"])) <= 12
+
+
+def test_fm_distinct_tracks_true_cardinality(spark):
+    from graph_importer_spark.operators.sketches import fm_distinct
+
+    rows = [(i % 3, i % 500 if i % 3 else i % 40) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp long, key long")
+    got = {r["grp"]: r["approx_distinct"] for r in fm_distinct(df, ["grp"], "key").collect()}
+    true = {r["grp"]: r["n"] for r in df.groupBy("grp").agg(F.countDistinct("key").alias("n")).collect()}
+    for g, n in true.items():
+        assert 0.4 * n <= got[g] <= 2.5 * n  # FM band at r=16
+
+
+def test_fm_distinct_partition_invariant_and_mergeable(spark):
+    from graph_importer_spark.operators.sketches import fm_distinct
+
+    rows = [(0, i % 123) for i in range(1000)]
+    df = spark.createDataFrame(rows, "grp long, key long")
+    a = fm_distinct(df, ["grp"], "key").collect()[0]["approx_distinct"]
+    b = fm_distinct(df.repartition(17), ["grp"], "key").collect()[0]["approx_distinct"]
+    assert a == b  # bit_or is order/partition-invariant
+    # duplicating every row must not move the estimate (idempotent sketch)
+    c = fm_distinct(df.unionAll(df), ["grp"], "key").collect()[0]["approx_distinct"]
+    assert a == c
