@@ -61,7 +61,9 @@ from graph_importer_spark.operators.multimodal import byte_histogram, byte_stats
 from graph_importer_spark.cc import connected_components, connected_components_str
 
 _M = _gen._M
+_M2 = _gen._M2
 _A = _gen._A
+_A2 = _gen._A2
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -200,9 +202,17 @@ def q_approx_distinct_users(spark, sf_dir):
 
 def _oracle_fm_distinct(registers: int = 16, seed: int = 9) -> str:
     def mask(r: int) -> str:
+        # mirror sketches._mask: pmod-reduced key, two rounds over two
+        # coprime primes chained to ~2^40 (a single mod-M round caps
+        # trailing zeros ~19 AND collapses the key space to M residues)
+        k1 = f"(((user_id % {_gen._M}) + {_gen._M}) % {_gen._M})"
+        k2 = f"(((user_id % {_gen._M2}) + {_gen._M2}) % {_gen._M2})"
+        h1 = f"(({k1} * {_gen._A} + {r * 131 + seed}) % {_gen._M})"
+        h2 = f"(({k2} * {_gen._A2} + {r * 131 + seed + 71}) % {_gen._M2})"
+        hraw = f"({h1} * {_gen._M2} + {h2})"
         h = (
-            f"GREATEST(((user_id % {_gen._M}) * {_gen._A} + {r * 131 + seed})"
-            f" % {_gen._M}, CAST(1 AS BIGINT))"
+            f"GREATEST(xor(xor({hraw}, {hraw} >> 13), {hraw} >> 27),"
+            " CAST(1 AS BIGINT))"
         )
         return (
             f"bit_or((CAST(1 AS BIGINT) <<"
@@ -1041,8 +1051,12 @@ def _oracle_effective_closeness(
         f"""s0 AS MATERIALIZED (
   SELECT id, reg, (CAST(1 AS BIGINT) << LEAST(bit_count((hp & -hp) - 1), 40)) AS mask
   FROM (SELECT id, reg,
-          GREATEST(((id % {_M}) * {_A} + reg * 131 + {seed}) % {_M}, CAST(1 AS BIGINT)) AS hp
-        FROM v, regs))""",
+          GREATEST(xor(xor(hraw, hraw >> 13), hraw >> 27),
+                   CAST(1 AS BIGINT)) AS hp
+        FROM (SELECT id, reg,
+                (((id % {_M}) * {_A} + reg * 131 + {seed}) % {_M}) * {_M2}
+                + (((id % {_M2}) * {_A2} + reg * 131 + {seed + 71}) % {_M2}) AS hraw
+              FROM v, regs)))""",
         f"e0 AS MATERIALIZED (SELECT id, pow(2.0, AVG({z})) / 0.77351 AS est"
         " FROM s0 GROUP BY id)",
     ]

@@ -431,7 +431,7 @@ def effective_closeness(
     equals the fixed-``max_iter`` chained-CTE oracle replay.  Every
     operation is int64 bit math + the congruential hash — replayable in
     SQL bit-for-bit."""
-    from graph_importer_spark.operators.generators import _A, _M
+    from graph_importer_spark.operators.generators import _A, _A2, _M, _M2
 
     sym = (
         edges.select("src", "dst")
@@ -442,8 +442,24 @@ def effective_closeness(
     )
     verts = _vertices_of(sym)
     regs = verts.sparkSession.range(registers).select(F.col("id").alias("reg"))
-    # init: self-only sketch, one geometric bit per register
-    h = F.pmod(F.pmod("id", F.lit(_M)) * F.lit(_A) + F.col("reg") * 131 + F.lit(seed), F.lit(_M))
+    # init: self-only sketch, one geometric bit per register.  Two
+    # congruential rounds over two coprime primes chained to ~2^40
+    # (h1*M2 + h2) — a single mod-M round both spans only ~2^20
+    # (trailing-zero index <= ~19) and collapses the id space to M
+    # residues, saturating reachable-set estimates around ~10^6
+    # vertices; the CRT pair keeps ids injective to ~10^12 (the
+    # web-scale design point needs the full 40-bit cap).
+    h1 = F.pmod(
+        F.pmod("id", F.lit(_M)) * F.lit(_A) + F.col("reg") * 131 + F.lit(seed), F.lit(_M)
+    )
+    h2 = F.pmod(
+        F.pmod("id", F.lit(_M2)) * F.lit(_A2) + F.col("reg") * 131 + F.lit(seed + 71),
+        F.lit(_M2),
+    )
+    # xor-shift finalizer kills the arithmetic-progression low-bit bias
+    # of the affine rounds for consecutive ids (integer-exact in SQL)
+    hraw = h1 * F.lit(_M2) + h2
+    h = hraw.bitwiseXOR(F.shiftright(hraw, 13)).bitwiseXOR(F.shiftright(hraw, 27))
     # bit index = trailing zeros of the hash (geometric); tz(0) is
     # undefined so hash 0 is nudged to 1 (bit 0) — same guard in the SQL.
     sk = (

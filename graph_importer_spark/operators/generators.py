@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _M = 1000003  # prime modulus for the unit-interval hash
+_M2 = 999983  # second coprime prime: CRT pair (k%M, k%M2) stays injective to ~10^12
 _A = 2654435761  # Knuth multiplicative constant
 
 

@@ -26,14 +26,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_importer_spark.operators.generators import _A, _M
+from graph_importer_spark.operators.generators import _A, _A2, _M, _M2
 
 PHI = 0.77351  # Flajolet-Martin correction constant
 
 
 def _mask(key_col: str, reg: int, seed: int) -> F.Column:
+    # Two congruential rounds over two DIFFERENT primes, chained into a
+    # ~40-bit value (h1*M2 + h2 < 2^40).  A single mod-M round is doubly
+    # capped near ~10^6: the hash output spans only ~2^20 (trailing-zero
+    # index <= ~19, so registers saturate around ~1.3M distinct), AND the
+    # key reduction `key % M` itself collapses the key space to M
+    # residues.  Reducing by two coprime primes keeps (k1, k2) injective
+    # up to M*M2 ~= 10^12 keys (CRT), restoring the full 40-bit budget of
+    # the `least(..., 40)` cap.  Keys are reduced with pmod semantics
+    # (((k % M) + M) % M) so negative int64 keys hash like any other
+    # value instead of collapsing to bit 0.  Intermediates stay < 2^52 —
+    # no int64 overflow under ANSI mode — and the whole formula remains
+    # replayable in DuckDB SQL (see contract._oracle_fm_distinct).
+    # The affine rounds alone leave arithmetic-progression structure in
+    # the low bits for consecutive keys (trailing-zero bias); the
+    # xor-shift finalizer (murmur-style, integer-exact in both engines)
+    # folds the high bits back down and removes it.
+    k1 = f"((({key_col} % {_M}) + {_M}) % {_M})"
+    k2 = f"((({key_col} % {_M2}) + {_M2}) % {_M2})"
+    h1 = f"(({k1} * {_A} + {reg * 131 + seed}) % {_M})"
+    h2 = f"(({k2} * {_A2} + {reg * 131 + seed + 71}) % {_M2})"
+    hraw = f"({h1} * {_M2} + {h2})"
     h = (
-        f"GREATEST((({key_col} % {_M}) * {_A} + {reg * 131 + seed}) % {_M},"
+        f"GREATEST({hraw} ^ shiftright({hraw}, 13) ^ shiftright({hraw}, 27),"
         " CAST(1 AS BIGINT))"
     )
     return F.expr(

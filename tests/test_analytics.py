@@ -115,13 +115,17 @@ def test_linerank_partition_invariance(spark):
 
 def test_effective_closeness_orders_center_over_leaf(spark):
     # path graph 0-1-2-3-4: the center (2) has the smallest distance sum,
-    # the FM estimate must preserve that ordering; symmetric pairs match
+    # the FM estimate must preserve that ordering.  On a 5-node graph the
+    # per-vertex estimates differ by fractions of the ~1.3/sqrt(r) FM
+    # band, so this ordering check needs a high register count (128) to
+    # be statistically stable — accuracy at tiny n is bought with
+    # registers, which is exactly the FM trade-off.
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     rows = {
         r["id"]: r["closeness"]
-        for r in effective_closeness(edges, registers=32, max_iter=8).collect()
+        for r in effective_closeness(edges, registers=128, max_iter=8).collect()
     }
     assert len(rows) == 5
     assert rows[2] == max(rows.values())  # center is most central

@@ -298,6 +298,31 @@ def test_fm_distinct_tracks_true_cardinality(spark):
         assert 0.4 * n <= got[g] <= 2.5 * n  # FM band at r=16
 
 
+def test_fm_distinct_at_ten_million_keys(spark):
+    """The design-point regression: a single mod-M (~2^20) hash round
+    caps the trailing-zero index near 19, saturating the registers
+    around ~1.3M distinct keys.  The chained 40-bit hash must keep
+    tracking at >= 10^7 distinct keys within the FM error band."""
+    from graph_importer_spark.operators.sketches import fm_distinct
+
+    n = 10_000_000
+    df = spark.range(n).select(F.lit(0).alias("grp"), F.col("id").alias("key"))
+    got = fm_distinct(df, ["grp"], "key", registers=16).collect()[0]["approx_distinct"]
+    assert 0.5 * n <= got <= 2.0 * n, got
+
+
+def test_fm_distinct_negative_keys_not_collapsed(spark):
+    """Sign regression: with a sign-preserving %, every negative key
+    hashed to bit 0 (GREATEST(h,1)) and the whole negative range counted
+    as ~1 distinct value.  pmod reduction must make a negative key set
+    estimate like a positive one."""
+    from graph_importer_spark.operators.sketches import fm_distinct
+
+    neg = spark.range(5000).select(F.lit(0).alias("grp"), (-F.col("id") - 1).alias("key"))
+    got = fm_distinct(neg, ["grp"], "key", registers=16).collect()[0]["approx_distinct"]
+    assert 0.4 * 5000 <= got <= 2.5 * 5000, got
+
+
 def test_fm_distinct_partition_invariant_and_mergeable(spark):
     from graph_importer_spark.operators.sketches import fm_distinct
 
