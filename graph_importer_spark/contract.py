@@ -1939,14 +1939,24 @@ SELECT l_suppkey, COUNT(*) AS count FROM lineitem GROUP BY l_suppkey
 
 
 def q_skew_salted_join(spark, sf_dir):
-    li = T(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    # facts carry a non-key payload column (l_quantity) so the contract
+    # exercises the non-degenerate salted-join path: the row-ordinal salt
+    # must spread a hot p_partkey even though nothing about the row
+    # content distinguishes its duplicates
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = _skew.salted_join_big_skewed(li, p, "p_partkey", buckets=8)
-    return joined.groupBy("p_brand").agg(F.count("*").alias("n_items"))
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
 
 
 ORACLE_SALTED_JOIN = """
-SELECT p_brand, COUNT(*) AS n_items
+SELECT p_brand, COUNT(*) AS n_items,
+  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """

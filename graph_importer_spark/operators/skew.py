@@ -24,12 +24,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, key: str | Column, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt in [0, buckets): hash of the whole row
-    key + a spread column.  Uses xxhash64 over all columns so identical
-    rows spread too."""
+def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
+    """Per-row salt in [0, buckets) from the row ORDINAL, never the row
+    content: ``monotonically_increasing_id() mod buckets`` deals salts
+    round-robin within every input partition, so a hot key's rows — even
+    byte-identical duplicates, even a fact frame that contains ONLY the
+    join key — spread across all ``buckets``.  (A content hash is
+    degenerate exactly when salting matters: identical rows get identical
+    salts, and a key-only frame gets a salt that is a pure function of
+    the key, parking every row of the hot key on ONE reducer.)
+
+    Determinism caveat: the ordinal is stable for a deterministic source
+    (a parquet scan re-lists the same files in the same order) but a
+    task retry after an upstream SHUFFLE may replay rows in a different
+    order and re-deal the salts.  That is safe for every helper in this
+    module — results never depend on WHICH bucket a row lands in, only
+    that each row lands in exactly one — the same correctness argument
+    Spark applies to round-robin repartition.
+    """
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        col_name, F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     )
 
 
@@ -37,7 +51,7 @@ def salted_count(df: DataFrame, key: str, buckets: int = 32) -> DataFrame:
     """Two-phase count by a (possibly hot) key. Equivalent to
     groupBy(key).count() but the first shuffle spreads each key over
     ``buckets`` reducers."""
-    salted = with_salt(df, key, buckets)
+    salted = with_salt(df, buckets)
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("c"))
     return partial.groupBy(key).agg(F.sum("c").alias("count"))
 
@@ -45,7 +59,7 @@ def salted_count(df: DataFrame, key: str, buckets: int = 32) -> DataFrame:
 def salted_collect_set(df: DataFrame, key: str, value: str, buckets: int = 32) -> DataFrame:
     """Holistic aggregate (collect_set) with explicit salting — the case
     map-side partials don't cover."""
-    salted = with_salt(df, key, buckets)
+    salted = with_salt(df, buckets)
     partial = salted.groupBy(key, "_salt").agg(F.collect_set(value).alias("s"))
     return partial.groupBy(key).agg(
         F.array_distinct(F.flatten(F.collect_list("s"))).alias("values")
@@ -78,9 +92,7 @@ def salted_join_big_skewed(
     AQE's skew-join split usually makes this unnecessary; provided for
     the cases AQE can't split (e.g. followed by a merge-sensitive op).
     """
-    salted_facts = facts.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(buckets))
-    )
+    salted_facts = with_salt(facts, buckets)
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

@@ -243,6 +243,43 @@ def test_salted_join_equals_plain(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_hot_key_spreads_across_salt_buckets(spark):
+    """The degeneracy regression: a KEY-ONLY fact frame (every row of a
+    hot key byte-identical) must still occupy >1 salt bucket — a
+    content-hash salt parks them all on one reducer."""
+    buckets = 8
+    # 10k identical rows of one hot key, nothing but the key column
+    hot = spark.range(10000).select(F.lit(42).alias("k"))
+    occupied = (
+        skew.with_salt(hot, buckets).select("_salt").distinct().count()
+    )
+    assert occupied == buckets
+
+    # the same property through both salted helpers' first shuffle
+    partial = (
+        skew.with_salt(hot, buckets)
+        .groupBy("k", "_salt")
+        .agg(F.count("*").alias("c"))
+    )
+    assert partial.count() == buckets
+
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    joined = skew.salted_join_big_skewed(hot, dim, "k", buckets=buckets)
+    # results still exact: one match row per hot fact row
+    assert joined.count() == 10000
+
+
+def test_salted_count_key_only_frame_correct(spark):
+    # duplicate-heavy key-only frame: counts must stay exact AND the
+    # hot key must not serialize into a single (key, salt) group
+    df = spark.range(9000).select(
+        F.when(F.col("id") < 8000, F.lit(1)).otherwise(F.pmod("id", F.lit(5))).alias("k")
+    )
+    plain = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    salted = {r["k"]: r["count"] for r in skew.salted_count(df, "k", buckets=8).collect()}
+    assert plain == salted
+
+
 def test_salted_collect_set(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 2), ("a", 1), ("b", 3)], "k string, v long"
