@@ -1358,7 +1358,6 @@ po AS (
   FROM p),
 m AS (
   SELECT part, UNNEST(generate_series(off, off + size - 1)) AS id FROM po),
-tot AS (SELECT CAST(SUM(size) AS BIGINT) AS t FROM p),
 intra AS (
   SELECT a.id AS src, b.id AS dst
   FROM m a JOIN m b ON a.part = b.part AND a.id < b.id),
@@ -1369,8 +1368,9 @@ cp AS (
     AND (((a.part * 4 + b.part) % {_M}) * {_A} + 8) % {_M} / {_M}.0 >= 0.25),
 inter AS (
   SELECT a.id AS src, b.id AS dst
-  FROM cp JOIN m a ON a.part = cp.p1 JOIN m b ON b.part = cp.p2 CROSS JOIN tot
-  WHERE (((a.id * tot.t + b.id) % {_M}) * {_A} + 9) % {_M} / {_M}.0 >= 0.3)
+  FROM cp JOIN m a ON a.part = cp.p1 JOIN m b ON b.part = cp.p2
+  WHERE ((((a.id % {_M}) * {_gen._A2} + (b.id % {_M})) % {_M}) * {_A} + 9)
+         % {_M} / {_M}.0 >= 0.3)
 SELECT src, dst FROM intra UNION ALL SELECT src, dst FROM inter
 """
 

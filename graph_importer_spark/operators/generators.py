@@ -122,9 +122,13 @@ def _part_pair_edges(
     b = members.select(F.col("part").alias("p2"), F.col("id").alias("dst"))
     inter = cpairs.join(a, "p1").join(b, "p2").select("src", "dst")
     if prob_missing_one > 0:
-        total = members.count()
-        ekey = F.col("src") * F.lit(total) + F.col("dst")
-        inter = inter.filter(_unit(ekey, seed + 2) >= prob_missing_one)
+        # Bernoulli trial keyed on the congruential pair_key — a pure
+        # function of (src, dst), so no ``members.count()`` job is
+        # needed to mint a mixing constant (one fewer Spark job per
+        # generator call; a full count stalls at 10^12 members).
+        inter = inter.filter(
+            _unit(pair_key(F.col("src"), F.col("dst")), seed + 2) >= prob_missing_one
+        )
     return inter
 
 
