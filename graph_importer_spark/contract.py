@@ -435,6 +435,34 @@ FROM c WHERE side = 1
 """
 
 
+def q_asof_bucketed(spark, sf_dir):
+    """The as-of hot-key escape hatch (bucket_seconds): identical
+    semantics to q_asof_last_click, but the window runs per
+    (user, hour-bucket) with a bucket-level carry, so one pathological
+    user cannot serialize the sort into a single task.  Bit-identical
+    output => same oracle (ORACLE_ASOF)."""
+    from graph_importer_spark.operators.joins import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(
+        errors, clicks, on="user_id", right_payload=["click_id"], bucket_seconds=3600
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.coalesce("r_click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("r_ts"), F.lit(-1)
+        ).alias("gap_sec"),
+    )
+
+
 def q_interval_prior_clicks(spark, sf_dir):
     """Interval/range join (operators/joins.interval_join): how many
     clicks did the user make in the 10 minutes up to each error —
@@ -1966,57 +1994,17 @@ GROUP BY p_brand
 # Registry
 # ---------------------------------------------------------------------------
 
+# Registration order matters operationally: the round driver records
+# CORRECTNESS rows for the FIRST 50 entries only.  Policy: (a) anything
+# added or changed this round goes in the first 50; (b) entries that
+# have never had a driver-green row go in the first 50; (c) long-stable
+# rows (green in multiple past rounds, code untouched) rotate to the
+# tail so everything gets driver-verified across rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # flagship + the entries the r2 driver window truncated (ANN,
+    # multimodal, streaming, skew), plus everything changed this round
     "kg_flagship": q_kg_flagship,
     "kg_extract": q_kg_extract,
-    "cc_star": q_cc_star,
-    "cc_canonical_names": q_cc_canonical_names,
-    "cc_canonical_dense": q_cc_canonical_dense,
-    "pagerank_star": q_pagerank_star,
-    "sssp_tree": q_sssp_tree,
-    "scc_cycles": q_scc_cycles,
-    "lpa_cliques": q_lpa_cliques,
-    "hits_star": q_hits_star,
-    "linerank_star": q_linerank_star,
-    "effective_closeness_tree": q_effective_closeness_tree,
-    "slpa_overlap": q_slpa_overlap,
-    "tri_copurchase": q_tri_copurchase,
-    "kcore_copurchase": q_kcore_copurchase,
-    "pricing_summary": q_pricing_summary,
-    "region_volume": q_region_volume,
-    "window_top_orders": q_window_top_orders,
-    "semi_join_segments": q_semi_join_segments,
-    "anti_join_unordered_parts": q_anti_join_unordered_parts,
-    "approx_distinct_users": q_approx_distinct_users,
-    "quantiles_value": q_quantiles_value,
-    "pivot_hourly": q_pivot_hourly,
-    "events_json_stats": q_events_json_stats,
-    "rollup_pricing": q_rollup_pricing,
-    "events_hourly": q_events_hourly,
-    "events_sessions": q_events_sessions,
-    "asof_last_click": q_asof_last_click,
-    "interval_prior_clicks": q_interval_prior_clicks,
-    "sample_stratified": q_sample_stratified,
-    "sample_hash": q_sample_hash,
-    "imp_edge_parse": q_imp_edge_parse,
-    "imp_smart_keys": q_imp_smart_keys,
-    "imp_unique_insert": q_imp_unique_insert,
-    "gen_clique": q_gen_clique,
-    "gen_tournament": q_gen_tournament,
-    "gen_kpartite": q_gen_kpartite,
-    "gen_cliques_graph": q_gen_cliques_graph,
-    "gen_vertex_docs": q_gen_vertex_docs,
-    "gen_edge_attrs": q_gen_edge_attrs,
-    "dedup_exact": q_dedup_exact,
-    "dedup_fingerprint": q_dedup_fingerprint,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_jaccard_capped": q_dedup_jaccard_capped,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "text_stats": q_text_stats,
-    "text_lang": q_text_lang,
-    "text_quality": q_text_quality,
-    "text_simhash": q_text_simhash,
-    "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,
     "emb_near_dup": q_emb_near_dup,
@@ -2028,6 +2016,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incremental_triples": q_stream_incremental_triples,
     "skew_salted_count": q_skew_salted_count,
     "skew_salted_join": q_skew_salted_join,
+    "asof_bucketed": q_asof_bucketed,
+    "asof_last_click": q_asof_last_click,
+    "interval_prior_clicks": q_interval_prior_clicks,
+    "approx_distinct_users": q_approx_distinct_users,
+    "effective_closeness_tree": q_effective_closeness_tree,
+    "gen_cliques_graph": q_gen_cliques_graph,
+    # graph analytics catalog
+    "cc_star": q_cc_star,
+    "cc_canonical_names": q_cc_canonical_names,
+    "cc_canonical_dense": q_cc_canonical_dense,
+    "pagerank_star": q_pagerank_star,
+    "sssp_tree": q_sssp_tree,
+    "scc_cycles": q_scc_cycles,
+    "lpa_cliques": q_lpa_cliques,
+    "hits_star": q_hits_star,
+    "linerank_star": q_linerank_star,
+    "slpa_overlap": q_slpa_overlap,
+    "tri_copurchase": q_tri_copurchase,
+    "kcore_copurchase": q_kcore_copurchase,
+    # relational / window / sampling
+    "window_top_orders": q_window_top_orders,
+    "quantiles_value": q_quantiles_value,
+    "pivot_hourly": q_pivot_hourly,
+    "events_json_stats": q_events_json_stats,
+    "rollup_pricing": q_rollup_pricing,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "sample_stratified": q_sample_stratified,
+    "sample_hash": q_sample_hash,
+    # training-data pipeline operators
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_stats": q_text_stats,
+    "text_lang": q_text_lang,
+    "text_quality": q_text_quality,
+    "text_simhash": q_text_simhash,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
+    # code untouched this round; rotated here per the policy above ----
+    "pricing_summary": q_pricing_summary,
+    "region_volume": q_region_volume,
+    "semi_join_segments": q_semi_join_segments,
+    "anti_join_unordered_parts": q_anti_join_unordered_parts,
+    "imp_edge_parse": q_imp_edge_parse,
+    "imp_smart_keys": q_imp_smart_keys,
+    "imp_unique_insert": q_imp_unique_insert,
+    "gen_clique": q_gen_clique,
+    "gen_tournament": q_gen_tournament,
+    "gen_kpartite": q_gen_kpartite,
+    "gen_vertex_docs": q_gen_vertex_docs,
+    "gen_edge_attrs": q_gen_edge_attrs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2059,6 +2101,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": ORACLE_HOURLY,
     "events_sessions": ORACLE_SESSIONS,
     "asof_last_click": ORACLE_ASOF,
+    "asof_bucketed": ORACLE_ASOF,
     "interval_prior_clicks": ORACLE_INTERVAL,
     "sample_stratified": _oracle_sample_stratified(),
     "sample_hash": _oracle_sample_hash(),

@@ -34,6 +34,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_names(
+    left: DataFrame, right: DataFrame, prefix: str, out_names: list[str]
+) -> None:
+    """Fail loudly when caller schemas collide with the join's reserved
+    internal columns or its output names — a silent duplicate/ambiguous
+    column is much worse than an error."""
+    reserved = [
+        c for c in set(left.columns) | set(right.columns) if c.startswith(prefix)
+    ]
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with reserved internal "
+            f"prefix '{prefix}'; rename them before the join"
+        )
+    clobbered = sorted(set(left.columns) & set(out_names))
+    if clobbered:
+        raise ValueError(
+            f"left columns {clobbered} collide with the join's output columns "
+            f"{out_names}; rename them or narrow right_payload"
+        )
+
+
+def _epoch_seconds(col: Column, dtype: str) -> Column:
+    """Numeric seconds for bucketing, whatever the timestamp column's
+    physical type (timestamp/date/string -> unix seconds; numerics pass
+    through)."""
+    if dtype in ("bigint", "int", "smallint", "tinyint", "double", "float") or dtype.startswith("decimal"):
+        return col.cast("long")
+    return F.unix_timestamp(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -43,6 +74,7 @@ def asof_join(
     right_payload: list[str] | None = None,
     strict: bool = False,
     tolerance: Column | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: every left row picks the right row with the
     greatest ``right_ts`` <= ``left_ts`` (``<`` when ``strict``) sharing
@@ -53,9 +85,34 @@ def asof_join(
     ``tolerance`` — optional max age: matches older than
     ``left_ts - tolerance`` are nulled out (pandas ``merge_asof``
     semantics).
+
+    ``bucket_seconds`` — hot-key escape hatch.  The default single
+    window sorts each key's full timeline inside one partition; a
+    pathological key holding most of the rows serializes into one task.
+    With ``bucket_seconds=w`` the window runs per (key, floor(ts/w)) —
+    the hot key splits across its time buckets — and matches that cross
+    a bucket boundary come from a bucket-level carry:
+
+      1. within-bucket: the same union-tag running ``last_value`` window,
+         partitioned by (key, bucket);
+      2. per-(key, bucket) right summary: the bucket's last payload via
+         one ``max_by`` aggregate (map-side partials — no sort);
+      3. bucket-level carry: a window over the SUMMARY rows per key
+         (n_buckets rows, not n_rows) propagates the latest payload of
+         any strictly earlier bucket to each left bucket;
+      4. one hash join of the carry back on (key, bucket), then
+         ``coalesce(within, carry)``.
+
+    A bucket-level carry row always has strictly smaller ts than every
+    left row of later buckets, so inclusive/strict semantics and the
+    equal-ts tie-break (larger payload wins) are decided entirely inside
+    the within-bucket window — the result is bit-identical to the
+    unbucketed plan (tests assert this).
     """
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
+    out_names = ["r_ts"] + [f"r_{c}" for c in right_payload]
+    _check_names(left, right, "__asof_", out_names)
     payload = F.struct(
         F.col(right_ts).alias("r_ts"), *[F.col(c).alias(f"r_{c}") for c in right_payload]
     )
@@ -76,8 +133,20 @@ def asof_join(
         F.lit(None).cast(r.schema["__asof_p"].dataType).alias("__asof_p"),
         *lcols,
     )
+    part_cols = ["__asof_k"]
+    if bucket_seconds is not None:
+        w_s = max(int(bucket_seconds), 1)
+        r = r.withColumn(
+            "__asof_b",
+            F.floor(_epoch_seconds(F.col("__asof_t"), dict(right.dtypes)[right_ts]) / w_s),
+        )
+        l = l.withColumn(  # noqa: E741
+            "__asof_b",
+            F.floor(_epoch_seconds(F.col("__asof_t"), dict(left.dtypes)[left_ts]) / w_s),
+        )
+        part_cols = ["__asof_k", "__asof_b"]
     w = (
-        Window.partitionBy("__asof_k")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__asof_t").asc(), F.col("__asof_side").asc(), F.col("__asof_p").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -85,6 +154,40 @@ def asof_join(
         "__asof_m", F.last("__asof_p", ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("__asof_side") == 1)
+    if bucket_seconds is not None:
+        # (2) per-(key, bucket) last right payload — aggregate, not sort
+        rsum = r.groupBy("__asof_k", "__asof_b").agg(
+            F.max_by("__asof_p", F.struct("__asof_t", "__asof_p")).alias("__asof_p")
+        )
+        # (3) carry over SUMMARY rows: left bucket markers (side 1) see
+        # only summaries of strictly earlier buckets (side 2 sorts after)
+        lmark = out.select("__asof_k", "__asof_b").distinct()
+        levels = lmark.select(
+            "__asof_k",
+            "__asof_b",
+            F.lit(1).alias("__asof_side"),
+            F.lit(None).cast(r.schema["__asof_p"].dataType).alias("__asof_p"),
+        ).unionByName(
+            rsum.select(
+                "__asof_k", "__asof_b", F.lit(2).alias("__asof_side"), "__asof_p"
+            )
+        )
+        wb = (
+            Window.partitionBy("__asof_k")
+            .orderBy(F.col("__asof_b").asc(), F.col("__asof_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = (
+            levels.withColumn(
+                "__asof_c", F.last("__asof_p", ignorenulls=True).over(wb)
+            )
+            .filter(F.col("__asof_side") == 1)
+            .select("__asof_k", "__asof_b", "__asof_c")
+        )
+        # (4) hash join back on (key, bucket); within-bucket match wins
+        out = out.drop("__asof_side").join(
+            carry, ["__asof_k", "__asof_b"], "left"
+        ).withColumn("__asof_m", F.coalesce("__asof_m", "__asof_c"))
     if tolerance is not None:
         fresh = F.col("__asof_m.r_ts") >= (F.col("__asof_t") - tolerance)
         out = out.withColumn("__asof_m", F.when(fresh, F.col("__asof_m")))
@@ -130,6 +233,7 @@ def interval_join(
     lts = F.unix_timestamp(F.col(left_ts).cast("timestamp"))
     rts = F.unix_timestamp(F.col(right_ts).cast("timestamp"))
     rpay = [c for c in right.columns if c not in (on, right_ts)]
+    _check_names(left, right, "__iv_", ["r_ts_s"] + [f"r_{c}" for c in rpay])
     r = right.select(
         F.col(on).alias("__iv_k"),
         rts.alias("__iv_rt"),

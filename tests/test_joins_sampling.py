@@ -74,6 +74,83 @@ def test_asof_partition_invariance(spark):
     assert a == b
 
 
+def test_asof_bucketed_bit_identical_to_unbucketed(spark):
+    """The hot-key escape hatch must not change semantics: same rows for
+    plain, strict, and tolerance variants at several bucket widths,
+    including widths smaller than gaps (forcing cross-bucket carries)."""
+    left, right = _frames(spark)
+    for w in (1, 3, 7, 3600):
+        for kwargs in (
+            {},
+            {"strict": True},
+            {"tolerance": F.expr("INTERVAL 0.5 SECOND")},
+        ):
+            a = sorted(map(tuple, asof_join(left, right, on="user_id", **kwargs).collect()))
+            b = sorted(
+                map(
+                    tuple,
+                    asof_join(
+                        left, right, on="user_id", bucket_seconds=w, **kwargs
+                    ).collect(),
+                )
+            )
+            assert a == b, (w, kwargs)
+
+
+def test_asof_bucketed_hot_key_splits_across_tasks(spark):
+    """One key holds >50% of all rows spanning an hour: with
+    bucket_seconds=60 its timeline must split across >1 window group
+    (the plan's window partitions on (key, bucket), not key alone)."""
+    hot_left = [(i, 1, _ts(0) + dt.timedelta(seconds=i)) for i in range(120)]
+    cold_left = [(1000 + i, 2 + i, _ts(i)) for i in range(40)]
+    left = spark.createDataFrame(
+        hot_left + cold_left, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(j, 1, _ts(0) + dt.timedelta(seconds=2 * j), float(j)) for j in range(60)]
+        + [(500 + i, 2 + i, _ts(0), -1.0) for i in range(40)],
+        "click_id long, user_id long, ts timestamp, v double",
+    )
+    bucketed = asof_join(left, right, on="user_id", bucket_seconds=60)
+    plain = asof_join(left, right, on="user_id")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+    # the window's partition spec carries the bucket column
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_b" in plan
+    # and the hot key's rows really occupy >1 (key, bucket) group
+    n_groups = (
+        left.filter(F.col("user_id") == 1)
+        .select(F.floor(F.unix_timestamp("ts") / 60).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_groups > 1
+
+
+def test_join_name_collisions_raise(spark):
+    left, right = _frames(spark)
+    bad_left = left.withColumn("r_ts", F.lit(1))
+    try:
+        asof_join(bad_left, right, on="user_id")
+        raise AssertionError("expected ValueError for output-name collision")
+    except ValueError as e:
+        assert "r_ts" in str(e)
+    bad_right = right.withColumn("__asof_x", F.lit(1))
+    try:
+        asof_join(left, bad_right, on="user_id")
+        raise AssertionError("expected ValueError for reserved-prefix collision")
+    except ValueError as e:
+        assert "__asof_" in str(e)
+    from graph_importer_spark.operators.joins import interval_join
+
+    bad_left2 = left.withColumn("__iv_b", F.lit(1))
+    try:
+        interval_join(bad_left2, right, on="user_id", lower_s=-10, upper_s=0)
+        raise AssertionError("expected ValueError for interval reserved prefix")
+    except ValueError as e:
+        assert "__iv_" in str(e)
+
+
 def test_hash_sample_partition_invariant_and_pushed_down(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     a = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.125).collect())
