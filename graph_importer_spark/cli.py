@@ -102,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--source", type=int, default=0)
     an.add_argument("--k", type=int, default=2, help="k for --algorithm kcore")
     an.add_argument("--result_field", default="result")
+    an.add_argument(
+        "--store",
+        action="store_true",
+        help="write the result back as a field on the vertex documents "
+        "(reference store/resultField semantics, start_Pregel.py:179-192), "
+        "in addition to the <graph>_<algorithm> result table",
+    )
 
     args = ap.parse_args(argv)
 
@@ -202,12 +209,18 @@ def main(argv: list[str] | None = None) -> int:
             # otherwise the source can never match a vertex and sssp
             # "converges" instantly to a single row.
             vt = f"{args.graph_name}_{args.vertices}"
+            # smart keys are '<smart-value>:<id>' where the smart value
+            # need not equal the id (e.g. smart_attribute='part' stores
+            # '<part>:<id>', materialize.smart_key) — so besides the
+            # plain and self-prefixed forms, match any key whose suffix
+            # is ':<source>'
             hit = (
                 cat.read(vt)
                 .filter(
                     F.col("_key").isin(
                         str(args.source), f"{args.source}:{args.source}"
                     )
+                    | F.col("_key").endswith(f":{args.source}")
                 )
                 .select("_key")
                 .limit(1)
@@ -244,6 +257,26 @@ def main(argv: list[str] | None = None) -> int:
             res = A.label_propagation(e, max_iter=args.max_gss)
         out = f"{args.graph_name}_{args.algorithm}"
         cat.create_or_replace(out, res, tag="complete")
+        if args.store:
+            # reference store/resultField parity (start_Pregel.py:179-192):
+            # the Pregel result lands ON the vertex documents.  Vertex ids
+            # in `res` are xxhash64('<coll>/<_key>') (the same keying the
+            # edge frame uses above), so the join key is recomputed from
+            # _key; single-column results take --result_field as the
+            # stored field name, multi-column results (hits) keep theirs.
+            vt = f"{args.graph_name}_{args.vertices}"
+            stored = cat.read(out)
+            val_cols = [c for c in stored.columns if c != "id"]
+            if len(val_cols) == 1 and val_cols[0] != args.result_field:
+                stored = stored.withColumnRenamed(val_cols[0], args.result_field)
+            verts = cat.read(vt).withColumn(
+                "__vid",
+                F.xxhash64(F.concat(F.lit(args.vertices + "/"), F.col("_key"))),
+            )
+            merged = verts.join(
+                stored.withColumnRenamed("id", "__vid"), "__vid", "left"
+            ).drop("__vid")
+            cat.create_or_replace(vt, merged, tag=f"store_{args.algorithm}")
         print(f"{args.algorithm}: {cat.read(out).count()} rows -> {out} "
               f"({time.monotonic() - t0:.1f}s)")
 
