@@ -196,6 +196,13 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 30) -> DataF
     Orzan / FW-BW-style partitioning on DataFrames):
 
     per outer round over the not-yet-assigned subgraph:
+      0. TRIM to a fixpoint: a vertex with in-degree 0 or out-degree 0
+         in the remaining subgraph cannot sit on a cycle — assign it as
+         a singleton SCC and peel it (the FW-BW 'trim' step).  This is
+         what makes chain/tendril shapes cheap: a directed path of n
+         vertices settles entirely in ~n/2 trim supersteps (both ends
+         peel each round) instead of n coloring ROUNDS of O(n)
+         supersteps each;
       1. min-label FORWARD propagation to a fixpoint: color(v) = min id
          that reaches v (CC-shaped join+groupBy-min supersteps, map-side
          partial agg absorbs hot heads);
@@ -203,7 +210,17 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 30) -> DataF
          root along edges whose tail has the same color (a vertex both
          reached-by and reaching the root within its color class);
       3. assign, remove those vertices, repeat — each round settles at
-         least every root's SCC, so rounds <= the longest SCC chain.
+         least every root's SCC, so rounds <= the longest chain OF SCCs
+         that trimming cannot peel.
+
+    Pathological-shape caveat: the worst case is a long chain of
+    NON-TRIVIAL SCCs (e.g. n/3 directed triangles chained head-to-tail)
+    — trimming cannot peel any of it, and the outer loop settles one
+    root-SCC chain level per round, so it needs O(chain length) outer
+    rounds x O(diameter) inner supersteps.  Web-shaped graphs (low
+    diameter, bow-tie structure, SCC chain depth ~ tens — see SCALE.md)
+    are fine; for an adversarial chain raise ``max_iter`` (the loop
+    raises rather than hangs when the budget is exhausted).
 
     Every superstep localCheckpoints with an Observation-fused
     convergence fingerprint (one job per superstep, lineage truncated) —
@@ -221,6 +238,33 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 30) -> DataF
     remaining = verts
     e = e0
     for _outer in range(max_iter):
+        if remaining.isEmpty():
+            break
+        # 0) trim fixpoint: peel in-deg-0 / out-deg-0 vertices (each is
+        # a singleton SCC) before paying for coloring supersteps
+        for _trim in range(max_iter):
+            has_out = e.select(F.col("src").alias("id")).distinct()
+            has_in = e.select(F.col("dst").alias("id")).distinct()
+            core, _ = _fp(
+                remaining.join(has_out, "id", "left_semi").join(
+                    has_in, "id", "left_semi"
+                ),
+                ["id"],
+            )
+            trimmed = remaining.join(core, "id", "left_anti")
+            if trimmed.isEmpty():
+                remaining = core
+                break
+            assigned = assigned.unionByName(
+                trimmed.select("id", F.col("id").alias("scc"))
+            ).localCheckpoint(eager=True)
+            remaining = core
+            e = (
+                e.join(core.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(core.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
         if remaining.isEmpty():
             break
         # 1) forward min-color propagation on the remaining subgraph

@@ -25,9 +25,22 @@ Two backends behind one API:
   test (tests/test_tables_iceberg.py) and runs unchanged on a real
   cluster.
 * default               — parquet directories + a JSON snapshot record
-  per commit.  Local commits write data to a temp dir then os.rename —
-  the same swap discipline Iceberg gets from its metadata pointer,
-  adequate for single-writer pipelines (which the reference is too).
+  per commit.  Local commits are ATOMIC the same way Iceberg's are —
+  visibility flips on a single metadata swap, never on data-file
+  arrival:
+
+  - ``create_or_replace`` stages data + meta in a temp dir and
+    ``os.rename``s the whole table directory into place;
+  - ``append`` stages the new files in a hidden ``.stage-*`` dir,
+    renames it to ``append-<uuid>``, and only then atomically rewrites
+    ``_graft_meta.json`` (tmp file + ``os.rename``) to list the new
+    dir.  Readers union exactly the dirs the meta lists, so a crash
+    between the data rename and the meta rewrite leaves an INVISIBLE
+    orphan directory — a replayed batch appends fresh data without
+    duplicating rows, which is what makes the streaming layer's
+    tag-idempotent foreachBatch exactly-once end to end.
+
+  Adequate for single-writer pipelines (which the reference is too).
 """
 
 from __future__ import annotations
@@ -196,6 +209,7 @@ class GraphCatalog:
             "properties": properties or {},
             "partition_by": partition_by or [],
             "bucket_by": list(bucket_by) if bucket_by else None,
+            "dirs": ["data"],
             "snapshots": [self._snap("create_or_replace", tag)],
         }
         with open(os.path.join(tmp, "_graft_meta.json"), "w") as f:
@@ -204,8 +218,31 @@ class GraphCatalog:
             shutil.rmtree(d)
         os.rename(tmp, d)
 
+    def _write_meta(self, name: str, meta: dict) -> None:
+        """Atomic meta swap: the rename is the commit point (POSIX
+        rename-over-existing is atomic), exactly like Iceberg's metadata
+        pointer flip."""
+        path = self._meta_path(name)
+        tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.rename(tmp, path)
+
+    def _data_dirs(self, name: str) -> list[str]:
+        meta = self._read_meta(name)
+        return [
+            os.path.join(self._dir(name), sub) for sub in meta.get("dirs", ["data"])
+        ]
+
     def append(self, name: str, df: DataFrame, tag: str | None = None) -> None:
-        """Bulk append (reference insert_documents, general.py:122-136)."""
+        """Bulk append (reference insert_documents, general.py:122-136).
+
+        Local backend: stage -> rename -> meta swap.  The appended files
+        become visible ONLY when the meta rewrite lands (the atomic
+        commit point); a crash before it leaves an orphan
+        ``append-*``/``.stage-*`` dir that no reader ever unions in, so
+        a replay cannot duplicate rows.
+        """
         if not self.exists(name):
             self.create_or_replace(name, df, tag=tag)
             return
@@ -214,11 +251,15 @@ class GraphCatalog:
             if tag:
                 self._ice_tag(name, tag)
             return
-        df.write.mode("append").parquet(os.path.join(self._dir(name), "data"))
+        token = uuid.uuid4().hex[:8]
+        stage = os.path.join(self._dir(name), ".stage-" + token)
+        final = os.path.join(self._dir(name), "append-" + token)
+        df.write.mode("overwrite").parquet(stage)
+        os.rename(stage, final)
         meta = self._read_meta(name)
+        meta.setdefault("dirs", ["data"]).append("append-" + token)
         meta["snapshots"].append(self._snap("append", tag))
-        with open(self._meta_path(name), "w") as f:
-            json.dump(meta, f, indent=1)
+        self._write_meta(name, meta)
 
     def drop(self, name: str) -> None:
         if self.use_iceberg:
@@ -231,7 +272,9 @@ class GraphCatalog:
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._ident(name))
-        return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
+        # union exactly the dirs the meta lists — uncommitted appends
+        # (orphan stage/append dirs from a crashed writer) are invisible
+        return self.spark.read.parquet(*self._data_dirs(name))
 
     def file_row_counts(self, name: str) -> list[tuple[str, int]]:
         """Per-file row counts — driver-side metadata only, no Spark job
@@ -247,11 +290,17 @@ class GraphCatalog:
             return [(r["file_path"], int(r["record_count"])) for r in rows]
         import pyarrow.parquet as pq
 
-        data = os.path.join(self._dir(name), "data")
         out = []
-        for fn in sorted(os.listdir(data)):
-            if fn.endswith(".parquet"):
-                out.append((fn, pq.read_metadata(os.path.join(data, fn)).num_rows))
+        for data in self._data_dirs(name):
+            sub = os.path.basename(data)
+            for fn in sorted(os.listdir(data)):
+                if fn.endswith(".parquet"):
+                    out.append(
+                        (
+                            os.path.join(sub, fn),
+                            pq.read_metadata(os.path.join(data, fn)).num_rows,
+                        )
+                    )
         return out
 
     def has_tag(self, name: str, tag: str) -> bool:

@@ -77,6 +77,19 @@ def test_scc_cycles_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_scc_directed_path_settles_via_trimming(spark):
+    """The pathological chain shape: a 50-node directed path is all
+    singleton SCCs.  Without the trim step this needs O(n) coloring
+    ROUNDS (raising at the default max_iter); trimming peels both ends
+    each superstep, so it must complete within the default budget."""
+    n = 50
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(edges).collect()}
+    assert got == {i: i for i in range(n)}
+
+
 def test_scc_partition_invariance(spark):
     edges = spark.createDataFrame(
         [(i, (i * 7 + 3) % 40) for i in range(40)], "src long, dst long"
