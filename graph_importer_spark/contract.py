@@ -1990,6 +1990,30 @@ GROUP BY p_brand
 """
 
 
+def q_skew_salted_topk(spark, sf_dir):
+    """Windowed top-k over hot keys WITHOUT the per-key window sort:
+    events has only 5 event_type values, so a plain row_number window
+    funnels ~n/5 rows into each of 5 tasks — the canonical top-k skew
+    trap.  salted_topk's two-phase (per-bucket top-k, then a <=
+    buckets*k candidate merge) keeps every task bounded.  Exact, so the
+    oracle is the plain window."""
+    ev = T(spark, sf_dir, "events")
+    return _skew.salted_topk(
+        ev, "event_type", "value", "event_id", k=5, payload=["user_id"]
+    )
+
+
+ORACLE_SALTED_TOPK = """
+SELECT event_type, value, event_id, user_id
+FROM (
+  SELECT event_type, value, event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2016,6 +2040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incremental_triples": q_stream_incremental_triples,
     "skew_salted_count": q_skew_salted_count,
     "skew_salted_join": q_skew_salted_join,
+    "skew_salted_topk": q_skew_salted_topk,
     "asof_bucketed": q_asof_bucketed,
     "asof_last_click": q_asof_last_click,
     "interval_prior_clicks": q_interval_prior_clicks,
@@ -2055,9 +2080,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang": q_text_lang,
     "text_quality": q_text_quality,
     "text_simhash": q_text_simhash,
-    "sim_cosine_topk": q_sim_cosine_topk,
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
     # code untouched this round; rotated here per the policy above ----
+    "sim_cosine_topk": q_sim_cosine_topk,
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
     "semi_join_segments": q_semi_join_segments,
@@ -2135,6 +2160,7 @@ ORACLES: dict[str, str] = {
     "stream_incremental_triples": ORACLE_KG_FLAGSHIP,
     "skew_salted_count": ORACLE_SALTED_COUNT,
     "skew_salted_join": ORACLE_SALTED_JOIN,
+    "skew_salted_topk": ORACLE_SALTED_TOPK,
     # every registered query is oracle-checked: the iterative ones replay
     # as chained/recursive CTEs (pagerank_star, sssp_tree), the hash-based
     # ones via md5/congruential-hash formulations (text_simhash,

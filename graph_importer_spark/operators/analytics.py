@@ -408,13 +408,16 @@ def linerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 10) -> Dat
         .select("src", "dst", "out_deg")
         .localCheckpoint(eager=True)
     )
-    m = ed.count()
+    # one setup job for both scalars (edge count + dangling-edge count)
+    head = ed.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("out_deg").isNull(), 1).otherwise(0)).alias("nd"),
+    ).collect()[0]
+    m = int(head["m"])
     if m == 0:
         return spark.createDataFrame([], "id long, linerank double")
     ranks = ed.select("src", "dst", "out_deg", (F.lit(1.0) / m).alias("rank"))
-    dangling = (
-        ranks.filter(F.col("out_deg").isNull()).count() * (1.0 / m)
-    )
+    dangling = int(head["nd"] or 0) * (1.0 / m)
     for _ in range(max_iter):
         # S(v) = sum over incoming edges (u,v) of rank/out_deg(v): feeds
         # every edge with src = v.  Map-side partials absorb hub heads.

@@ -66,6 +66,66 @@ def salted_collect_set(df: DataFrame, key: str, value: str, buckets: int = 32) -
     )
 
 
+def salted_topk(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    k: int,
+    payload: list[str] | None = None,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k rows per (possibly hot) key WITHOUT a per-key window
+    sort: ``row_number() OVER (PARTITION BY key ORDER BY ...)`` sorts a
+    hot key's entire row set inside one task — the canonical windowed
+    top-k skew trap.  Two-phase instead:
+
+      1. per (key, salt): keep only that bucket's top-k via
+         ``slice(array_sort(collect_list(struct)), 1, k)`` — each bucket
+         holds ~rows/buckets rows, and the per-group state the final
+         shuffle carries is <= k structs per bucket;
+      2. per key: flatten the <= buckets*k candidates, sort, slice k,
+         explode back to rows.
+
+    Ordering is DESC by ``order_col``, ties broken ASC by ``tiebreak``
+    (required: without a total order, top-k is nondeterministic and no
+    oracle can replay it).  Returns key + order_col + tiebreak +
+    ``payload`` columns, exactly k rows per key (fewer if the key has
+    fewer rows).
+    """
+    payload = payload or []
+    # struct sorts lexicographically: negate-friendly DESC via a sort
+    # struct of (order_col DESC -> invert through sort keys) is type-
+    # dependent; array_sort with a comparator keeps it generic.
+    row = F.struct(
+        F.col(order_col).alias("o"),
+        F.col(tiebreak).alias("t"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    cmp = (
+        "(l, r) -> CASE WHEN l.o > r.o THEN -1 WHEN l.o < r.o THEN 1 "
+        "WHEN l.t < r.t THEN -1 WHEN l.t > r.t THEN 1 ELSE 0 END"
+    )
+    topk = lambda c: F.slice(F.expr(f"array_sort({c}, {cmp})"), 1, k)  # noqa: E731
+    partial = (
+        with_salt(df, buckets)
+        .groupBy(key, "_salt")
+        .agg(F.collect_list(row).alias("rows"))
+        .select(key, topk("rows").alias("cand"))
+    )
+    merged = (
+        partial.groupBy(key)
+        .agg(F.flatten(F.collect_list("cand")).alias("rows"))
+        .select(key, F.explode(topk("rows")).alias("r"))
+    )
+    return merged.select(
+        key,
+        F.col("r.o").alias(order_col),
+        F.col("r.t").alias(tiebreak),
+        *[F.col(f"r.{c}").alias(c) for c in payload],
+    )
+
+
 def replicated_broadcast_join(
     facts: DataFrame, dim: DataFrame, key: str, how: str = "inner"
 ) -> DataFrame:

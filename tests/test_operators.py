@@ -280,6 +280,37 @@ def test_salted_count_key_only_frame_correct(spark):
     assert plain == salted
 
 
+def test_salted_topk_equals_window_topk(spark):
+    """Two-phase salted top-k must equal the plain row_number window —
+    including a hot key holding most rows, duplicate order values
+    (tiebreak decides), and a key with fewer than k rows."""
+    from pyspark.sql import Window
+
+    rows = [(1, float((i * 37) % 100), i, i % 7) for i in range(5000)]  # hot key
+    rows += [(2, float(i % 3), 10_000 + i, 0) for i in range(20)]  # heavy ties
+    rows += [(3, 5.0, 20_000, 1), (3, 9.0, 20_001, 2)]  # fewer than k
+    df = spark.createDataFrame(rows, "k long, v double, tb long, p long")
+    got = sorted(
+        map(
+            tuple,
+            skew.salted_topk(
+                df, "k", "v", "tb", k=5, payload=["p"], buckets=8
+            ).collect(),
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("tb").asc())
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("k", "v", "tb", "p")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_salted_collect_set(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 2), ("a", 1), ("b", 3)], "k string, v long"
