@@ -1508,6 +1508,58 @@ FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.
 """
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD'03) — zero-shuffle array
+    expression; the oracle replays gram-by-gram via md5 + string min."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return _ts.winnow_fingerprints(d, "doc_id", "text", k=8, w=4)
+
+
+def _oracle_text_winnow(doc_cap: int = 120, k: int = 8, w: int = 4) -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < {doc_cap}),
+p AS (
+  SELECT doc_id, t, length(t) - {k} + 1 AS npos
+  FROM d WHERE length(t) >= {k} + {w} - 1),
+keyed AS (
+  SELECT doc_id, npos,
+    list_transform(generate_series(1, npos),
+      i -> md5(substring(t, i, {k})) || '-' || lpad(CAST(i AS VARCHAR), 12, '0')) AS keys
+  FROM p),
+fp AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, npos - {w} + 1),
+      j -> list_aggregate(keys[j : j + {w} - 1], 'min'))) AS fps
+  FROM keyed)
+SELECT doc_id, substring(u.fp, 1, 32) AS fp_hash,
+       CAST(substring(u.fp, 34) AS INTEGER) AS fp_pos
+FROM fp, UNNEST(fps) AS u(fp)
+"""
+
+
+def q_dedup_winnow(spark, sf_dir):
+    """Fingerprint-sharing near-dup pairs — fp_hash equi-join blocker,
+    df-capped against boilerplate fingerprints."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return _dedup.winnow_pairs(
+        d, "doc_id", "text", k=16, w=8, min_shared=2, max_df=10
+    )
+
+
+def _oracle_dedup_winnow() -> str:
+    return rf"""
+WITH fps AS ({_oracle_text_winnow(150, k=16, w=8)}),
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+dfreq AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 10),
+j AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN dfreq USING (fp_hash))
+SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+FROM j a JOIN j b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_text_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2071,8 +2123,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_hash": q_sample_hash,
     # training-data pipeline operators
-    "dedup_exact": q_dedup_exact,
-    "dedup_fingerprint": q_dedup_fingerprint,
+    "text_winnow": q_text_winnow,
+    "dedup_winnow": q_dedup_winnow,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2082,6 +2134,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_simhash": q_text_simhash,
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
     # code untouched this round; rotated here per the policy above ----
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
     "sim_cosine_topk": q_sim_cosine_topk,
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
@@ -2141,6 +2195,8 @@ ORACLES: dict[str, str] = {
     "gen_edge_attrs": ORACLE_GEN_EDGE_ATTRS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": ORACLE_DEDUP_FP,
+    "text_winnow": _oracle_text_winnow(),
+    "dedup_winnow": _oracle_dedup_winnow(),
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_capped": ORACLE_DEDUP_JACCARD_CAPPED,
     "dedup_minhash_lsh": ORACLE_DEDUP_LSH,

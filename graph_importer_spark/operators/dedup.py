@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graph_importer_spark.operators.textstats import fingerprint, normalize_text
+from graph_importer_spark.operators.textstats import (
+    fingerprint,
+    normalize_text,
+    winnow_fingerprints,
+)
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -169,6 +173,46 @@ def ngram_jaccard_pairs(
             F.round(F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >= ``min_shared`` winnowing
+    fingerprints (the MOSS match heuristic over
+    [[winnow_fingerprints]]).
+
+    The fp_hash equi-join is the blocker — no all-pairs cross; each
+    fingerprint counts once per document (positions collapsed) so
+    n_shared is the number of distinct shared fingerprints.  ``max_df``
+    excludes fingerprints present in > max_df documents from the pair
+    join (boilerplate guard, same stated df-capped approximation as
+    ngram_jaccard_pairs — pairs sharing ONLY ubiquitous fingerprints
+    are missed).  Returns (id1, id2, n_shared) with id1 < id2.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        id_col, "fp_hash"
+    ).distinct()
+    if max_df is not None:
+        dfreq = fp.groupBy("fp_hash").agg(F.count("*").alias("df"))
+        fp = fp.join(
+            dfreq.filter(F.col("df") <= max_df).select("fp_hash"), "fp_hash"
+        )
+    a = fp.select(F.col(id_col).alias("id1"), "fp_hash")
+    b = fp.select(F.col(id_col).alias("id2"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -13,6 +13,8 @@ Operators:
 * simhash64        — 60-bit SimHash over md5(token) (top 15 hex chars as
                      the bit source — md5 is bit-identical in Spark and
                      DuckDB, so the oracle replays the full votes)
+* winnow_fingerprints — MOSS-style rolling k-gram winnowing (SIGMOD'03)
+                     as a zero-shuffle per-document array expression
 """
 
 from __future__ import annotations
@@ -122,6 +124,71 @@ def fingerprint(text: Column) -> Column:
     """md5 hex of the normal form — replayable in DuckDB (md5 of the
     same utf-8 string)."""
     return F.md5(F.encode(normalize_text(text), "UTF-8"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm; public).
+
+    Over the dedup normal form ([[normalize_text]]), hash every k-char
+    gram and, for each window of ``w`` consecutive gram hashes, keep the
+    minimum (ties -> leftmost position). The winnowing guarantee: any
+    shared substring of length >= w + k - 1 contributes at least one
+    shared fingerprint, while only ~2/(w+1) of positions are kept.
+
+    Scale shape (100 TB): the ENTIRE selection is one narrow
+    per-document array expression — sequence -> transform(md5 gram
+    keys) -> transform(array_min(slice)) -> array_distinct — zero
+    shuffle, no per-position explode, one scan of the corpus. Contrast
+    the naive shape (explode one row per char + a w-row window
+    function), which shuffles O(total corpus chars) rows.
+
+    Replayability: gram hash is md5 over utf-8 (bit-identical in
+    DuckDB); the selection key is ``md5hex || '-' || lpad(pos, 12)`` so
+    the lexicographic string MIN orders by (hash, then leftmost pos)
+    identically in both engines with no struct comparison semantics.
+
+    Expression-evaluation trap (why the single-element-array transforms
+    below exist): higher-order functions run interpreted (CodegenFallback
+    — no whole-stage codegen, no subexpression elimination), and
+    CollapseProject INLINES upstream column aliases into the lambda
+    body, so a naive ``withColumn("keys", ...)`` followed by
+    ``transform(windows, j -> array_min(slice(keys, j, w)))`` re-derives
+    the whole keys array — including the normalization regexp — once
+    PER WINDOW: O(len^2) regexp+md5 per document (measured: minutes for
+    120 half-KB docs).  ``transform(array(x), v -> body)[0]`` is the SQL
+    let-binding: the array construction evaluates x exactly once and
+    every reference to v inside body is a NamedLambdaVariable lookup,
+    giving the intended 1 regexp + npos md5 + npos*w comparisons.
+
+    Returns (id_col, fp_hash string, fp_pos int), one row per distinct
+    selected fingerprint; documents shorter than k + w - 1 normalized
+    chars emit no rows.
+    """
+    k, w = int(k), int(w)
+    d = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__t")
+    ).filter(F.length("__t") >= k + w - 1)
+    winnow = (
+        # let t = normal form; let ks = gram selection keys over t
+        f"transform(array(__t), t -> "
+        f"  transform(array(transform(sequence(1, length(t) - {k} + 1), "
+        f"      i -> concat(md5(encode(substring(t, i, {k}), 'utf-8')), '-', "
+        f"           lpad(cast(i as string), 12, '0')))), "
+        f"    ks -> array_distinct(transform(sequence(1, size(ks) - {w} + 1), "
+        f"      j -> array_min(slice(ks, j, {w}))))"
+        f"  )[0]"
+        f")[0]"
+    )
+    return d.select(
+        F.col(id_col), F.explode(F.expr(winnow)).alias("__fp")
+    ).select(
+        id_col,
+        F.substring("__fp", 1, 32).alias("fp_hash"),
+        F.substring("__fp", 34, 12).cast("int").alias("fp_pos"),
+    )
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed int64 exactly

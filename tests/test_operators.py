@@ -90,6 +90,71 @@ def test_simhash_similar_docs_close(spark, docs):
     assert hamming(sh[0], sh[3]) < hamming(sh[0], sh[4])
 
 
+def _py_winnow(text: str, k: int, w: int) -> set[tuple[str, int]]:
+    """Pure-Python reference winnow (Schleimer et al. SIGMOD'03):
+    min-of-window over md5 k-gram keys, ties -> leftmost position."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(t) < k + w - 1:
+        return set()
+    keys = [
+        (hashlib.md5(t[i : i + k].encode()).hexdigest(), i + 1)
+        for i in range(len(t) - k + 1)
+    ]
+    out = set()
+    for j in range(len(keys) - w + 1):
+        out.add(min(keys[j : j + w]))
+    return out
+
+
+def test_winnow_matches_python_reference(spark, docs):
+    got = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in textstats.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4).collect():
+        got[r["doc_id"]].add((r["fp_hash"], r["fp_pos"]))
+    for row in docs.collect():
+        assert got[row["doc_id"]] == _py_winnow(row["text"], 8, 4), row["doc_id"]
+
+
+def test_winnow_coverage_guarantee_and_normal_form(spark, docs):
+    fps = textstats.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    by_doc: dict[int, list[int]] = {}
+    sets: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["fp_pos"])
+        sets.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    # identical and case/ws-variant docs share the exact fingerprint set
+    assert sets[0] == sets[1] == sets[2]
+    # doc 5 is shorter than k + w - 1: no fingerprints
+    assert 5 not in sets
+    # winnowing guarantee: every w-window selects, so consecutive
+    # selected positions are at most w apart
+    for doc_id, ps in by_doc.items():
+        ps = sorted(ps)
+        assert all(b - a <= 4 for a, b in zip(ps, ps[1:])), doc_id
+    # the selection is narrow — no shuffle in the plan
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_winnow_pairs_blocked_join(spark, docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["n_shared"]
+        for r in dedup.winnow_pairs(
+            docs, "doc_id", "text", k=8, w=4, min_shared=2
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+    # identical docs share every distinct fingerprint hash
+    expected = {h for h, _ in _py_winnow("the quick brown fox jumps over the lazy dog", 8, 4)}
+    assert pairs[(0, 1)] == len(expected)
+
+
 def test_token_counts_and_ratios(spark):
     df = spark.createDataFrame(
         [(0, "Hello, world! 123"), (1, ""), (2, "   "), (3, "one")],
