@@ -50,8 +50,11 @@ HEADLINE = [
     "tri_copurchase",
     "kcore_copurchase",
     "asof_last_click",
+    "asof_bucketed",
     "sample_stratified",
     "skew_salted_count",
+    "skew_salted_topk",
+    "dedup_winnow",
 ]
 
 

@@ -1933,6 +1933,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """streaming_dedup executed AS A STREAM (file source over the
+    documents parquet, availableNow trigger, append-mode memory sink):
+    exact content dedup whose state store is watermark-bounded.
+    Arrival time is synthesized deterministically from doc_id so the
+    watermark has an event-time column to bound state with."""
+    import uuid as _uuid
+
+    from graph_importer_spark import streaming as _stream
+
+    docs = (
+        spark.readStream.schema(T(spark, sf_dir, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        # base epoch 2026-01-01: a row at exactly epoch 0 would equal the
+        # engine's INITIAL watermark (0 ms) and be dropped as late
+        .withColumn("ts", F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id")))
+    )
+    name = "sdq_" + _uuid.uuid4().hex[:8]
+    q = (
+        _stream.streaming_dedup(docs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP = r"""
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
 def q_stream_sessions(spark, sf_dir):
     """stateful_sessions executed AS A STREAM (applyInPandasWithState
     keyed state, file source over the events parquet, availableNow,
@@ -2088,6 +2125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_frame_sample": q_mm_frame_sample,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_dedup": q_stream_dedup,
     "stream_sessions": q_stream_sessions,
     "stream_incremental_triples": q_stream_incremental_triples,
     "skew_salted_count": q_skew_salted_count,
@@ -2129,11 +2167,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_stats": q_text_stats,
-    "text_lang": q_text_lang,
     "text_quality": q_text_quality,
     "text_simhash": q_text_simhash,
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
     # code untouched this round; rotated here per the policy above ----
+    "text_lang": q_text_lang,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -2212,6 +2250,7 @@ ORACLES: dict[str, str] = {
     "mm_byte_histogram": _oracle_mm_hist(),
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_sessions": ORACLE_SESSIONS,
     "stream_incremental_triples": ORACLE_KG_FLAGSHIP,
     "skew_salted_count": ORACLE_SALTED_COUNT,

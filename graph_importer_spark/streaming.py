@@ -11,6 +11,9 @@ snapshot-based resume for batch AND adds a true streaming path for the
   the streaming frame (narrow, no state);
 * ``windowed_event_counts`` — watermarked tumbling-window aggregation
   (late rows beyond the watermark dropped by the engine);
+* ``streaming_dedup`` — exact content dedup with watermark-bounded
+  state (dropDuplicatesWithinWatermark over the batch fingerprint
+  normal form);
 * ``incremental_triples`` — foreachBatch driver: runs the batch
   extract->mentions->link->triples chain on each micro-batch and
   appends to the catalog; the stream checkpoint gives exactly-once per
@@ -85,6 +88,36 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup of incoming documents by content
+    fingerprint with WATERMARK-BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per fingerprint and
+    — the part that matters at 10^12 documents — EVICTS a fingerprint
+    from the state store once the watermark passes it, so state is
+    bounded by the dedup horizon (arrival-time duplicate window) instead
+    of growing with the full corpus like plain streaming
+    ``dropDuplicates``.  The fingerprint is the batch dedup normal form
+    ([[fingerprint]]: md5 of lower/ws-collapsed text) — one definition
+    of "duplicate" across the batch and streaming paths.
+
+    Output is restricted to (fp, event time): WHICH duplicate row
+    survives is a first-arrival race under parallelism, so only the
+    deterministic columns leave the operator.
+    """
+    from graph_importer_spark.operators.textstats import fingerprint as _fp
+
+    keyed = docs.select(
+        _fp(F.col(text_col)).alias("fp"), F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
+    return keyed.dropDuplicatesWithinWatermark(["fp"]).select("fp")
 
 
 def _batch_triples(
