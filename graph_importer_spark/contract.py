@@ -2163,7 +2163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data pipeline operators
     "text_winnow": q_text_winnow,
     "dedup_winnow": q_dedup_winnow,
-    "dedup_jaccard": q_dedup_jaccard,
+    "gen_edge_attrs": q_gen_edge_attrs,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_stats": q_text_stats,
@@ -2172,6 +2172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
     # code untouched this round; rotated here per the policy above ----
     "text_lang": q_text_lang,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -2186,7 +2187,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_tournament": q_gen_tournament,
     "gen_kpartite": q_gen_kpartite,
     "gen_vertex_docs": q_gen_vertex_docs,
-    "gen_edge_attrs": q_gen_edge_attrs,
 }
 
 ORACLES: dict[str, str] = {
