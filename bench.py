@@ -55,6 +55,9 @@ HEADLINE = [
     "skew_salted_count",
     "skew_salted_topk",
     "dedup_winnow",
+    "text_gopher",
+    "text_repetition",
+    "dedup_clusters",
 ]
 
 

@@ -1560,6 +1560,120 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters -> keeper: transitive closure of the LSH
+    candidate pairs via connected components (the post-candidate step
+    every real dedup pipeline runs; A~B, B~C drops BOTH B and C)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pairs = _dedup.lsh_candidate_pairs(d, "doc_id", "text", k=3, n_hashes=8, bands=4)
+    return _dedup.dup_clusters(pairs)
+
+
+def _oracle_dedup_clusters() -> str:
+    # transitive closure over the (tiny) pair graph; fine at oracle scale
+    return f"""
+WITH RECURSIVE base AS ({ORACLE_DEDUP_LSH}),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM base
+  UNION SELECT id2, id1 FROM base
+  UNION SELECT id1, id1 FROM base
+  UNION SELECT id2, id2 FROM base),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+SELECT a AS doc_id, MIN(b) AS keeper, a <> MIN(b) AS is_dup
+FROM reach GROUP BY a
+"""
+
+
+def q_text_gopher(spark, sf_dir):
+    """Gopher quality-filter signals (Rae et al. 2021 §A1.1) — one
+    zero-shuffle scan; every rule a codegen'd built-in expression."""
+    d = T(spark, sf_dir, "documents")
+    cols = _ts.gopher_columns(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _oracle_text_gopher() -> str:
+    ntok = r"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END)"
+    toks = r"string_split_regex(trim(text), '\s+')"
+    mwl = (
+        rf"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round(list_reduce(list_transform("
+        rf"{toks}, x -> length(x)), (a, b) -> a + b) / {ntok}, 6) END)"
+    )
+    syms = (
+        r"(len(regexp_extract_all(text, '#', 0)) + len(regexp_extract_all(text, '\.{3,}', 0)))"
+    )
+    swr = f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round({syms} / {ntok}, 6) END)"
+    nb = r"list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)"
+    bullet = (
+        f"(CASE WHEN len({nb}) = 0 THEN 0.0 ELSE round("
+        f"len(list_filter({nb}, l -> regexp_matches(trim(l), '^[-*]'))) / len({nb}), 6) END)"
+    )
+    ell = (
+        f"(CASE WHEN len({nb}) = 0 THEN 0.0 ELSE round("
+        rf"len(list_filter({nb}, l -> regexp_matches(trim(l), '\.\.\.$'))) / len({nb}), 6) END)"
+    )
+    alpha = (
+        f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round("
+        f"len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]'))) / {ntok}, 6) END)"
+    )
+    stops = _dk_stop_hits("en")
+    ok = (
+        f"({ntok} >= 50 AND {ntok} <= 100000 AND {mwl} >= 3.0 AND {mwl} <= 10.0"
+        f" AND {swr} <= 0.1 AND {bullet} <= 0.9 AND {ell} <= 0.3"
+        f" AND {alpha} >= 0.8 AND {stops} >= 2)"
+    )
+    return f"""
+SELECT doc_id, {ntok} AS n_words, {mwl} AS mean_word_len,
+  {swr} AS symbol_word_ratio, {bullet} AS bullet_line_frac,
+  {ell} AS ellipsis_line_frac, {alpha} AS alpha_word_frac,
+  {stops} AS stop_hits, {ok} AS gopher_pass
+FROM documents
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition signals: distinct-word / dup-line fractions are
+    zero-shuffle array expressions; top-2gram is a uniform-keyed
+    partial-agg explode that shrinks back to n_docs before the join."""
+    d = T(spark, sf_dir, "documents")
+    return _ts.repetition_stats(d, "doc_id", "text")
+
+
+def _oracle_text_repetition() -> str:
+    return r"""
+WITH d AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS nb
+  FROM documents),
+base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+         THEN 0 ELSE len(toks) END AS n_words,
+    CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+         THEN 0.0 ELSE round(len(list_distinct(toks)) / len(toks), 6) END AS distinct_word_frac,
+    CASE WHEN len(nb) <= 1 THEN 0.0
+         ELSE round(1 - len(list_distinct(list_transform(nb, l -> trim(l)))) / len(nb), 6)
+    END AS dup_line_frac,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END AS grams
+  FROM d),
+gc AS (
+  SELECT doc_id, round(MAX(c) / SUM(c), 6) AS top_2gram_frac
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM base, UNNEST(grams) AS u(g) GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.distinct_word_frac, b.dup_line_frac,
+       COALESCE(gc.top_2gram_frac, 0.0) AS top_2gram_frac
+FROM base b LEFT JOIN gc ON b.doc_id = gc.doc_id
+"""
+
+
 def q_text_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2151,16 +2265,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tri_copurchase": q_tri_copurchase,
     "kcore_copurchase": q_kcore_copurchase,
     # relational / window / sampling
-    "window_top_orders": q_window_top_orders,
     "quantiles_value": q_quantiles_value,
     "pivot_hourly": q_pivot_hourly,
     "events_json_stats": q_events_json_stats,
     "rollup_pricing": q_rollup_pricing,
-    "events_hourly": q_events_hourly,
-    "events_sessions": q_events_sessions,
     "sample_stratified": q_sample_stratified,
     "sample_hash": q_sample_hash,
     # training-data pipeline operators
+    "text_gopher": q_text_gopher,
+    "text_repetition": q_text_repetition,
+    "dedup_clusters": q_dedup_clusters,
     "text_winnow": q_text_winnow,
     "dedup_winnow": q_dedup_winnow,
     "gen_edge_attrs": q_gen_edge_attrs,
@@ -2171,6 +2285,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_simhash": q_text_simhash,
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
     # code untouched this round; rotated here per the policy above ----
+    "window_top_orders": q_window_top_orders,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
     "text_lang": q_text_lang,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_exact": q_dedup_exact,
@@ -2238,6 +2355,9 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_capped": ORACLE_DEDUP_JACCARD_CAPPED,
     "dedup_minhash_lsh": ORACLE_DEDUP_LSH,
+    "dedup_clusters": _oracle_dedup_clusters(),
+    "text_gopher": _oracle_text_gopher(),
+    "text_repetition": _oracle_text_repetition(),
     "text_stats": ORACLE_TEXT_STATS,
     "text_lang": _oracle_text_lang(),
     "text_quality": _oracle_text_quality(),

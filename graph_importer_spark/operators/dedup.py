@@ -216,6 +216,32 @@ def winnow_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
+    """Collapse near-dup PAIRS into clusters and pick one keeper each —
+    the step every real dedup pipeline needs after candidate generation
+    (pairs are transitive evidence: A~B and B~C must drop two of
+    {A,B,C}, not one, even though (A,C) was never emitted).
+
+    Connected components over the pair graph (cc.connected_components —
+    the same large-star/small-star loop as canonicalization, so the
+    1000-executor scale argument carries over verbatim); cluster id =
+    min member id.  Returns (doc_id, keeper, is_dup) for every document
+    that appears in >= 1 pair; is_dup marks the rows a filter join
+    would drop.  Docs in no pair never enter the CC input (pairs are
+    tiny relative to the corpus — the expensive part was candidate
+    generation, not this).
+    """
+    from graph_importer_spark.cc import connected_components
+
+    edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keeper"),
+        (F.col("id") != F.col("component")).alias("is_dup"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

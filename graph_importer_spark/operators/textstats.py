@@ -115,6 +115,154 @@ def quality_score(text: Column, lang: str = "en") -> Column:
     return F.round(score, 6)
 
 
+def alpha_word_frac(text: Column) -> Column:
+    """Fraction of whitespace tokens containing >= 1 ASCII letter
+    (Gopher rule: >= 0.8 of words must have an alphabetic character)."""
+    n = token_count(text)
+    alpha = F.size(F.filter(_tokens(text), lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(alpha / n, 6))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' chars + # of '...' runs) / word count (Gopher symbol
+    rule: <= 0.1). '...' runs count maximally-greedy: '....' is one."""
+    n = token_count(text)
+    syms = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.{3,}")
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(syms / n, 6))
+
+
+def _nonblank_lines(text: Column) -> Column:
+    return F.filter(
+        F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+
+
+def bullet_line_frac(text: Column) -> Column:
+    """Fraction of non-blank lines starting with '-' or '*' (Gopher
+    bullet rule: <= 0.9)."""
+    lines = _nonblank_lines(text)
+    n = F.size(lines)
+    hits = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(hits / n, 6))
+
+
+def ellipsis_line_frac(text: Column) -> Column:
+    """Fraction of non-blank lines ending with '...' (Gopher ellipsis
+    rule: <= 0.3)."""
+    lines = _nonblank_lines(text)
+    n = F.size(lines)
+    hits = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(hits / n, 6))
+
+
+def gopher_columns(text: Column, lang: str = "en") -> dict[str, Column]:
+    """The Gopher quality-filter signal set (Rae et al. 2021, public —
+    'Scaling Language Models: ... Gopher', §A1.1) as pinned, replayable
+    column expressions. Every ratio rounds to 6 so the DuckDB oracle
+    matches bit-for-bit; every rule is a pure built-in expression
+    (whole-stage codegen, zero shuffle — one corpus scan filters 100 TB).
+
+    ``gopher_pass`` applies the published thresholds: 50 <= words <=
+    100000, 3 <= mean word length <= 10, symbol-to-word ratio <= 0.1,
+    bullet lines <= 90%, ellipsis lines <= 30%, >= 80% alphabetic words,
+    >= 2 stopword hits.
+    """
+    n = token_count(text)
+    mwl = mean_word_len(text)
+    swr = symbol_word_ratio(text)
+    bullet = bullet_line_frac(text)
+    ell = ellipsis_line_frac(text)
+    alpha = alpha_word_frac(text)
+    stops = _stopword_hits(text, lang)
+    ok = (
+        (n >= 50) & (n <= 100000)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (swr <= 0.1)
+        & (bullet <= 0.9)
+        & (ell <= 0.3)
+        & (alpha >= 0.8)
+        & (stops >= 2)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mwl,
+        "symbol_word_ratio": swr,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ell,
+        "alpha_word_frac": alpha,
+        "stop_hits": stops,
+        "gopher_pass": ok,
+    }
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1: repetitious documents are low-quality training data).
+
+    Returns (id, n_words, distinct_word_frac, dup_line_frac,
+    top_2gram_frac):
+    * distinct_word_frac — |set(words)| / |words| over the dedup normal
+      form; a zero-shuffle array expression.
+    * dup_line_frac — 1 - |set(non-blank lines)| / |non-blank lines|
+      (0 for <= 1 line); also narrow.
+    * top_2gram_frac — occurrences of the most frequent word 2-gram /
+      total 2-grams. This one aggregates: explode 2-grams ->
+      count(doc, gram) -> max/sum per doc. The shuffle key (doc, gram)
+      is uniform (doc id dominates), partial aggregation applies, and
+      rows shrink back to n_docs before the final join — the scalable
+      shape, vs a per-doc O(len^2) array self-count.
+
+    Empty/1-token docs get 0.0 for the gram fraction (no 2-grams).
+    """
+    t = normalize_text(F.col(text_col))
+    toks = F.split(t, " ")
+    lines = _nonblank_lines(F.col(text_col))
+    n_lines = F.size(lines)
+    base = df.select(
+        F.col(id_col),
+        token_count(t).alias("n_words"),
+        F.when(token_count(t) == 0, F.lit(0.0))
+        .otherwise(F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6))
+        .alias("distinct_word_frac"),
+        F.when(n_lines <= 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1 - F.size(F.array_distinct(F.transform(lines, F.trim))) / n_lines, 6
+            )
+        )
+        .alias("dup_line_frac"),
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    gram_counts = (
+        base.select(id_col, F.explode("grams").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_2gram_frac"))
+    )
+    return (
+        base.drop("grams")
+        .join(gram_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "distinct_word_frac",
+            "dup_line_frac",
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """lower + collapse whitespace + trim (the dedup normal form)."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

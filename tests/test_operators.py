@@ -200,6 +200,56 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= got[1] < got[0] <= 1.0
 
 
+def test_gopher_columns_line_rules(spark):
+    # exercises the line-based rules the synthetic corpus never triggers
+    listy = "\n".join(["- bullet item %d" % i for i in range(9)] + ["plain line"])
+    trailing = "\n".join(["starts fine but trails off..."] * 3 + ["solid line here"] * 2)
+    good = ("the quick brown fox jumps over the lazy dog and it runs far " * 6).strip()
+    symbols = "## tags # everywhere # in # this # short # doc and more..."
+    df = spark.createDataFrame(
+        [(0, listy), (1, trailing), (2, good), (3, symbols), (4, "")],
+        "doc_id long, text string",
+    )
+    cols = textstats.gopher_columns(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()
+    }
+    assert out[0]["bullet_line_frac"] == 0.9
+    assert out[1]["ellipsis_line_frac"] == 0.6
+    assert out[3]["symbol_word_ratio"] > 0.1 and not out[3]["gopher_pass"]
+    assert out[2]["gopher_pass"]  # 66 words, all alpha, stopword-rich
+    assert out[4]["n_words"] == 0 and not out[4]["gopher_pass"]
+
+
+def test_repetition_stats(spark):
+    rep = "spam ham spam ham spam ham spam ham"  # top 2-gram 'spam ham' x4 of 7
+    lines = "alpha\nbeta\nalpha\n\n  \nbeta\ngamma"  # 5 non-blank, 3 distinct
+    df = spark.createDataFrame(
+        [(0, rep), (1, lines), (2, "single"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert out[0]["top_2gram_frac"] == round(4 / 7, 6)
+    assert out[0]["distinct_word_frac"] == 0.25
+    assert out[1]["dup_line_frac"] == 0.4
+    assert out[2]["top_2gram_frac"] == 0.0 and out[2]["distinct_word_frac"] == 1.0
+    assert out[3]["n_words"] == 0 and out[3]["top_2gram_frac"] == 0.0
+
+
+def test_dup_clusters_transitive(spark):
+    # A~B, B~C, plus an unrelated pair: {1,2,3} -> keeper 1; {7,9} -> 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id1 long, id2 long"
+    )
+    out = {r["doc_id"]: r for r in dedup.dup_clusters(pairs).collect()}
+    assert {d: r["keeper"] for d, r in out.items()} == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    assert [d for d, r in sorted(out.items()) if r["is_dup"]] == [2, 3, 9]
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.7, 0.7]),
