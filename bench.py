@@ -58,6 +58,9 @@ HEADLINE = [
     "text_gopher",
     "text_repetition",
     "dedup_clusters",
+    "text_decontam",
+    "text_pii",
+    "web_hosts",
 ]
 
 

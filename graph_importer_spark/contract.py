@@ -40,11 +40,14 @@ from graph_importer_spark.importer.keys import (
     idx_to_smart_vertex,
     idx_to_vertex,
 )
+from graph_importer_spark.operators import decontam as _decontam
 from graph_importer_spark.operators import dedup as _dedup
 from graph_importer_spark.operators import generators as _gen
+from graph_importer_spark.operators import pii as _pii
 from graph_importer_spark.operators import similarity as _sim
 from graph_importer_spark.operators import skew as _skew
 from graph_importer_spark.operators import textstats as _ts
+from graph_importer_spark.operators import urls as _urls
 from graph_importer_spark.operators.analytics import (
     effective_closeness,
     hits,
@@ -1674,6 +1677,164 @@ FROM base b LEFT JOIN gc ON b.doc_id = gc.doc_id
 """
 
 
+def q_text_decontam(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / Gopher rule):
+    flag training docs sharing >= 1 13-gram with the benchmark split.
+    The benchmark gram set is broadcast; the corpus side never
+    shuffles for the probe."""
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    rest = d.filter(F.col("doc_id") % 20 != 0)
+    return _decontam.contamination(rest, bench, "doc_id", "text", k=13)
+
+
+ORACLE_TEXT_DECONTAM = r"""
+WITH docs AS (
+  SELECT doc_id, doc_id % 20 = 0 AS is_bench,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, is_bench,
+    CASE WHEN len(t) >= 13 THEN array_to_string(t[i:i+12], ' ')
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(len(t) - 12, 1))) AS u(i)),
+bg AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_gram_hits
+  FROM sh JOIN bg USING (shingle) WHERE NOT is_bench GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n_gram_hits, 0) AS n_gram_hits,
+       COALESCE(h.n_gram_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _pii_text(doc_id):
+    """Deterministic PII-bearing text from doc_id (docs with
+    doc_id % 3 == 0 stay clean, so the zero path is exercised too)."""
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.when(doc_id % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), s(doc_id), F.lit("@mail"),
+            s(doc_id % 7), F.lit(".com from 10."), s(doc_id % 256),
+            F.lit(".0."), s(doc_id % 100), F.lit(" call +1 (202) 555-01"),
+            F.lpad(s(doc_id % 100), 2, "0"),
+        )
+    )
+
+
+def q_text_pii(spark, sf_dir):
+    """PII audit pass (C4/CCNet-style regex families): per-doc email /
+    IPv4 / phone counts plus the redacted length — pure codegen
+    expressions, no UDF, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _pii_text(F.col("doc_id")).alias("text"))
+    return _pii.pii_flags(docs, "doc_id", "text")
+
+
+_PII_TEXT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text ELSE text"
+    " || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' call +1 (202) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " END"
+)
+
+ORACLE_TEXT_PII = rf"""
+WITH docs AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents),
+c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(coalesce(text, ''),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+')) AS n_emails,
+    len(regexp_extract_all(coalesce(text, ''),
+        '\b[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}\b')) AS n_ipv4,
+    len(regexp_extract_all(coalesce(text, ''),
+        '\+[0-9][0-9 ().-]{{6,16}}[0-9]')) AS n_phones,
+    length(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+      '\b[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}\b', '<IP>', 'g'),
+      '\+[0-9][0-9 ().-]{{6,16}}[0-9]', '<PHONE>', 'g')) AS redacted_len
+  FROM docs)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       n_emails + n_ipv4 + n_phones > 0 AS has_pii, redacted_len
+FROM c
+"""
+
+
+def q_web_hosts(spark, sf_dir):
+    """URL canonicalization + registered-domain rollup: synthesize a
+    messy URL per doc (mixed case, userinfo-free, default port,
+    tracking params, fragment), normalize, then count pages and
+    distinct canonical URLs per registered domain."""
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), s(i % 41),
+        F.when(i % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit(":443/p/"), s(i % 10),
+        F.lit("?id="), s(i % 5),
+        F.lit("&utm_source=x&fbclid="), s(i), F.lit("#sec"),
+    )
+    canon = d.select(_urls.normalize_url(url).alias("curl"))
+    return (
+        canon.withColumn(
+            "domain", _urls.registered_domain(_urls.host_of(F.col("curl")))
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("curl").alias("n_urls"),
+        )
+    )
+
+
+_WEB_URL_SQL = (
+    "'HTTPS://WWW.Site' || CAST(doc_id % 41 AS VARCHAR)"
+    " || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END"
+    " || ':443/p/' || CAST(doc_id % 10 AS VARCHAR)"
+    " || '?id=' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '&utm_source=x&fbclid=' || CAST(doc_id AS VARCHAR) || '#sec'"
+)
+
+ORACLE_WEB_HOSTS = rf"""
+WITH u0 AS (SELECT {_WEB_URL_SQL} AS u FROM documents),
+s0 AS (SELECT regexp_replace(u, '^([A-Za-z][A-Za-z0-9+.-]*://)[^/?#@]*@', '\1', 'g') AS u FROM u0),
+s1 AS (SELECT regexp_replace(u, '#.*', '', 'g') AS u FROM s0),
+s2 AS (SELECT regexp_replace(u,
+        '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&]*', '\1', 'g') AS u FROM s1),
+s3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(u,
+        '\?[?&]+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS u FROM s2),
+s4 AS (SELECT lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        || regexp_replace(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', '', 'g') AS curl FROM s3),
+s5 AS (SELECT regexp_replace(regexp_replace(curl,
+        '^(http://[^/?#]*):80([/?]|$)', '\1\2', 'g'),
+        '^(https://[^/?#]*):443([/?]|$)', '\1\2', 'g') AS curl FROM s4),
+h AS (
+  SELECT curl,
+    regexp_replace(regexp_replace(regexp_replace(lower(
+      regexp_extract(curl, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+      '^[a-z][a-z0-9+.-]*://', '', 'g'), '^[^@]*@', '', 'g'),
+      ':[0-9]+$', '', 'g') AS host
+  FROM s5),
+d AS (
+  SELECT curl,
+    CASE WHEN regexp_extract(host,
+           '([^.]+\.(co\.uk|com\.au|co\.jp|com\.br|co\.in|co\.nz|org\.uk|ac\.uk))$', 1) <> ''
+         THEN regexp_extract(host,
+           '([^.]+\.(co\.uk|com\.au|co\.jp|com\.br|co\.in|co\.nz|org\.uk|ac\.uk))$', 1)
+         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM h)
+SELECT domain, COUNT(*) AS n_pages, COUNT(DISTINCT curl) AS n_urls
+FROM d GROUP BY domain
+"""
+
+
 def q_text_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2253,8 +2414,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_cliques_graph": q_gen_cliques_graph,
     # graph analytics catalog
     "cc_star": q_cc_star,
-    "cc_canonical_names": q_cc_canonical_names,
-    "cc_canonical_dense": q_cc_canonical_dense,
     "pagerank_star": q_pagerank_star,
     "sssp_tree": q_sssp_tree,
     "scc_cycles": q_scc_cycles,
@@ -2274,17 +2433,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data pipeline operators
     "text_gopher": q_text_gopher,
     "text_repetition": q_text_repetition,
+    "text_decontam": q_text_decontam,
+    "text_pii": q_text_pii,
+    "web_hosts": q_web_hosts,
     "dedup_clusters": q_dedup_clusters,
     "text_winnow": q_text_winnow,
     "dedup_winnow": q_dedup_winnow,
     "gen_edge_attrs": q_gen_edge_attrs,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_simhash": q_text_simhash,
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
     # code untouched this round; rotated here per the policy above ----
+    "cc_canonical_names": q_cc_canonical_names,
+    "cc_canonical_dense": q_cc_canonical_dense,
+    "text_stats": q_text_stats,
     "window_top_orders": q_window_top_orders,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -2358,6 +2522,9 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _oracle_dedup_clusters(),
     "text_gopher": _oracle_text_gopher(),
     "text_repetition": _oracle_text_repetition(),
+    "text_decontam": ORACLE_TEXT_DECONTAM,
+    "text_pii": ORACLE_TEXT_PII,
+    "web_hosts": ORACLE_WEB_HOSTS,
     "text_stats": ORACLE_TEXT_STATS,
     "text_lang": _oracle_text_lang(),
     "text_quality": _oracle_text_quality(),

@@ -1,0 +1,92 @@
+"""URL normalization and host/domain analysis for web corpora.
+
+Common-Crawl-scale pipelines key almost everything on the URL: exact
+re-crawl dedup wants a canonical form (tracking params and fragments
+stripped, scheme/host case-folded, default ports dropped), and
+blocklists / per-site quotas / domain mixing statistics all key on the
+registered domain. The recipes here follow the public CCNet / C4
+preprocessing shape.
+
+Reference scope note: the reference importer takes file paths, not
+URLs (see /root/reference/graphalytics_importer.py's local file-set
+handling) — URL hygiene is part of this repo's web-pipeline surface.
+
+Scale shape (100 TB):
+* ``normalize_url`` / ``host_of`` / ``registered_domain`` are chains of
+  ``regexp_replace`` / ``regexp_extract`` — JVM codegen expressions, no
+  UDF, no shuffle. Canonical-URL dedup is then the same one-aggregate
+  exact-dedup shape as ``dedup.exact_dup_groups``.
+* Per-domain counts aggregate on the registered domain. Domain keys are
+  Zipf-skewed at web scale (a handful of hosts dominate); counting is
+  safe (map-side partials absorb the skew) but anything carrying
+  payloads per domain should reach for ``skew.salted_topk`` /
+  ``salted_collect_set``.
+* Patterns avoid lookaround so Java regex (Spark) and RE2 (DuckDB
+  oracle) execute the identical pattern text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# scheme://authority prefix (group 1) — everything up to the first
+# /, ?, or # after the "//".
+_PREFIX = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+# Tracking parameters stripped by the canonical form (the usual
+# click-id set; extend per deployment).
+TRACKING_PARAM = r"(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)"
+# Multi-label public suffixes we recognise for registered-domain
+# extraction. A real deployment ships the full public-suffix list as a
+# broadcast table; this inlined subset keeps the operator dependency-free
+# and the oracle replayable, and the cut is documented, not silent.
+_MULTI_SUFFIX = r"(co\.uk|com\.au|co\.jp|com\.br|co\.in|co\.nz|org\.uk|ac\.uk)"
+
+
+def host_of(url: Column | str) -> Column:
+    """Lower-cased authority host (port and userinfo stripped)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(u, _PREFIX, 1)
+    host = F.regexp_replace(host, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.regexp_replace(host, r"^[^@]*@", "")  # userinfo
+    host = F.regexp_replace(host, r":[0-9]+$", "")  # port
+    return F.lower(host)
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Registrable domain of a host: last two labels, or last three
+    when the suffix is a known multi-label public suffix (see
+    ``_MULTI_SUFFIX`` for the documented subset)."""
+    h = F.col(host) if isinstance(host, str) else host
+    multi = F.regexp_extract(h, r"([^.]+\." + _MULTI_SUFFIX + r")$", 1)
+    two = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    return F.when(multi != "", multi).otherwise(F.when(two != "", two).otherwise(h))
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL: userinfo and fragment dropped, tracking params
+    stripped, scheme+host lower-cased, default ports (:80 http /
+    :443 https) removed. Path, non-tracking params, and param order are preserved
+    (reordering params changes semantics on some sites — a stronger
+    canonicalizer is a policy choice layered on top)."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 0. drop userinfo — it is case-sensitive (the case-fold below must
+    # not touch it) and never part of a canonical identity
+    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://)[^/?#@]*@", r"$1")
+    # 1. drop fragment
+    u = F.regexp_replace(u, r"#.*", "")
+    # 2. strip tracking params, keeping the delimiter of the match …
+    u = F.regexp_replace(u, r"([?&])" + TRACKING_PARAM + r"=[^&]*", r"$1")
+    # … then collapse the dangling delimiters the removal leaves behind:
+    u = F.regexp_replace(u, r"\?[?&]+", "?")  # "?&real" -> "?real"
+    u = F.regexp_replace(u, r"&&+", "&")      # "a=1&&b=2" -> "a=1&b=2"
+    u = F.regexp_replace(u, r"[?&]+$", "")    # trailing "?" / "&"
+    # 3. case-fold scheme://host, leave path+query untouched
+    u = F.concat(
+        F.lower(F.regexp_extract(u, _PREFIX, 1)),
+        F.regexp_replace(u, _PREFIX, ""),
+    )
+    # 4. drop default ports
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80([/?]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443([/?]|$)", r"$1$2")
+    return u

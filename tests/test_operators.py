@@ -8,7 +8,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from graph_importer_spark.operators import dedup, similarity, skew, textstats
+from graph_importer_spark.operators import decontam, dedup, similarity, skew, textstats
 from graph_importer_spark.operators.multimodal import (
     byte_histogram,
     byte_stats,
@@ -238,6 +238,31 @@ def test_repetition_stats(spark):
     assert out[1]["dup_line_frac"] == 0.4
     assert out[2]["top_2gram_frac"] == 0.0 and out[2]["distinct_word_frac"] == 1.0
     assert out[3]["n_words"] == 0 and out[3]["top_2gram_frac"] == 0.0
+
+
+def test_contamination_flags(spark):
+    # 5-gram overlap: doc 1 quotes the benchmark verbatim mid-text, doc 2
+    # shares words but never 5 in a row, doc 3 is short (<k fallback).
+    bench = spark.createDataFrame(
+        [(0, "the capital of france is paris since forever")],
+        "bid long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "trivia time: the capital of france is paris as everyone knows"),
+            (2, "paris is the france of capitals, the forever city"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontam.contamination(docs, bench, "doc_id", "text", k=5).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_gram_hits"] == 2
+    assert not out[2]["contaminated"] and out[2]["n_gram_hits"] == 0
+    assert not out[3]["contaminated"]
+    assert len(out) == 3  # zero-hit docs still get a row
 
 
 def test_dup_clusters_transitive(spark):
@@ -517,3 +542,51 @@ def test_fm_distinct_partition_invariant_and_mergeable(spark):
     # duplicating every row must not move the estimate (idempotent sketch)
     c = fm_distinct(df.unionAll(df), ["grp"], "key").collect()[0]["approx_distinct"]
     assert a == c
+
+
+def test_pii_flags_and_redaction(spark):
+    from graph_importer_spark.operators import pii
+
+    rows = [
+        (1, "mail a.b+c@ex-1.co.uk or x@y.io, host 192.168.0.1, call +44 (20) 7946-0958"),
+        (2, "no pii, just 3.14 and a price of +99 dollars"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii.pii_flags(df, "doc_id", "text").collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 1, 1)
+    assert out[1]["has_pii"]
+    assert not out[2]["has_pii"] and out[2]["n_phones"] == 0
+    assert not out[3]["has_pii"] and out[3]["redacted_len"] is None
+    red = df.filter("doc_id = 1").select(pii.redact("text").alias("r")).first()["r"]
+    assert red == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>"
+
+
+def test_url_normalize_and_domain(spark):
+    from graph_importer_spark.operators import urls
+
+    rows = [
+        (1, "HTTPS://User:pw@WWW.Example.CO.UK:443/Path/x?utm_source=a&id=7&fbclid=z#f"),
+        (2, "http://blog.site42.com:80/?utm_a=1&utm_b=2"),
+        (3, "https://sub.a.co.jp/p?x=1&gclid=9&y=2"),
+        (4, "https://nodomain/p"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            urls.normalize_url("url").alias("norm"),
+            urls.host_of("url").alias("host"),
+            urls.registered_domain(urls.host_of("url")).alias("dom"),
+        ).collect()
+    }
+    # userinfo dropped, scheme+host folded, :443 stripped, params pruned,
+    # path case preserved
+    assert out[1]["norm"] == "https://www.example.co.uk/Path/x?id=7"
+    assert out[1]["dom"] == "example.co.uk"  # multi-label public suffix
+    assert out[2]["norm"] == "http://blog.site42.com/"
+    assert out[2]["host"] == "blog.site42.com"
+    assert out[3]["norm"] == "https://sub.a.co.jp/p?x=1&y=2"
+    assert out[3]["dom"] == "a.co.jp"
+    assert out[4]["dom"] == "nodomain"  # single-label host falls through
