@@ -61,6 +61,7 @@ HEADLINE = [
     "text_decontam",
     "text_pii",
     "web_hosts",
+    "dedup_semantic",
 ]
 
 

@@ -2065,19 +2065,105 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: IVF-clustered embedding dedup (within-cluster cosine
+    pairs -> transitive clusters -> keeper).  The synthetic embeddings
+    have no natural near-dups, so the query plants deterministic clones
+    (first coordinate bumped by 0.3) for every fifth vector — the
+    operator must find the clone pairs that share a cluster."""
+    emb = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    clones = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.3)),
+            F.slice(v, 2, F.size(v) - 1),
+        ).alias("embedding"),
+    )
+    corpus = base.unionAll(clones)
+    return _dedup.semantic_dedup(corpus, threshold=0.95, n_centroids=8)
+
+
+def _oracle_dedup_semantic(
+    threshold: float = 0.95, n_centroids: int = 8, seed: int = 42
+) -> str:
+    cos = "round({d} / ({na} * {nb}), 6)".format(
+        d=_DOT.format(a="{a}", b="{b}"),
+        na=_NORM.format(v="{a}"),
+        nb=_NORM.format(v="{b}"),
+    )
+    return f"""
+WITH RECURSIVE b0 AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+clones AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([cv[1] + 0.3], cv[2:]) AS cv
+  FROM b0 WHERE vec_id % 5 = 0),
+c AS (SELECT vec_id AS neighbor_id, cv FROM b0
+      UNION ALL SELECT vec_id, cv FROM clones),
+cents AS (
+  SELECT neighbor_id AS centroid_id, cv AS pv FROM c
+  ORDER BY ((neighbor_id % {_sim._M}) * {_sim._A} + {seed}) % {_sim._M}, neighbor_id
+  LIMIT {n_centroids}),
+assign AS (
+  SELECT neighbor_id, cv, centroid_id AS list_id FROM (
+    SELECT c.neighbor_id, c.cv, cents.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY {cos.format(a='c.cv', b='cents.pv')} DESC, cents.centroid_id ASC) AS rn
+    FROM c, cents) WHERE rn = 1),
+p AS (
+  SELECT a.neighbor_id AS id1, b.neighbor_id AS id2,
+         {cos.format(a='a.cv', b='b.cv')} AS cosine
+  FROM assign a JOIN assign b USING (list_id)
+  WHERE a.neighbor_id < b.neighbor_id),
+bp AS (SELECT id1, id2 FROM p WHERE cosine >= {threshold}),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM bp
+  UNION SELECT id2, id1 FROM bp
+  UNION SELECT id1, id1 FROM bp
+  UNION SELECT id2, id2 FROM bp),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+SELECT a AS doc_id, MIN(b) AS keeper, a <> MIN(b) AS is_dup
+FROM reach GROUP BY a
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
+    """Brute-force near-dup baseline.  The synthetic embeddings have no
+    natural near-dups (max pairwise cosine < 0.7), so clones are planted
+    the same way as in q_dedup_semantic — this baseline must find ALL
+    of them (no cluster-split misses), which is exactly what makes it
+    the correctness reference for the SemDeDup scale path."""
     emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return _dedup.embedding_near_dup_pairs(emb, threshold=0.8)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    clones = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.3)),
+            F.slice(v, 2, F.size(v) - 1),
+        ).alias("embedding"),
+    )
+    return _dedup.embedding_near_dup_pairs(
+        base.unionAll(clones), threshold=0.95
+    )
 
 
 ORACLE_EMB_NEAR_DUP = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 300),
+clones AS (
+  SELECT vec_id + 100000 AS vec_id, list_concat([cv[1] + 0.3], cv[2:]) AS cv
+  FROM b0 WHERE vec_id % 5 = 0),
+e AS (SELECT vec_id, cv FROM b0 UNION ALL SELECT vec_id, cv FROM clones),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
-    round({_DOT.format(a='a.embedding', b='b.embedding')} /
-          ({_NORM.format(v='a.embedding')} * {_NORM.format(v='b.embedding')}), 6) AS cosine
+    round({_DOT.format(a='a.cv', b='b.cv')} /
+          ({_NORM.format(v='a.cv')} * {_NORM.format(v='b.cv')}), 6) AS cosine
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.8
+SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.95
 """
 
 
@@ -2413,7 +2499,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "effective_closeness_tree": q_effective_closeness_tree,
     "gen_cliques_graph": q_gen_cliques_graph,
     # graph analytics catalog
-    "cc_star": q_cc_star,
     "pagerank_star": q_pagerank_star,
     "sssp_tree": q_sssp_tree,
     "scc_cycles": q_scc_cycles,
@@ -2437,6 +2522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii": q_text_pii,
     "web_hosts": q_web_hosts,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_semantic": q_dedup_semantic,
     "text_winnow": q_text_winnow,
     "dedup_winnow": q_dedup_winnow,
     "gen_edge_attrs": q_gen_edge_attrs,
@@ -2446,6 +2532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_simhash": q_text_simhash,
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
     # code untouched this round; rotated here per the policy above ----
+    "cc_star": q_cc_star,
     "cc_canonical_names": q_cc_canonical_names,
     "cc_canonical_dense": q_cc_canonical_dense,
     "text_stats": q_text_stats,
@@ -2520,6 +2607,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard_capped": ORACLE_DEDUP_JACCARD_CAPPED,
     "dedup_minhash_lsh": ORACLE_DEDUP_LSH,
     "dedup_clusters": _oracle_dedup_clusters(),
+    "dedup_semantic": _oracle_dedup_semantic(),
     "text_gopher": _oracle_text_gopher(),
     "text_repetition": _oracle_text_repetition(),
     "text_decontam": ORACLE_TEXT_DECONTAM,

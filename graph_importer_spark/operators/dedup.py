@@ -242,6 +242,76 @@ def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFr
     )
 
 
+def semantic_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    cluster embeddings with the deterministic IVF coarse quantizer,
+    compare pairs only WITHIN a cluster, keep cosine >= threshold.
+
+    This is the scale path next to ``embedding_near_dup_pairs`` (the
+    all-pairs baseline): with C clusters the pair join is bucketed on
+    list_id, so candidate volume is ~n^2/C instead of n^2, and each
+    bucket's pairs are produced by one equi-join — the exact SemDeDup
+    design point.  Approximation is the published one and is stated,
+    not silent: a near-dup pair split across two clusters is missed.
+    Cluster sizes inherit the data's density skew; raise ``n_centroids``
+    (sqrt(n) is the FAISS rule of thumb) to bound the hot bucket.
+    """
+    from graph_importer_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+        with_norm,
+    )
+
+    c = with_norm(emb, id_col, vec_col, "neighbor_id", "cv", "cn")
+    cents = ivf_centroids(c, n_centroids, seed).localCheckpoint(eager=True)
+    a = ivf_assign(c, cents)
+    left = a.select(
+        "list_id",
+        F.col("neighbor_id").alias("id1"),
+        F.col("cv").alias("v1"),
+        F.col("cn").alias("n1"),
+    )
+    right = a.select(
+        "list_id",
+        F.col("neighbor_id").alias("id2"),
+        F.col("cv").alias("v2"),
+        F.col("cn").alias("n2"),
+    )
+    return (
+        left.join(right, "list_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine("v1", "v2", "n1", "n2"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup end-to-end: cluster -> within-cluster pairs ->
+    transitive clusters -> one keeper per cluster.  Returns
+    (doc_id, keeper, is_dup) for every id that appears in a pair."""
+    pairs = semantic_dup_pairs(emb, id_col, vec_col, threshold, n_centroids, seed)
+    return dup_clusters(pairs)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

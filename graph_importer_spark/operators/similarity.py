@@ -145,6 +145,27 @@ def ivf_centroids(
     )
 
 
+def ivf_assign(corpus_normed: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid's inverted
+    list: (neighbor_id, cv, cn, list_id).
+
+    One corpus scan + one hash aggregate: the centroid set is broadcast
+    and ``max_by`` is algebraic (map-side partials), so there is no
+    window sort-shuffle over the corpus.  Assignment similarity rounds
+    to 6dp with centroid-id tie-break — bit-replayable in SQL."""
+    sim = F.round(cosine("cv", "pv", "cn", "pn"), 6)
+    return (
+        corpus_normed.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .groupBy("neighbor_id")
+        .agg(
+            F.first("cv").alias("cv"),
+            F.first("cn").alias("cn"),
+            F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("list_id"),
+        )
+    )
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,17 +191,7 @@ def ann_topk_ivf(
     replays centroid sampling, assignment and probing)."""
     c = with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
     cents = ivf_centroids(c, n_centroids, seed).localCheckpoint(eager=True)
-    sim = F.round(cosine("cv", "pv", "cn", "pn"), 6)
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("sim", sim)
-        .groupBy("neighbor_id")
-        .agg(
-            F.first("cv").alias("cv"),
-            F.first("cn").alias("cn"),
-            F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("list_id"),
-        )
-    )
+    assigned = ivf_assign(c, cents)
     q = with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
     qsim = F.round(cosine("qv", "pv", "qn", "pn"), 6)
     pw = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("centroid_id"))

@@ -590,3 +590,27 @@ def test_url_normalize_and_domain(spark):
     assert out[3]["norm"] == "https://sub.a.co.jp/p?x=1&y=2"
     assert out[3]["dom"] == "a.co.jp"
     assert out[4]["dom"] == "nodomain"  # single-label host falls through
+
+
+def test_semantic_dedup_finds_planted_clones(spark):
+    from graph_importer_spark.operators import dedup
+
+    # 40 well-separated random-ish vectors + exact-scaled clones of 10:
+    # a scaled copy has cosine 1.0 with its source and must be clustered
+    # with it (same nearest centroid: identical direction).
+    import math
+
+    base = [
+        (i, [math.sin(i * 7.3 + d * 1.7) for d in range(16)])
+        for i in range(40)
+    ]
+    clones = [(i + 1000, [x * 2.0 for x in v]) for i, v in base if i % 4 == 0]
+    df = spark.createDataFrame(base + clones, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, threshold=0.999, n_centroids=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, _ in base:
+        if i % 4 == 0:
+            assert rows[i + 1000]["keeper"] == i and rows[i + 1000]["is_dup"]
+            assert rows[i]["keeper"] == i and not rows[i]["is_dup"]
+    # nothing else got flagged
+    assert len(rows) == 2 * len(clones)
