@@ -62,6 +62,7 @@ HEADLINE = [
     "text_pii",
     "web_hosts",
     "dedup_semantic",
+    "text_dsir",
 ]
 
 

@@ -43,6 +43,7 @@ from graph_importer_spark.importer.keys import (
 from graph_importer_spark.operators import decontam as _decontam
 from graph_importer_spark.operators import dedup as _dedup
 from graph_importer_spark.operators import generators as _gen
+from graph_importer_spark.operators import importance as _imp
 from graph_importer_spark.operators import pii as _pii
 from graph_importer_spark.operators import similarity as _sim
 from graph_importer_spark.operators import skew as _skew
@@ -1835,6 +1836,49 @@ FROM d GROUP BY domain
 """
 
 
+def q_text_dsir(spark, sf_dir):
+    """DSIR importance weights: score every document by how en-like
+    its hashed unigram+bigram distribution is (target = lang='en'
+    split, raw = whole corpus)."""
+    d = T(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    return _imp.importance_weights(d, target, "doc_id", "text", buckets=4096)
+
+
+def _oracle_text_dsir(buckets: int = 4096) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(m, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, g
+  FROM docs, UNNEST(list_concat(t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END)) AS u(g)),
+hb AS (
+  SELECT doc_id, lang, h % {buckets} AS bucket
+  FROM (SELECT doc_id, lang, md5('0|' || g) AS m FROM grams),
+       LATERAL (SELECT {poly} AS h)),
+rc AS (SELECT bucket, COUNT(*) AS rn FROM hb GROUP BY bucket),
+tc AS (SELECT bucket, COUNT(*) AS tn FROM hb WHERE lang = 'en' GROUP BY bucket),
+ratio AS (
+  SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+         ln((COALESCE(tn, 0) + 1) / ((SELECT SUM(tn) FROM tc) + {buckets}.0))
+       - ln((COALESCE(rn, 0) + 1) / ((SELECT SUM(rn) FROM rc) + {buckets}.0)) AS log_ratio
+  FROM rc FULL JOIN tc ON rc.bucket = tc.bucket),
+dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM hb GROUP BY doc_id, bucket)
+SELECT doc_id, round(SUM(c * log_ratio), 6) AS dsir_logweight
+FROM dc JOIN ratio USING (bucket) GROUP BY doc_id
+"""
+
+
 def q_text_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2519,6 +2563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher": q_text_gopher,
     "text_repetition": q_text_repetition,
     "text_decontam": q_text_decontam,
+    "text_dsir": q_text_dsir,
     "text_pii": q_text_pii,
     "web_hosts": q_web_hosts,
     "dedup_clusters": q_dedup_clusters,
@@ -2528,10 +2573,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_edge_attrs": q_gen_edge_attrs,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "text_quality": q_text_quality,
     "text_simhash": q_text_simhash,
     # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
-    # code untouched this round; rotated here per the policy above ----
+    # query + oracle code untouched this round; rotated per the policy ----
+    "text_quality": q_text_quality,
     "cc_star": q_cc_star,
     "cc_canonical_names": q_cc_canonical_names,
     "cc_canonical_dense": q_cc_canonical_dense,
@@ -2611,6 +2656,7 @@ ORACLES: dict[str, str] = {
     "text_gopher": _oracle_text_gopher(),
     "text_repetition": _oracle_text_repetition(),
     "text_decontam": ORACLE_TEXT_DECONTAM,
+    "text_dsir": _oracle_text_dsir(),
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "text_stats": ORACLE_TEXT_STATS,

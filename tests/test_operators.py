@@ -614,3 +614,27 @@ def test_semantic_dedup_finds_planted_clones(spark):
             assert rows[i]["keeper"] == i and not rows[i]["is_dup"]
     # nothing else got flagged
     assert len(rows) == 2 * len(clones)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from graph_importer_spark.operators import importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps again and again"),
+            (2, "stock prices fell sharply amid market turmoil today"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in importance.importance_weights(
+            raw, target, "doc_id", "text", buckets=512
+        ).collect()
+    }
+    assert len(w) == 2
+    assert w[1] > w[2]  # fox doc is more target-like than finance doc
