@@ -59,13 +59,14 @@ def hashed_grams(
     the language model, unlike dedup's distinct shingles): unigrams and
     bigrams over the normalized text."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    # bigrams via zip_with over shifted slices: one lambda with direct
+    # element args (no interpreted element_at indexing per position)
     bis = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bis)
@@ -97,8 +98,14 @@ def importance_weights(
     """
     rg = hashed_grams(raw, id_col, text_col, buckets, seed)
     tg = hashed_grams(target, id_col, text_col, buckets, seed)
-    rc = _bucket_counts(rg).withColumnRenamed("n", "rn")
-    tc = _bucket_counts(tg).withColumnRenamed("n", "tn")
+    # The bucket-count models are <= `buckets` rows — eagerly checkpoint
+    # them so the totals / ratio / broadcast below reuse the one model
+    # scan per corpus instead of re-running the gram explode (the only
+    # expensive part) once per consumer.  Corpus scans total exactly
+    # two on the raw side (model + scoring) and one on the target side
+    # — the published DSIR cost shape.
+    rc = _bucket_counts(rg).withColumnRenamed("n", "rn").localCheckpoint(eager=True)
+    tc = _bucket_counts(tg).withColumnRenamed("n", "tn").localCheckpoint(eager=True)
     # totals as 1-row frames, cross-joined (lazy, no driver collect)
     rtot = rc.agg(F.sum("rn").alias("rtot"))
     ttot = tc.agg(F.sum("tn").alias("ttot"))

@@ -233,14 +233,24 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         )
         .alias("dup_line_frac"),
+        # 2-grams as (tok_i, tok_i+1) struct pairs via arrays_zip over two
+        # shifted slices: a plain (non-lambda) expression, so it stays in
+        # whole-stage codegen — the transform(sequence, i -> element_at)
+        # form is evaluated interpreted per element and was ~10x slower.
+        # Struct identity == string-gram identity (tokens contain no
+        # spaces after split), so counts are unchanged.
         F.when(
             F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
+        .otherwise(
+            F.arrays_zip(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+        )
         .alias("grams"),
     )
     gram_counts = (
