@@ -272,7 +272,11 @@ def semantic_dup_pairs(
 
     c = with_norm(emb, id_col, vec_col, "neighbor_id", "cv", "cn")
     cents = ivf_centroids(c, n_centroids, seed).localCheckpoint(eager=True)
-    a = ivf_assign(c, cents)
+    # Materialize the assignment once: both sides of the pair self-join
+    # read it, and Spark plans no ReusedExchange across the two aliases —
+    # without this the corpus is scanned and assigned TWICE.  This is the
+    # "build the IVF index" step every ANN system pays exactly once.
+    a = ivf_assign(c, cents).localCheckpoint(eager=True)
     left = a.select(
         "list_id",
         F.col("neighbor_id").alias("id1"),
