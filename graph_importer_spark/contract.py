@@ -178,12 +178,30 @@ GROUP BY c_mktsegment
 
 
 def q_anti_join_unordered_parts(spark, sf_dir):
+    """Left-anti join (never-ordered parts).  The TPC-H generator orders
+    every part at these SFs, so the natural query matches its oracle
+    with 0 rows — a vacuous gate.  Deterministic unordered parts are
+    planted (every 10th partkey shifted by 1_000_000, a key range no
+    lineitem references) so the row set compared is non-empty and a
+    regression that empties the anti-join is caught."""
     p, li = T(spark, sf_dir, "part"), T(spark, sf_dir, "lineitem")
-    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_brand")
+    base = p.select("p_partkey", "p_brand")
+    planted = p.filter(F.col("p_partkey") % 10 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.concat(F.lit("UN#"), F.col("p_brand")).alias("p_brand"),
+    )
+    parts = base.unionAll(planted)
+    return parts.join(li, parts.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_brand"
+    )
 
 
 ORACLE_ANTI = """
-SELECT p_partkey, p_brand FROM part
+WITH parts AS (
+  SELECT p_partkey, p_brand FROM part
+  UNION ALL
+  SELECT p_partkey + 1000000, 'UN#' || p_brand FROM part WHERE p_partkey % 10 = 0)
+SELECT p_partkey, p_brand FROM parts
 WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 """
 
@@ -1412,16 +1430,29 @@ SELECT src, dst FROM intra UNION ALL SELECT src, dst FROM inter
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    g = _dedup.exact_dup_groups(d, "doc_id", "text")
+    """Exact (byte-identical) dup groups.  The synthetic corpus has no
+    byte-identical texts, so the natural query matched its oracle with
+    0 rows every round — a vacuous gate.  Deterministic clones of every
+    7th document (doc_id + 200000, text verbatim) are planted so the
+    compared row set is non-empty: a regression that empties the
+    groupBy (or breaks the keeper/min choice) now fails the hash."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    g = _dedup.exact_dup_groups(d.unionAll(clones), "doc_id", "text")
     return g.select(
         F.md5(F.encode("dup_text", "UTF-8")).alias("text_md5"), "n_dups", "keeper"
     )
 
 
 ORACLE_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)
 SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
-FROM documents GROUP BY text HAVING COUNT(*) >= 2
+FROM corpus GROUP BY text HAVING COUNT(*) >= 2
 """
 
 
@@ -1623,7 +1654,7 @@ def _oracle_text_gopher() -> str:
         f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round("
         f"len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]'))) / {ntok}, 6) END)"
     )
-    stops = _dk_stop_hits("en")
+    stops = _dk_stop_hits_in(_ts.GOPHER_STOPWORDS)
     ok = (
         f"({ntok} >= 50 AND {ntok} <= 100000 AND {mwl} >= 3.0 AND {mwl} <= 10.0"
         f" AND {swr} <= 0.1 AND {bullet} <= 0.9 AND {ell} <= 0.3"
@@ -1836,6 +1867,78 @@ FROM d GROUP BY domain
 """
 
 
+_PSL_SUBSET = [
+    "com", "uk", "co.uk", "sg", "com.sg", "br", "gov.br", "us", "k12.ma.us",
+]
+
+
+def q_web_hosts_psl(spark, sf_dir):
+    """Registered-domain rollup via a broadcast public-suffix TABLE
+    (urls.registered_domain_psl) — the full-PSL path the regex subset
+    documents as its cut.  The synthesized hosts cycle through
+    multi-label suffixes OUTSIDE the inlined regex subset ('com.sg',
+    'gov.br', the 3-label 'k12.ma.us') plus an unlisted TLD
+    ('internal') that must take the implicit-'*' fallback."""
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    suffix = (
+        F.when(i % 5 == 0, F.lit(".com"))
+        .when(i % 5 == 1, F.lit(".co.uk"))
+        .when(i % 5 == 2, F.lit(".com.sg"))
+        .when(i % 5 == 3, F.lit(".gov.br"))
+        .otherwise(F.lit(".sub.k12.ma.us"))
+    )
+    tld_fallback = F.when(i % 7 == 0, F.lit("edge.internal"))
+    host = F.coalesce(
+        tld_fallback, F.concat(F.lit("www.site"), s(i % 23), suffix)
+    )
+    hosts = d.select(F.col("doc_id"), host.alias("host"))
+    psl = spark.createDataFrame([(x,) for x in _PSL_SUBSET], "suffix string")
+    out = _urls.registered_domain_psl(hosts, "host", psl)
+    return out.groupBy("registered_domain").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+_PSL_HOST_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'edge.internal' ELSE"
+    " 'www.site' || CAST(doc_id % 23 AS VARCHAR) ||"
+    " CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'"
+    " WHEN 2 THEN '.com.sg' WHEN 3 THEN '.gov.br'"
+    " ELSE '.sub.k12.ma.us' END END"
+)
+
+ORACLE_WEB_HOSTS_PSL = rf"""
+WITH rows0 AS (SELECT doc_id, {_PSL_HOST_SQL} AS host FROM documents),
+psl(suffix) AS (
+  SELECT * FROM (VALUES {", ".join(f"('{s}')" for s in _PSL_SUBSET)})),
+hosts AS (SELECT DISTINCT host FROM rows0),
+lab AS (SELECT host, string_split(host, '.') AS l FROM hosts),
+cand AS (
+  SELECT host, array_to_string(l[i:], '.') AS c
+  FROM lab, UNNEST(generate_series(2, len(l))) AS u(i)),
+hit AS (
+  SELECT host, max_by(c, length(c)) AS suffix
+  FROM cand JOIN psl ON c = psl.suffix GROUP BY host),
+reg AS (
+  SELECT h.host,
+    CASE WHEN hit.suffix IS NOT NULL THEN
+      array_to_string(
+        (string_split(h.host, '.'))[
+          len(string_split(h.host, '.')) - len(string_split(hit.suffix, '.')):],
+        '.')
+    WHEN regexp_extract(h.host, '([^.]+\.[^.]+)$', 1) <> ''
+    THEN regexp_extract(h.host, '([^.]+\.[^.]+)$', 1)
+    ELSE h.host END AS registered_domain
+  FROM hosts h LEFT JOIN hit ON h.host = hit.host)
+SELECT registered_domain, COUNT(*) AS n_pages, COUNT(DISTINCT rows0.host) AS n_hosts
+FROM rows0 JOIN reg ON rows0.host = reg.host
+GROUP BY registered_domain
+"""
+
+
 def q_text_dsir(spark, sf_dir):
     """DSIR importance weights: score every document by how en-like
     its hashed unigram+bigram distribution is (target = lang='en'
@@ -1905,13 +2008,17 @@ FROM d
 """
 
 
-def _dk_stop_hits(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in _ts.STOPWORDS[lang])
+def _dk_stop_hits_in(word_list: list[str]) -> str:
+    words = ", ".join(f"'{w}'" for w in word_list)
     return (
         r"len(list_filter(list_transform(string_split_regex(trim(lower(text)), '\s+'),"
         r" t -> regexp_replace(t, '[^a-z]', '', 'g')),"
         f" w -> list_contains([{words}], w)))"
     )
+
+
+def _dk_stop_hits(lang: str) -> str:
+    return _dk_stop_hits_in(_ts.STOPWORDS[lang])
 
 
 def q_text_lang(spark, sf_dir):
@@ -2566,6 +2673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dsir": q_text_dsir,
     "text_pii": q_text_pii,
     "web_hosts": q_web_hosts,
+    "web_hosts_psl": q_web_hosts_psl,
     "dedup_clusters": q_dedup_clusters,
     "dedup_semantic": q_dedup_semantic,
     "text_winnow": q_text_winnow,
@@ -2659,6 +2767,7 @@ ORACLES: dict[str, str] = {
     "text_dsir": _oracle_text_dsir(),
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
+    "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,
     "text_stats": ORACLE_TEXT_STATS,
     "text_lang": _oracle_text_lang(),
     "text_quality": _oracle_text_quality(),

@@ -216,7 +216,12 @@ def winnow_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    small_graph_rows: int = 200_000,
+) -> DataFrame:
     """Collapse near-dup PAIRS into clusters and pick one keeper each —
     the step every real dedup pipeline needs after candidate generation
     (pairs are transitive evidence: A~B and B~C must drop two of
@@ -230,10 +235,24 @@ def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFr
     would drop.  Docs in no pair never enter the CC input (pairs are
     tiny relative to the corpus — the expensive part was candidate
     generation, not this).
-    """
-    from graph_importer_spark.cc import connected_components
 
-    edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    Pair graphs at or below ``small_graph_rows`` are coalesced to one
+    partition before the CC loop: every large/small-star round then
+    runs as two single-task stages instead of fanning a few hundred
+    rows across the full shuffle width, which is the dominant fixed
+    cost of the loop on small candidate sets (the common case — pairs
+    are a vanishing fraction of the corpus).  The pair graph is
+    materialized exactly once either way (the count rides along on the
+    same checkpoint job CC needs anyway).
+    """
+    from graph_importer_spark.cc import _checkpoint_fp, connected_components
+
+    uv, (n_pairs, _) = _checkpoint_fp(
+        pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+    )
+    edges = uv.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    if n_pairs <= small_graph_rows:
+        edges = edges.coalesce(1)
     labels = connected_components(edges)
     return labels.select(
         F.col("id").alias("doc_id"),
@@ -247,8 +266,9 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     seed: int = 42,
+    max_list_size: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
     cluster embeddings with the deterministic IVF coarse quantizer,
@@ -260,23 +280,50 @@ def semantic_dup_pairs(
     bucket's pairs are produced by one equi-join — the exact SemDeDup
     design point.  Approximation is the published one and is stated,
     not silent: a near-dup pair split across two clusters is missed.
-    Cluster sizes inherit the data's density skew; raise ``n_centroids``
-    (sqrt(n) is the FAISS rule of thumb) to bound the hot bucket.
+
+    ``n_centroids=None`` (the default) derives C = max(8, floor(sqrt(n)))
+    from one corpus count — the FAISS rule of thumb as code, so the
+    within-list pair volume stays ~n^1.5 instead of silently degrading
+    to all-pairs when a caller forgets the knob at real scale.  Pass an
+    explicit value to skip the count job (plan construction is then
+    fully lazy).
+
+    Cluster sizes inherit the data's density skew; ``max_list_size``
+    drops vectors in inverted lists larger than the cap from the pair
+    join (mirrors ``lsh_candidate_pairs``' ``max_bucket``): one dense
+    cell on a near-dup-heavy corpus would otherwise make the self-join
+    O(list^2).  The dropped-list recall trade is the stated df-capped
+    blocking approximation, not silent — count offenders via
+    ``ivf_assign(...).groupBy('list_id').count()`` if needed.  None
+    disables the cap (exact within-cluster semantics).
+
+    The assignment is persisted (lazily — no Spark job runs until the
+    result is consumed) because both sides of the pair self-join read
+    it and Spark plans no ReusedExchange across the two aliases:
+    without it the corpus is scanned and assigned TWICE.  ``persist``
+    rather than ``localCheckpoint`` so blocks lost with an executor are
+    recomputed from lineage instead of failing the job; the cache is
+    released by Spark's LRU once the join finishes reading it.
     """
     from graph_importer_spark.operators.similarity import (
         cosine,
+        default_n_centroids,
         ivf_assign,
         ivf_centroids,
         with_norm,
     )
 
     c = with_norm(emb, id_col, vec_col, "neighbor_id", "cv", "cn")
-    cents = ivf_centroids(c, n_centroids, seed).localCheckpoint(eager=True)
-    # Materialize the assignment once: both sides of the pair self-join
-    # read it, and Spark plans no ReusedExchange across the two aliases —
-    # without this the corpus is scanned and assigned TWICE.  This is the
-    # "build the IVF index" step every ANN system pays exactly once.
-    a = ivf_assign(c, cents).localCheckpoint(eager=True)
+    if n_centroids is None:
+        c = c.persist()
+        n_centroids = default_n_centroids(c.count())
+    cents = ivf_centroids(c, n_centroids, seed)
+    a = ivf_assign(c, cents).persist()
+    if max_list_size is not None:
+        sized = a.withColumn(
+            "list_n", F.count("*").over(Window.partitionBy("list_id"))
+        )
+        a = sized.filter(F.col("list_n") <= max_list_size).drop("list_n")
     left = a.select(
         "list_id",
         F.col("neighbor_id").alias("id1"),
@@ -306,13 +353,18 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     seed: int = 42,
+    max_list_size: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup end-to-end: cluster -> within-cluster pairs ->
     transitive clusters -> one keeper per cluster.  Returns
-    (doc_id, keeper, is_dup) for every id that appears in a pair."""
-    pairs = semantic_dup_pairs(emb, id_col, vec_col, threshold, n_centroids, seed)
+    (doc_id, keeper, is_dup) for every id that appears in a pair.
+    Parameter semantics (sqrt(n) centroid default, hot-list cap) are
+    ``semantic_dup_pairs``'."""
+    pairs = semantic_dup_pairs(
+        emb, id_col, vec_col, threshold, n_centroids, seed, max_list_size
+    )
     return dup_clusters(pairs)
 
 

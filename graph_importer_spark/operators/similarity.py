@@ -122,6 +122,15 @@ def lsh_signature(vec_col: str | Column, n_bits: int = 8, seed: int = 42) -> Col
     return sig
 
 
+def default_n_centroids(n_vectors: int) -> int:
+    """The FAISS IVF rule of thumb as code: C = max(8, floor(sqrt(n))).
+
+    Keeps expected inverted-list size ~sqrt(n), so the within-list work
+    (SemDeDup pair join, ANN probe re-rank) grows as n^1.5 rather than
+    collapsing to all-pairs when a fixed small C meets a large corpus."""
+    return max(8, int(n_vectors**0.5))
+
+
 def ivf_centroids(
     corpus_normed: DataFrame, n_centroids: int = 8, seed: int = 42
 ) -> DataFrame:
@@ -170,7 +179,7 @@ def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -188,8 +197,17 @@ def ann_topk_ivf(
     in exactly one list, so probed candidates are never duplicated.
     Assignment similarity is rounded to 6dp with centroid-id tie-break
     — deterministic and bit-replayable in SQL (the DuckDB oracle
-    replays centroid sampling, assignment and probing)."""
+    replays centroid sampling, assignment and probing).
+
+    ``n_centroids=None`` (the default) derives max(8, floor(sqrt(n)))
+    from one corpus count — the FAISS IVF rule of thumb as code, so a
+    caller who forgets the knob at 10^9 vectors gets ~sqrt(n) lists of
+    ~sqrt(n) vectors, not 8 lists of n/8.  Pass an explicit value to
+    skip the count job."""
     c = with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+    if n_centroids is None:
+        c = c.persist()
+        n_centroids = default_n_centroids(c.count())
     cents = ivf_centroids(c, n_centroids, seed).localCheckpoint(eager=True)
     assigned = ivf_assign(c, cents)
     q = with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
@@ -233,7 +251,9 @@ def ann_topk_lsh(
     At 10^9 vectors: corpus signatures are computed once and persisted;
     query->bucket is an equi-join touching ~n/2^bits of the corpus.
     Recall < 1 by construction (bucket boundary misses) — measure with
-    similarity_recall() against cosine_topk on a sample.
+    ``similarity_recall(ann_result, cosine_topk(...))`` on a sample;
+    measured numbers for the testdata embeddings are pinned in SCALE.md
+    and asserted in tests/test_operators.py.
     """
     c = with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn").withColumn(
         "bucket", lsh_signature("cv", n_bits, seed)
@@ -256,3 +276,47 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def similarity_recall(
+    ann: DataFrame, exact: DataFrame, k: int | None = None
+) -> float:
+    """recall@k of an ANN result against the exact brute-force top-k:
+    |ANN ∩ exact| / |exact| over (query_id, neighbor_id) pairs.
+
+    ``ann`` and ``exact`` are both (query_id, neighbor_id, cosine, rank)
+    frames as returned by ``ann_topk_lsh`` / ``ann_topk_ivf`` /
+    ``cosine_topk``; pass ``k`` to truncate both sides to rank <= k
+    first (defaults to whatever ranks the inputs carry).  One semi-join
+    + two counts on frames of (n_queries x k) rows — evaluation cost is
+    independent of corpus size, which is what makes it runnable as a
+    sampled quality probe next to a 10^9-vector index build.
+    """
+    if k is not None:
+        ann = ann.filter(F.col("rank") <= k)
+        exact = exact.filter(F.col("rank") <= k)
+    truth = exact.select("query_id", "neighbor_id").persist()
+    denom = truth.count()
+    if denom == 0:
+        return 1.0
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .count()
+    )
+    return hits / denom
+
+
+def pair_recall(found: DataFrame, truth: DataFrame) -> float:
+    """Recall of a candidate PAIR set against a ground-truth pair set
+    (both (id1, id2) with id1 < id2) — the SemDeDup / LSH-vs-brute
+    near-dup quality probe.  Same semi-join shape as
+    ``similarity_recall``; pairs are tiny relative to the corpus."""
+    t = truth.select("id1", "id2").persist()
+    denom = t.count()
+    if denom == 0:
+        return 1.0
+    hits = (
+        found.select("id1", "id2").join(t, ["id1", "id2"], "left_semi").count()
+    )
+    return hits / denom

@@ -49,14 +49,27 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
 
 
+# Gopher's exact "stop word" set for the >= 2 rule (Rae et al. 2021
+# §A1.1 lists precisely these eight words) — distinct from the repo's
+# per-language lang-ID lists above, which are tuned for language
+# discrimination, not for the Gopher gate.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _stopword_hits_in(text: Column, words: list[str]) -> Column:
+    """Number of whitespace tokens (lowercased, punctuation-stripped)
+    that appear in ``words``."""
+    toks = F.transform(
+        _tokens(F.lower(text)), lambda t: F.regexp_replace(t, r"[^a-z]", "")
+    )
+    stops = F.array(*[F.lit(s) for s in words])
+    return F.size(F.filter(toks, lambda w: F.array_contains(stops, w)))
+
+
 def _stopword_hits(text: Column, lang: str) -> Column:
     """Number of whitespace tokens (lowercased, punctuation-stripped)
     that are stopwords of ``lang``."""
-    words = F.transform(
-        _tokens(F.lower(text)), lambda t: F.regexp_replace(t, r"[^a-z]", "")
-    )
-    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    return F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
+    return _stopword_hits_in(text, STOPWORDS[lang])
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -167,7 +180,11 @@ def gopher_columns(text: Column, lang: str = "en") -> dict[str, Column]:
     ``gopher_pass`` applies the published thresholds: 50 <= words <=
     100000, 3 <= mean word length <= 10, symbol-to-word ratio <= 0.1,
     bullet lines <= 90%, ellipsis lines <= 30%, >= 80% alphabetic words,
-    >= 2 stopword hits.
+    >= 2 hits of Gopher's exact eight-word stop set (GOPHER_STOPWORDS —
+    the paper names the specific words, so the gate uses them verbatim
+    rather than the repo's lang-ID stopword lists; ``lang`` is kept for
+    signature compatibility and ignored by the stop rule, which the
+    paper defines for English only).
     """
     n = token_count(text)
     mwl = mean_word_len(text)
@@ -175,7 +192,7 @@ def gopher_columns(text: Column, lang: str = "en") -> dict[str, Column]:
     bullet = bullet_line_frac(text)
     ell = ellipsis_line_frac(text)
     alpha = alpha_word_frac(text)
-    stops = _stopword_hits(text, lang)
+    stops = _stopword_hits_in(text, GOPHER_STOPWORDS)
     ok = (
         (n >= 50) & (n <= 100000)
         & (mwl >= 3.0) & (mwl <= 10.0)

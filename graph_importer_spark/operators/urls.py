@@ -90,3 +90,62 @@ def normalize_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/?#]*):80([/?]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/?#]*):443([/?]|$)", r"$1$2")
     return u
+
+
+def registered_domain_psl(
+    df,
+    host_col: str,
+    psl,
+    suffix_col: str = "suffix",
+    out_col: str = "registered_domain",
+):
+    """Registrable domain via a caller-supplied public-suffix table —
+    the full-PSL path next to the dependency-free ``registered_domain``
+    regex subset (the documented cut at ``_MULTI_SUFFIX``).
+
+    ``psl`` is a DataFrame with one public suffix per row ('com',
+    'co.uk', 'pvt.k12.ma.us', ...).  Longest-match semantics, per the
+    public-suffix algorithm: each host generates its proper label
+    suffixes (a handful of rows — hosts have ~2-6 labels), those join
+    the broadcast suffix table, and the match with the most labels
+    wins; the registered domain is that suffix plus one label.  Hosts
+    matching no listed suffix fall back to the PSL's implicit '*' rule
+    (last label is the suffix -> registered domain = last two labels).
+
+    Scale shape: the PSL is ~10k rows — a classic broadcast dim; the
+    corpus side explodes ~4x on label suffixes and reduces back to one
+    row per distinct host with an algebraic max_by (map-side partials),
+    so the corpus is never shuffled by anything hotter than the host
+    key itself.  Returns ``df`` plus ``out_col``.
+    """
+    labels = F.split(F.col("__host"), r"\.")
+    n = F.size(labels)
+    cands = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hosts = df.select(F.col(host_col).alias("__host")).distinct()
+    ex = hosts.select("__host", F.explode(cands).alias("__cand"))
+    hit = (
+        ex.join(
+            F.broadcast(psl.select(F.col(suffix_col).alias("__cand")).distinct()),
+            "__cand",
+        )
+        .groupBy("__host")
+        .agg(F.expr("max_by(__cand, length(__cand))").alias("__suffix"))
+    )
+    joined = df.join(hit, df[host_col] == hit["__host"], "left").drop("__host")
+    h_labels = F.split(F.col(host_col), r"\.")
+    h_n = F.size(h_labels)
+    k = F.size(F.split(F.col("__suffix"), r"\."))
+    reg = F.array_join(F.slice(h_labels, h_n - k, k + 1), ".")
+    fallback = F.when(
+        F.regexp_extract(F.col(host_col), r"([^.]+\.[^.]+)$", 1) != "",
+        F.regexp_extract(F.col(host_col), r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(F.col(host_col))
+    return joined.withColumn(
+        out_col, F.when(F.col("__suffix").isNotNull(), reg).otherwise(fallback)
+    ).drop("__suffix")

@@ -638,3 +638,140 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     }
     assert len(w) == 2
     assert w[1] > w[2]  # fox doc is more target-like than finance doc
+
+
+def test_similarity_recall_function(spark):
+    # hand-checkable frames: exact has 4 truth pairs, ann recovers 3
+    exact = spark.createDataFrame(
+        [(0, 10, 0.9, 1), (0, 11, 0.8, 2), (1, 12, 0.7, 1), (1, 13, 0.6, 2)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    ann = spark.createDataFrame(
+        [(0, 10, 0.9, 1), (0, 99, 0.5, 2), (1, 12, 0.7, 1), (1, 13, 0.6, 2)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    assert similarity.similarity_recall(ann, exact) == 0.75
+    # k-truncation: at k=1 both top-1s match
+    assert similarity.similarity_recall(ann, exact, k=1) == 1.0
+    empty = exact.filter("rank > 99")
+    assert similarity.similarity_recall(ann, empty) == 1.0
+
+
+def test_pair_recall_function(spark):
+    truth = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "id1 long, id2 long"
+    )
+    found = spark.createDataFrame([(0, 1), (4, 5)], "id1 long, id2 long")
+    assert abs(similarity.pair_recall(found, truth) - 2 / 3) < 1e-9
+
+
+def test_measured_ann_and_semdedup_recall_floor(spark):
+    """Pin the ANN/SemDeDup recall numbers the docstrings point to.
+
+    Clustered corpus (the regime both indexes are built for): recall of
+    the scale paths against their brute-force baselines must clear a
+    floor.  The measured values are recorded in SCALE.md."""
+    import random
+
+    rnd = random.Random(23)
+    rows = []
+    for i in range(240):
+        axis = i % 4
+        v = [rnd.gauss(0, 0.05) for _ in range(8)]
+        v[axis * 2] += 1.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 12)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    ivf = similarity.ann_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=4)
+    assert similarity.similarity_recall(ivf, exact) >= 0.9
+    lsh = similarity.ann_topk_lsh(emb, q, k=5, n_bits=4)
+    assert similarity.similarity_recall(lsh, exact) >= 0.5
+    # SemDeDup pair recall vs the brute-force near-dup baseline
+    dup_truth = dedup.embedding_near_dup_pairs(emb, threshold=0.999)
+    sem = dedup.semantic_dup_pairs(emb, threshold=0.999, n_centroids=4)
+    assert similarity.pair_recall(sem, dup_truth) >= 0.9
+
+
+def test_default_n_centroids_grows_with_corpus(spark):
+    assert similarity.default_n_centroids(10) == 8
+    assert similarity.default_n_centroids(10_000) == 100
+    assert similarity.default_n_centroids(10**12) == 10**6
+    # the None default actually takes the derived path end-to-end
+    import math
+
+    rows = [
+        (i, [math.sin(i * 7.3 + d * 1.7) for d in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # the None default must behave exactly like an explicit C = f(count)
+    implicit = sorted(
+        map(tuple, dedup.semantic_dup_pairs(emb, threshold=0.999).collect())
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            dedup.semantic_dup_pairs(
+                emb,
+                threshold=0.999,
+                n_centroids=similarity.default_n_centroids(len(rows)),
+            ).collect(),
+        )
+    )
+    assert implicit == explicit and len(implicit) > 0
+
+
+def test_semantic_max_list_size_cap(spark):
+    """One dense direction floods a single inverted list; the cap must
+    drop that list from the pair join (and only that list)."""
+    import math
+
+    hot = [(i, [1.0 + 0.0001 * i, 0.0, 0.0, 0.0]) for i in range(30)]
+    cold = [
+        (100 + i, [math.sin(i + d * 2.1) for d in range(4)]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    capped = dedup.semantic_dup_pairs(
+        emb, threshold=0.99, n_centroids=4, max_list_size=10
+    )
+    uncapped = dedup.semantic_dup_pairs(
+        emb, threshold=0.99, n_centroids=4, max_list_size=None
+    )
+    # the hot list (30 near-identical vectors) exceeds the cap: its
+    # O(list^2) pairs are gone; without the cap they dominate
+    assert uncapped.count() >= 30 * 29 / 2
+    capped_ids = {
+        r["id1"] for r in capped.collect()
+    } | {r["id2"] for r in capped.collect()}
+    assert all(i >= 100 or i not in capped_ids for i in range(30))
+
+
+def test_registered_domain_psl_longest_match(spark):
+    from graph_importer_spark.operators import urls
+
+    hosts = spark.createDataFrame(
+        [
+            ("a.b.example.co.uk",),   # multi-label suffix
+            ("www.shop.com.sg",),     # outside the regex subset
+            ("x.y.sub.k12.ma.us",),   # 4-label public suffix
+            ("plain.example.com",),
+            ("edge.internal",),       # unlisted TLD -> '*' fallback
+            ("localhost",),           # single label -> itself
+        ],
+        "host string",
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("sg",), ("com.sg",),
+         ("us",), ("k12.ma.us",)],
+        "suffix string",
+    )
+    out = {
+        r["host"]: r["registered_domain"]
+        for r in urls.registered_domain_psl(hosts, "host", psl).collect()
+    }
+    assert out["a.b.example.co.uk"] == "example.co.uk"
+    assert out["www.shop.com.sg"] == "shop.com.sg"
+    assert out["x.y.sub.k12.ma.us"] == "sub.k12.ma.us"
+    assert out["plain.example.com"] == "example.com"
+    assert out["edge.internal"] == "edge.internal"
+    assert out["localhost"] == "localhost"
