@@ -1982,6 +1982,183 @@ FROM dc JOIN ratio USING (bucket) GROUP BY doc_id
 """
 
 
+def q_corpus_hygiene(spark, sf_dir):
+    """The full corpus-hygiene recipe as ONE driver-checked contract
+    entry (round-3 verdict task 6 — previously composition was pytest
+    only, `tests/test_hygiene_recipe.py`):
+
+        quality gate -> near-dup keeper drop -> benchmark
+        decontamination -> PII audit + redaction -> DSIR weights
+
+    Every stage is the already-oracled operator; this entry verifies
+    the COMPOSITION (each stage consumes the previous stage's
+    survivors, so a row-accounting bug anywhere shifts every
+    downstream hash).  Deterministic clones of every 50th document are
+    planted so the near-dup stage provably drops rows.  Capped at
+    doc_id < 300 so cost is sf-independent."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    clones = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    )
+    corpus = d.unionAll(clones)
+    bench = corpus.filter(F.col("doc_id") % 20 == 0)
+    rest = corpus.filter(F.col("doc_id") % 20 != 0)
+    # 1. quality gate (Gopher word-count rule, scaled-down threshold)
+    n_words = _ts.gopher_columns(F.col("text"))["n_words"]
+    quality = rest.withColumn("n_words", n_words).filter(F.col("n_words") >= 30)
+    # 2. near-dup keeper selection (jaccard pairs -> CC -> drop dups)
+    pairs = _dedup.ngram_jaccard_pairs(quality, "doc_id", "text", k=3, threshold=0.6)
+    clusters = _dedup.dup_clusters(pairs.select("id1", "id2"))
+    kept = quality.join(
+        clusters.filter("is_dup").select(F.col("doc_id").alias("__dup")),
+        quality.doc_id == F.col("__dup"),
+        "left_anti",
+    )
+    # 3. decontamination vs the benchmark split (13-gram rule)
+    flags = _decontam.contamination(kept, bench, "doc_id", "text", k=13)
+    clean = kept.join(
+        flags.filter("contaminated").select(F.col("doc_id").alias("__con")),
+        kept.doc_id == F.col("__con"),
+        "left_anti",
+    )
+    # 4. PII plant (deterministic, same synth as text_pii) + audit + redact
+    planted = clean.select(
+        "doc_id", "lang", "n_words", _pii_text(F.col("doc_id")).alias("text")
+    )
+    audit = _pii.pii_flags(planted, "doc_id", "text").select(
+        "doc_id", "has_pii", "redacted_len"
+    )
+    scrubbed = planted.select(
+        "doc_id", "lang", "n_words", _pii.redact("text").alias("text")
+    )
+    # 5. DSIR weights over the scrubbed survivors (target = en split)
+    weights = _imp.importance_weights(
+        scrubbed, scrubbed.filter(F.col("lang") == "en"), "doc_id", "text",
+        buckets=512,
+    )
+    return (
+        scrubbed.select("doc_id", "n_words")
+        .join(audit, "doc_id")
+        .join(weights, "doc_id")
+    )
+
+
+def _oracle_corpus_hygiene(buckets: int = 512) -> str:
+    ntok = r"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END)"
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(m, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    email = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+'"
+    ipv4 = r"'\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'"
+    phone = r"'\+[0-9][0-9 ().-]{6,16}[0-9]'"
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, {email}, '<EMAIL>', 'g'),"
+        f" {ipv4}, '<IP>', 'g'), {phone}, '<PHONE>', 'g')"
+    )
+    return rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents
+  WHERE doc_id < 300 AND doc_id % 50 = 0),
+rest AS (SELECT * FROM corpus WHERE doc_id % 20 <> 0),
+bench AS (SELECT * FROM corpus WHERE doc_id % 20 = 0),
+quality AS MATERIALIZED (
+  SELECT doc_id, lang, text, {ntok} AS n_words
+  FROM rest WHERE {ntok} >= 30),
+qdocs AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM quality),
+qsh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM qdocs, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+qsizes AS (SELECT doc_id, COUNT(*) AS n FROM qsh GROUP BY doc_id),
+qinter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM qsh a JOIN qsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2
+  FROM qinter JOIN qsizes n1 ON n1.doc_id = id1 JOIN qsizes n2 ON n2.doc_id = id2
+  WHERE round(i / (n1.n + n2.n - i), 6) >= 0.6),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+  UNION SELECT id1, id1 FROM pairs
+  UNION SELECT id2, id2 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+dups AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> MIN(b)),
+kept AS MATERIALIZED (SELECT * FROM quality WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+ksh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 13 THEN array_to_string(t[i:i+12], ' ')
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM kept) k,
+       UNNEST(generate_series(1, greatest(len(t) - 12, 1))) AS u(i)),
+bsh AS (
+  SELECT DISTINCT
+    CASE WHEN len(t) >= 13 THEN array_to_string(t[i:i+12], ' ')
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM bench) b,
+       UNNEST(generate_series(1, greatest(len(t) - 12, 1))) AS u(i)),
+contaminated AS (SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (shingle)),
+clean AS MATERIALIZED (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+planted AS MATERIALIZED (
+  SELECT doc_id, lang, n_words, {_PII_TEXT_SQL} AS text FROM clean),
+aud AS MATERIALIZED (
+  SELECT doc_id,
+    len(regexp_extract_all(coalesce(text, ''), {email}))
+    + len(regexp_extract_all(coalesce(text, ''), {ipv4}))
+    + len(regexp_extract_all(coalesce(text, ''), {phone})) > 0 AS has_pii,
+    {redacted} AS rtext
+  FROM planted),
+scr AS MATERIALIZED (
+  SELECT p.doc_id, p.lang, p.n_words, a.has_pii,
+         length(a.rtext) AS redacted_len, a.rtext AS text
+  FROM planted p JOIN aud a USING (doc_id)),
+sdocs AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM scr),
+grams AS (
+  SELECT doc_id, lang, g
+  FROM sdocs, UNNEST(list_concat(t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END)) AS u(g)),
+hb AS MATERIALIZED (
+  SELECT doc_id, lang, h % {buckets} AS bucket
+  FROM (SELECT doc_id, lang, md5('0|' || g) AS m FROM grams),
+       LATERAL (SELECT {poly} AS h)),
+rc AS MATERIALIZED (SELECT bucket, COUNT(*) AS rn FROM hb GROUP BY bucket),
+tc AS MATERIALIZED (SELECT bucket, COUNT(*) AS tn FROM hb WHERE lang = 'en' GROUP BY bucket),
+ratio AS MATERIALIZED (
+  SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+         ln((COALESCE(tn, 0) + 1) / ((SELECT SUM(tn) FROM tc) + {buckets}.0))
+       - ln((COALESCE(rn, 0) + 1) / ((SELECT SUM(rn) FROM rc) + {buckets}.0)) AS log_ratio
+  FROM rc FULL JOIN tc ON rc.bucket = tc.bucket),
+dc AS MATERIALIZED (SELECT doc_id, bucket, COUNT(*) AS c FROM hb GROUP BY doc_id, bucket),
+w AS (SELECT doc_id, round(SUM(c * log_ratio), 6) AS dsir_logweight
+      FROM dc JOIN ratio USING (bucket) GROUP BY doc_id)
+SELECT s.doc_id, s.n_words, s.has_pii, s.redacted_len, w.dsir_logweight
+FROM scr s JOIN w USING (doc_id)
+"""
+
+
 def q_text_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2626,13 +2803,67 @@ WHERE rn <= 5
 # rows (green in multiple past rounds, code untouched) rotate to the
 # tail so everything gets driver-verified across rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # flagship + the entries the r2 driver window truncated (ANN,
-    # multimodal, streaming, skew), plus everything changed this round
+    # ---- window (first 50), round 4 ----
+    # flagship, always driver-checked
     "kg_flagship": q_kg_flagship,
     "kg_extract": q_kg_extract,
-    "sim_ann_lsh": q_sim_ann_lsh,
+    # new or code-touched since the r3 driver ran (ff72a00 + round 4):
+    # composed hygiene recipe, PSL domains, de-vacuized oracles,
+    # IVF sqrt(n) defaults + hot-list cap, Gopher exact stop set
+    "corpus_hygiene": q_corpus_hygiene,
+    "web_hosts_psl": q_web_hosts_psl,
+    "dedup_exact": q_dedup_exact,
+    "anti_join_unordered_parts": q_anti_join_unordered_parts,
+    "dedup_semantic": q_dedup_semantic,
+    "dedup_clusters": q_dedup_clusters,
     "sim_ann_ivf": q_sim_ann_ivf,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_cosine_topk": q_sim_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
+    "text_gopher": q_text_gopher,
+    "web_hosts": q_web_hosts,
+    "text_dsir": q_text_dsir,
+    # the r3 tail (never driver-checked in r3; judge-verified) rotates
+    # back into the window per the policy above
+    "text_quality": q_text_quality,
+    "cc_star": q_cc_star,
+    "cc_canonical_names": q_cc_canonical_names,
+    "cc_canonical_dense": q_cc_canonical_dense,
+    "text_stats": q_text_stats,
+    "window_top_orders": q_window_top_orders,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "text_lang": q_text_lang,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "pricing_summary": q_pricing_summary,
+    "region_volume": q_region_volume,
+    "semi_join_segments": q_semi_join_segments,
+    "imp_edge_parse": q_imp_edge_parse,
+    "imp_smart_keys": q_imp_smart_keys,
+    "imp_unique_insert": q_imp_unique_insert,
+    "gen_clique": q_gen_clique,
+    "gen_tournament": q_gen_tournament,
+    "gen_kpartite": q_gen_kpartite,
+    "gen_vertex_docs": q_gen_vertex_docs,
+    # fillers: r3-green entries whose modules border this round's edits
+    # (dedup/textstats/similarity) — cheapest to keep re-verified
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
+    "dedup_winnow": q_dedup_winnow,
+    "text_winnow": q_text_winnow,
+    "text_simhash": q_text_simhash,
+    "text_repetition": q_text_repetition,
+    "text_decontam": q_text_decontam,
+    "text_pii": q_text_pii,
+    "gen_edge_attrs": q_gen_edge_attrs,
+    "gen_cliques_graph": q_gen_cliques_graph,
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
+    "quantiles_value": q_quantiles_value,
+    "pivot_hourly": q_pivot_hourly,
+    # ---- tail (entries 51+): long-stable rows, driver-green in r3,
+    # query + oracle code untouched this round; rotated per the policy ----
     "mm_byte_stats": q_mm_byte_stats,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_frame_sample": q_mm_frame_sample,
@@ -2648,8 +2879,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_prior_clicks": q_interval_prior_clicks,
     "approx_distinct_users": q_approx_distinct_users,
     "effective_closeness_tree": q_effective_closeness_tree,
-    "gen_cliques_graph": q_gen_cliques_graph,
-    # graph analytics catalog
     "pagerank_star": q_pagerank_star,
     "sssp_tree": q_sssp_tree,
     "scc_cycles": q_scc_cycles,
@@ -2659,55 +2888,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slpa_overlap": q_slpa_overlap,
     "tri_copurchase": q_tri_copurchase,
     "kcore_copurchase": q_kcore_copurchase,
-    # relational / window / sampling
-    "quantiles_value": q_quantiles_value,
-    "pivot_hourly": q_pivot_hourly,
     "events_json_stats": q_events_json_stats,
     "rollup_pricing": q_rollup_pricing,
-    "sample_stratified": q_sample_stratified,
-    "sample_hash": q_sample_hash,
-    # training-data pipeline operators
-    "text_gopher": q_text_gopher,
-    "text_repetition": q_text_repetition,
-    "text_decontam": q_text_decontam,
-    "text_dsir": q_text_dsir,
-    "text_pii": q_text_pii,
-    "web_hosts": q_web_hosts,
-    "web_hosts_psl": q_web_hosts_psl,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_semantic": q_dedup_semantic,
-    "text_winnow": q_text_winnow,
-    "dedup_winnow": q_dedup_winnow,
-    "gen_edge_attrs": q_gen_edge_attrs,
-    "dedup_jaccard_capped": q_dedup_jaccard_capped,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "text_simhash": q_text_simhash,
-    # ---- tail (entries 51+): long-stable rows, green in r1 AND r2,
-    # query + oracle code untouched this round; rotated per the policy ----
-    "text_quality": q_text_quality,
-    "cc_star": q_cc_star,
-    "cc_canonical_names": q_cc_canonical_names,
-    "cc_canonical_dense": q_cc_canonical_dense,
-    "text_stats": q_text_stats,
-    "window_top_orders": q_window_top_orders,
-    "events_hourly": q_events_hourly,
-    "events_sessions": q_events_sessions,
-    "text_lang": q_text_lang,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_exact": q_dedup_exact,
-    "dedup_fingerprint": q_dedup_fingerprint,
-    "sim_cosine_topk": q_sim_cosine_topk,
-    "pricing_summary": q_pricing_summary,
-    "region_volume": q_region_volume,
-    "semi_join_segments": q_semi_join_segments,
-    "anti_join_unordered_parts": q_anti_join_unordered_parts,
-    "imp_edge_parse": q_imp_edge_parse,
-    "imp_smart_keys": q_imp_smart_keys,
-    "imp_unique_insert": q_imp_unique_insert,
-    "gen_clique": q_gen_clique,
-    "gen_tournament": q_gen_tournament,
-    "gen_kpartite": q_gen_kpartite,
-    "gen_vertex_docs": q_gen_vertex_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2760,6 +2942,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard_capped": ORACLE_DEDUP_JACCARD_CAPPED,
     "dedup_minhash_lsh": ORACLE_DEDUP_LSH,
     "dedup_clusters": _oracle_dedup_clusters(),
+    "corpus_hygiene": _oracle_corpus_hygiene(),
     "dedup_semantic": _oracle_dedup_semantic(),
     "text_gopher": _oracle_text_gopher(),
     "text_repetition": _oracle_text_repetition(),
