@@ -2793,6 +2793,316 @@ WHERE rn <= 5
 
 
 # ---------------------------------------------------------------------------
+# Round-4 training-data operators: line dedup, duplicated-span stats,
+# bloom membership, mixture sampling, URL blocklist, sequence packing,
+# vocabulary top-k
+# ---------------------------------------------------------------------------
+
+# the dedup normal form, as SQL (mirrors textstats.normalize_text)
+_NF_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4-style duplicate-span removal over 8-word chunks (the synthetic
+    corpus has no newline structure, so fixed-word chunks stand in for
+    sentences — the operator itself takes any line array).  Clones of
+    every 9th doc are planted (as in dedup_exact) so cross-document
+    duplicate spans actually exist and the keeper rule is exercised."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = d.unionAll(clones).select(
+        "doc_id", _ts.word_chunks(F.col("text"), 8).alias("lines")
+    )
+    out = _dedup.duplicate_line_removal(corpus, "doc_id", "lines")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.encode("clean_text", "UTF-8")).alias("clean_md5"),
+    )
+
+
+ORACLE_DEDUP_LINES = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0),
+docs AS (
+  SELECT doc_id, string_split({_NF_SQL}, ' ') AS t FROM corpus),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+  FROM docs, UNNEST(generate_series(1, (len(t) + 7) // 8)) AS u(i)),
+keeper AS (
+  SELECT line, MIN(doc_id * 1048576 + pos) AS keep_key FROM occ GROUP BY line),
+marked AS (
+  SELECT o.doc_id, o.pos, o.line,
+         (o.doc_id * 1048576 + o.pos) = k.keep_key AS is_kept
+  FROM occ o JOIN keeper k USING (line))
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN is_kept THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_text_dupspan(spark, sf_dir):
+    """Exact duplicated 5-gram statistics per document (the aggregate
+    view of Lee et al. 2021 exact-substring dedup) — same planted
+    clones as dedup_lines so duplicated spans exist."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return _ts.duplicated_gram_stats(d.unionAll(clones), "doc_id", "text", k=5)
+
+
+ORACLE_TEXT_DUPSPAN = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0),
+docs AS (
+  SELECT doc_id, string_split({_NF_SQL}, ' ') AS t FROM corpus
+  WHERE len(string_split({_NF_SQL}, ' ')) >= 5),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM docs, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+occ AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+dfq AS (SELECT gram, COUNT(*) AS ndocs FROM occ GROUP BY 1)
+SELECT doc_id,
+       SUM(cnt) AS n_grams,
+       SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS n_dup_grams,
+       round(SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) / SUM(cnt), 6)
+         AS dup_frac
+FROM occ JOIN dfq USING (gram) GROUP BY doc_id
+"""
+
+
+def q_sketch_bloom(spark, sf_dir):
+    """Bloom-filter membership: the bitmap is built over the normalized
+    fingerprints of docs with doc_id % 3 = 0 ("yesterday's corpus") and
+    every distinct fingerprint is probed.  All hash math is md5-derived
+    and replayed bit-for-bit by the oracle; by construction there are no
+    false negatives, and any false positive is IDENTICAL in both engines
+    (same positions, same bitmap)."""
+    from graph_importer_spark.operators import sketches as _sk
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", _ts.fingerprint(F.col("text")).alias("fp")
+    )
+    built = _sk.bloom_build(d.filter(F.col("doc_id") % 3 == 0), "fp")
+    probes = d.select("fp").distinct()
+    return _sk.bloom_probe(probes, "fp", built)
+
+
+def _bloom_pos_sql(i: int, key_expr: str, m_bits: int = 1024) -> str:
+    """DuckDB replay of sketches._bloom_pos: positional polynomial over
+    the first 8 md5 hex chars (DuckDB has no conv()), mod m."""
+    md5 = f"md5('{i}' || '|' || {key_expr})"
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring({md5}, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"(({poly}) % {m_bits})"
+
+
+def _oracle_sketch_bloom() -> str:
+    build_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(i, 'fp')} AS pos FROM fps WHERE doc_id % 3 = 0"
+        for i in range(3)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT fp, {i} AS i, {_bloom_pos_sql(i, 'fp')} AS pos FROM probes"
+        for i in range(3)
+    )
+    return rf"""
+WITH fps AS (SELECT doc_id, md5({_NF_SQL}) AS fp FROM documents),
+probes AS (SELECT DISTINCT fp FROM fps),
+bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+pp AS ({probe_pos})
+SELECT pp.fp AS fp,
+       SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) = 3
+         AS maybe_present
+FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+GROUP BY pp.fp
+"""
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Temperature-scaled mixture sampling (alpha=0.5, target 50% of
+    the corpus) over the 20 sources; per-domain summary row so the
+    oracle checks BOTH the computed rates and the realized membership."""
+    from graph_importer_spark.operators import sampling as _samp
+
+    d = T(spark, sf_dir, "documents")
+    rates = _samp.temperature_mixture_rates(d, "source", alpha=0.5, target_frac=0.5)
+    kept = _samp.temperature_mixture_sample(
+        d, "source", "doc_id", alpha=0.5, target_frac=0.5, seed=17
+    )
+    kc = kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count("*").alias("n_kept")
+    )
+    return rates.join(kc, "domain", "left").select(
+        "domain",
+        "n_docs",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+ORACLE_SAMPLE_MIXTURE = f"""
+WITH counts AS (
+  SELECT source AS domain, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT domain, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM counts),
+tot AS (
+  SELECT SUM(n_docs) AS n_total,
+         list_reduce(list_prepend(0.0, list(w ORDER BY domain)),
+                     (acc, x) -> acc + x) AS w_total
+  FROM w),
+rates AS (
+  SELECT domain, n_docs,
+         least(1.0, (0.5 * w * CAST(n_total AS DOUBLE))
+                    / (w_total * CAST(n_docs AS DOUBLE))) AS rate
+  FROM w, tot),
+kept AS (
+  SELECT d.source AS domain, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON r.domain = d.source
+  WHERE ((d.doc_id % {_M}) * {_A} + 17) % {_M} / {_M}.0 < r.rate
+  GROUP BY 1)
+SELECT r.domain, r.n_docs, round(r.rate, 6) AS rate,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (domain)
+"""
+
+
+def q_web_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist filter over the synthetic messy URLs
+    (same URL recipe as web_hosts): registered-domain match against a
+    broadcast (domain, category) list."""
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), s(i % 41),
+        F.when(i % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit(":443/p/"), s(i % 10),
+        F.lit("?id="), s(i % 5),
+        F.lit("&utm_source=x&fbclid="), s(i), F.lit("#sec"),
+    )
+    bl = spark.createDataFrame(
+        [
+            ("site3.com", "ads"),
+            ("site7.com", "adult"),
+            ("site0.co.uk", "malware"),
+            ("site12.co.uk", "ads"),
+        ],
+        "domain string, category string",
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    out = _urls.blocklist_filter(pages, "url", bl)
+    return out.select("doc_id", "domain", "blocked", "block_category")
+
+
+ORACLE_WEB_BLOCKLIST = rf"""
+WITH u0 AS (SELECT doc_id, {_WEB_URL_SQL} AS u FROM documents),
+h AS (
+  SELECT doc_id,
+    lower(regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1),
+      '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g'), '^[^@]*@', '', 'g'),
+      ':[0-9]+$', '', 'g')) AS host
+  FROM u0),
+d AS (
+  SELECT doc_id,
+    CASE WHEN regexp_extract(host,
+           '([^.]+\.(co\.uk|com\.au|co\.jp|com\.br|co\.in|co\.nz|org\.uk|ac\.uk))$', 1) <> ''
+         THEN regexp_extract(host,
+           '([^.]+\.(co\.uk|com\.au|co\.jp|com\.br|co\.in|co\.nz|org\.uk|ac\.uk))$', 1)
+         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM h),
+bl(domain, category) AS (VALUES
+  ('site3.com', 'ads'), ('site7.com', 'adult'),
+  ('site0.co.uk', 'malware'), ('site12.co.uk', 'ads'))
+SELECT d.doc_id, d.domain,
+       bl.category IS NOT NULL AS blocked,
+       bl.category AS block_category
+FROM d LEFT JOIN bl USING (domain)
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing into 256-token windows across 16 hash
+    shards (the applyInPandas stateful surface; the oracle replays the
+    packing recurrence as a recursive CTE)."""
+    from graph_importer_spark.operators import packing as _pack
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", _ts.token_count(F.col("text")).alias("n_tokens")
+    )
+    return _pack.pack_next_fit(d, "doc_id", "n_tokens", capacity=256, shards=16)
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+  FROM documents),
+capped AS (SELECT *, least(n_tokens, 256) AS t FROM base),
+st AS (
+  SELECT shard, rn, doc_id, n_tokens, t,
+         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off, t AS used
+  FROM capped WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.n_tokens, b.t,
+         CASE WHEN s.used + b.t > 256 AND s.used > 0 THEN s.seq + 1 ELSE s.seq END,
+         CASE WHEN s.used + b.t > 256 AND s.used > 0 THEN 0 ELSE s.used END,
+         CASE WHEN s.used + b.t > 256 AND s.used > 0 THEN b.t ELSE s.used + b.t END
+  FROM st s JOIN capped b ON b.shard = s.shard AND b.rn = s.rn + 1)
+SELECT doc_id, shard, n_tokens,
+       shard * 1099511627776 + seq AS pack_id, off AS offset
+FROM st
+"""
+
+
+def q_text_vocab(spark, sf_dir):
+    """Vocabulary top-50: the canonical wordcount at scale — explode
+    tokens, count with map-side partial aggregation, global top-k via
+    TakeOrderedAndProject (no full sort, no window).  Ties broken by
+    token string so the row SET is deterministic."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(_ts.normalize_text(F.col("text")), " ")
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+ORACLE_TEXT_VOCAB = rf"""
+SELECT tok, COUNT(*) AS cnt
+FROM (SELECT UNNEST(string_split({_NF_SQL}, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY cnt DESC, tok
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2810,6 +3120,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new or code-touched since the r3 driver ran (ff72a00 + round 4):
     # composed hygiene recipe, PSL domains, de-vacuized oracles,
     # IVF sqrt(n) defaults + hot-list cap, Gopher exact stop set
+    # round-4 additions: line-level dedup, duplicated-span stats, bloom
+    # membership, mixture sampling, URL blocklist, sequence packing,
+    # vocab top-k
+    "dedup_lines": q_dedup_lines,
+    "text_dupspan": q_text_dupspan,
+    "sketch_bloom": q_sketch_bloom,
+    "sample_mixture": q_sample_mixture,
+    "web_blocklist": q_web_blocklist,
+    "pack_sequences": q_pack_sequences,
+    "text_vocab": q_text_vocab,
     "corpus_hygiene": q_corpus_hygiene,
     "web_hosts_psl": q_web_hosts_psl,
     "dedup_exact": q_dedup_exact,
@@ -2847,23 +3167,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_kpartite": q_gen_kpartite,
     "gen_vertex_docs": q_gen_vertex_docs,
     # fillers: r3-green entries whose modules border this round's edits
-    # (dedup/textstats/similarity) — cheapest to keep re-verified
+    # (dedup/textstats/sampling) — cheapest to keep re-verified
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_winnow": q_dedup_winnow,
     "text_winnow": q_text_winnow,
-    "text_simhash": q_text_simhash,
-    "text_repetition": q_text_repetition,
     "text_decontam": q_text_decontam,
     "text_pii": q_text_pii,
-    "gen_edge_attrs": q_gen_edge_attrs,
-    "gen_cliques_graph": q_gen_cliques_graph,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
+    # ---- tail (entries 51+): long-stable rows, driver-green in r3
+    # (the displaced fillers below were driver-green in r3 and their
+    # query paths are untouched this round — only new functions were
+    # APPENDED to their modules), query + oracle code untouched this
+    # round; rotated per the policy ----
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
+    "text_simhash": q_text_simhash,
+    "text_repetition": q_text_repetition,
+    "gen_edge_attrs": q_gen_edge_attrs,
+    "gen_cliques_graph": q_gen_cliques_graph,
     "quantiles_value": q_quantiles_value,
     "pivot_hourly": q_pivot_hourly,
-    # ---- tail (entries 51+): long-stable rows, driver-green in r3,
-    # query + oracle code untouched this round; rotated per the policy ----
     "mm_byte_stats": q_mm_byte_stats,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_frame_sample": q_mm_frame_sample,
@@ -2969,6 +3292,13 @@ ORACLES: dict[str, str] = {
     "skew_salted_count": ORACLE_SALTED_COUNT,
     "skew_salted_join": ORACLE_SALTED_JOIN,
     "skew_salted_topk": ORACLE_SALTED_TOPK,
+    "dedup_lines": ORACLE_DEDUP_LINES,
+    "text_dupspan": ORACLE_TEXT_DUPSPAN,
+    "sketch_bloom": _oracle_sketch_bloom(),
+    "sample_mixture": ORACLE_SAMPLE_MIXTURE,
+    "web_blocklist": ORACLE_WEB_BLOCKLIST,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "text_vocab": ORACLE_TEXT_VOCAB,
     # every registered query is oracle-checked: the iterative ones replay
     # as chained/recursive CTEs (pagerank_star, sssp_tree), the hash-based
     # ones via md5/congruential-hash formulations (text_simhash,

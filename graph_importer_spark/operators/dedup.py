@@ -390,3 +390,57 @@ def embedding_near_dup_pairs(
         "id2",
         F.round(cosine("v1", "v2", "nrm1", "nrm2"), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def duplicate_line_removal(
+    df: DataFrame, id_col: str, lines_col: str
+) -> DataFrame:
+    """C4-style duplicate-line removal (Raffel et al. 2020 §2.2: any
+    three-sentence span occurring more than once in the corpus is kept
+    only the first time; here the unit is a caller-supplied line/span
+    array so the same operator covers lines, sentences, or fixed-word
+    chunks).
+
+    A line OCCURRENCE is kept iff its (doc, position) is the global
+    minimum over all occurrences of that exact line — deterministic
+    first-occurrence-wins at any partitioning.  Returns one row per doc:
+    ``(id, n_lines, n_kept, clean_text)`` where clean_text re-joins the
+    kept lines in original order with ``\\n``.
+
+    Scale shape (100 TB): one posexplode (rows x lines/doc), one
+    line-keyed aggregate (map-side partial; keys are content hashes —
+    uniform except boilerplate hot lines, which is exactly what the
+    operator removes), one equi-join back on the line key, one doc-keyed
+    reassembly aggregate.  No window over the corpus, no driver state.
+    The reference's per-bulk client-side dedup loop
+    (edge_list.py:47-58) is the row-at-a-time ancestor of this shape.
+    """
+    occ = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(lines_col).alias("_pos", "_line"),
+    )
+    keeper = occ.groupBy("_line").agg(
+        F.min(F.struct("_doc", "_pos")).alias("_keep")
+    )
+    kept = occ.join(keeper, "_line").withColumn(
+        "_is_kept",
+        (F.col("_doc") == F.col("_keep._doc")) & (F.col("_pos") == F.col("_keep._pos")),
+    )
+    return (
+        kept.groupBy(F.col("_doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_is_kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_is_kept"), F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

@@ -56,3 +56,76 @@ def stratified_sample(
     for value, frac in sorted(fractions.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(frac)).otherwise(rate)
     return df.filter(hash_unit(key_col, seed) < rate)
+
+
+def temperature_mixture_rates(
+    df: DataFrame, domain_col: str, alpha: float = 0.5, target_frac: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture weights over data domains/sources —
+    the standard multinomial mixing of multilingual/multi-source
+    pretraining (mT5 / XLM-R style: sample domain d with probability
+    proportional to n_d^alpha, alpha < 1 upweights rare domains).
+
+    Returns one row per domain: ``(domain, n_docs, rate)`` where rate is
+    the deterministic per-doc keep probability that makes the EXPECTED
+    output (a) ``target_frac`` of the corpus overall and (b) distributed
+    across domains proportionally to n_d^alpha.  Rates cap at 1.0 (rare
+    domains can't be upsampled by a filter; the residual mass stays with
+    the capped domain rather than being re-spread — one-pass, replayable
+    semantics, documented).
+
+    Scale shape (100 TB): ONE count aggregate over the corpus (map-side
+    partials) reduced to <= n_domains rows; the weight normalization is
+    a left-to-right fold over the domain-sorted weight array on that
+    tiny result (bit-reproducible, engine-portable); downstream use is a
+    broadcast join.  alpha=0.5 uses sqrt (IEEE-754 correctly-rounded in
+    every engine — bit-identical replay); other alphas use pow, whose
+    libm rounding may differ across engines by 1 ulp (fine in practice,
+    excluded from the bit-exact oracle gate).
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = (
+        F.sqrt(F.col("n_docs").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    weighted = counts.select("domain", "n_docs", w.alias("w"))
+    totals = weighted.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("w_total"),
+    )
+    # rate = min(1, ((target_frac * w) * N) / (W * n_d)) — operation
+    # order pinned so the SQL replay is bit-identical.
+    return weighted.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.lit(target_frac) * F.col("w") * F.col("n_total").cast("double"))
+            / (F.col("w_total") * F.col("n_docs").cast("double")),
+        ).alias("rate"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic mixture sample: broadcast the per-domain rate table
+    and keep rows whose congruential coin clears their domain's rate.
+    Partition-invariant membership (same rows at any cluster size)."""
+    rates = temperature_mixture_rates(df, domain_col, alpha, target_frac)
+    return df.join(
+        F.broadcast(rates.select(F.col("domain").alias(domain_col), "rate")),
+        domain_col,
+    ).filter(hash_unit(key_col, seed) < F.col("rate"))

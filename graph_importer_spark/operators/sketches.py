@@ -90,3 +90,92 @@ def fm_distinct(
         .agg(*masks)
         .select(*group_cols, est.alias("approx_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership over string keys
+# ---------------------------------------------------------------------------
+#
+# The incremental-dedup primitive the reference implements as a per-bulk
+# server round-trip (edge_list.py:47-58 "unique vertices" AQL probe):
+# build a bitmap of what yesterday's corpus contained, broadcast it,
+# probe today's batch with zero shuffle on the probe side.  Positions
+# come from k md5-derived hashes (bit-identical in Spark and DuckDB), so
+# the whole filter — build AND probe — replays in SQL.  The bitmap is
+# stored as m/64 int64 words built with a bit_or aggregate: associative
+# + idempotent => map-side partials, mergeable across days/segments.
+# No false negatives ever; false-positive rate ~ (1 - e^(-k*n/m))^k.
+
+
+def _bloom_pos(key: F.Column, i: int, m_bits: int) -> F.Column:
+    """Bit position i (of k) for a string key: 32 bits of md5 over the
+    seed-tagged key, mod m.  Replayable: DuckDB evaluates the same md5
+    hex polynomial (contract._BLOOM_POS_SQL)."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.concat_ws("|", F.lit(str(i)), key), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1024, k: int = 3
+) -> DataFrame:
+    """Build the bitmap: ``(word_idx, bits)`` with at most m/64 rows
+    (absent words = all-zero).  One explode (x k, constant) and one
+    word-keyed bit_or aggregate — mergeable, partial-agg-friendly."""
+    positions = F.array(
+        *[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k)]
+    )
+    return (
+        df.select(F.explode(positions).alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Membership probe: adds ``maybe_present`` (true iff all k bits are
+    set).  The bitmap (<= m/64 rows) is broadcast; the probe side
+    explodes x k, joins on word_idx, and reduces back — the probe
+    corpus itself never shuffles on a data-dependent key."""
+    pos = probes.select(
+        F.col(key_col).alias("_key"),
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k)])
+        ).alias("_i", "_pos"),
+    ).select(
+        "_key",
+        "_i",
+        (F.col("_pos") / 64).cast("long").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+        ).alias("_mask"),
+    )
+    hit = pos.join(F.broadcast(bloom), "word_idx", "left").select(
+        "_key",
+        "_i",
+        (
+            F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+                F.col("_mask")
+            )
+            != 0
+        ).alias("_hit"),
+    )
+    return (
+        hit.groupBy(F.col("_key").alias(key_col))
+        .agg((F.sum(F.col("_hit").cast("long")) == F.lit(k)).alias("maybe_present"))
+    )

@@ -411,3 +411,61 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def word_chunks(text: Column, n: int) -> Column:
+    """Consecutive n-word chunks of the normalized text (the last chunk
+    may be shorter) — the span unit for line-level dedup on corpora
+    without newline structure.  Pure array expression, zero shuffle."""
+    toks = F.split(normalize_text(text), " ")
+    n_chunks = F.floor((F.size(toks) + F.lit(n - 1)) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * n + 1, n), " "),
+    )
+
+
+def duplicated_gram_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact duplicated-substring statistics (the aggregate view of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": substrings of >= k tokens that occur in more than one
+    document are memorization risks).  Per document: total k-gram
+    starts, starts whose gram also occurs in ANOTHER document, and the
+    duplicated fraction.
+
+    Returns ``(id, n_grams, n_dup_grams, dup_frac)``.
+
+    Scale shape (100 TB): explode to (doc, gram) and IMMEDIATELY reduce
+    to per-(doc, gram) occurrence counts (partial agg eats the blowup on
+    the map side); gram document-frequency comes from a second aggregate
+    over that already-reduced table; the join back is an equi-join on
+    the gram key.  This is the suffix-array-free formulation — exact on
+    gram starts, no global sort, no driver state."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array())
+    occ = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("_gram"))
+        .groupBy("_doc", "_gram")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    dfreq = occ.groupBy("_gram").agg(F.count("*").alias("_ndocs"))
+    joined = occ.join(dfreq, "_gram")
+    return joined.groupBy(F.col("_doc").alias(id_col)).agg(
+        F.sum("_cnt").alias("n_grams"),
+        F.sum(F.when(F.col("_ndocs") >= 2, F.col("_cnt")).otherwise(F.lit(0))).alias(
+            "n_dup_grams"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_ndocs") >= 2, F.col("_cnt")).otherwise(F.lit(0)))
+            / F.sum("_cnt"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -149,3 +149,37 @@ def registered_domain_psl(
     return joined.withColumn(
         out_col, F.when(F.col("__suffix").isNotNull(), reg).otherwise(fallback)
     ).drop("__suffix")
+
+
+def blocklist_filter(
+    df,
+    url_col: str,
+    blocklist,
+    domain_col: str = "domain",
+    category_col: str = "category",
+):
+    """UT1-style URL filtering: mark pages whose REGISTERED DOMAIN is on
+    a blocklist (the corpus-hygiene step every public web-text pipeline
+    runs — C4 / RefinedWeb drop whole domains from curated category
+    lists; the list itself is caller-supplied policy, not code).
+
+    ``blocklist`` is a DataFrame of (domain, category).  Returns ``df``
+    plus ``domain`` (registered domain of the url), ``blocked`` boolean,
+    and ``block_category`` (null when allowed).  Matching is on the
+    registered domain, so "ads.example.com" is blocked by an
+    "example.com" entry — the standard domain-level semantics.
+
+    Scale shape (100 TB): blocklists are 10^4-10^6 rows — a broadcast
+    dim; the corpus side is one regex projection plus a broadcast left
+    join, zero shuffle on the fact side (the reference's analogous
+    existence gating is the per-row server probe at edge_list.py:47-58).
+    """
+    with_domain = df.withColumn("domain", registered_domain(host_of(url_col)))
+    dim = blocklist.select(
+        F.col(domain_col).alias("domain"),
+        F.col(category_col).alias("block_category"),
+    )
+    return (
+        with_domain.join(F.broadcast(dim), "domain", "left")
+        .withColumn("blocked", F.col("block_category").isNotNull())
+    )

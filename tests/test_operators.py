@@ -775,3 +775,159 @@ def test_registered_domain_psl_longest_match(spark):
     assert out["plain.example.com"] == "example.com"
     assert out["edge.internal"] == "edge.internal"
     assert out["localhost"] == "localhost"
+
+
+# ---------------------------------------------------------------------------
+# Round 4: line dedup, duplicated spans, bloom, mixture, blocklist, packing
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_line_removal_first_occurrence_wins(spark):
+    rows = [
+        (10, ["alpha beta", "gamma delta", "alpha beta"]),  # self-dup line
+        (20, ["alpha beta", "unique twenty"]),              # cross-doc dup
+        (30, ["only here"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_line_removal(df, "doc_id", "lines").collect()
+    }
+    # doc 10 keeps its FIRST "alpha beta" only (pos 0), drops pos 2
+    assert out[10]["n_lines"] == 3 and out[10]["n_kept"] == 2
+    assert out[10]["clean_text"] == "alpha beta\ngamma delta"
+    # doc 20's "alpha beta" lost to doc 10 (global first occurrence)
+    assert out[20]["n_kept"] == 1
+    assert out[20]["clean_text"] == "unique twenty"
+    assert out[30]["n_kept"] == 1 and out[30]["clean_text"] == "only here"
+
+
+def test_duplicate_line_removal_partition_invariant(spark):
+    rows = [(i, [f"shared line", f"own {i}"]) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    a = dedup.duplicate_line_removal(df, "doc_id", "lines")
+    b = dedup.duplicate_line_removal(df.repartition(7), "doc_id", "lines")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    kept_shared = [r for r in a.collect() if "shared line" in r["clean_text"]]
+    assert len(kept_shared) == 1 and kept_shared[0]["doc_id"] == 0
+
+
+def test_duplicated_gram_stats(spark):
+    rows = [
+        (0, "one two three four five six"),
+        (1, "one two three four five seven"),  # shares grams 1-2 with doc 0
+        (2, "totally distinct words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.duplicated_gram_stats(df, "doc_id", "text", k=5).collect()}
+    # doc 0: grams "one..five" (dup with doc1), "two..six" (unique)
+    assert out[0]["n_grams"] == 2 and out[0]["n_dup_grams"] == 1
+    assert out[0]["dup_frac"] == 0.5
+    assert out[2]["n_dup_grams"] == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    from graph_importer_spark.operators import sketches
+
+    base = spark.range(0, 300).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("k")
+    )
+    bloom = sketches.bloom_build(base, "k", m_bits=4096, k=4)
+    probe = spark.range(0, 600).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("k")
+    )
+    got = {r["k"]: r["maybe_present"] for r in sketches.bloom_probe(probe, "k", bloom, m_bits=4096, k=4).collect()}
+    # every built key must probe present (no false negatives)
+    assert all(got[f"key-{i}"] for i in range(300))
+    # unseen keys are mostly absent (fp rate at n=300,m=4096,k=4 ~ 1.6%)
+    fp = sum(got[f"key-{i}"] for i in range(300, 600))
+    assert fp <= 20
+
+
+def test_bloom_mergeable(spark):
+    from graph_importer_spark.operators import sketches
+
+    a = spark.createDataFrame([("x",), ("y",)], "k string")
+    b = spark.createDataFrame([("z",)], "k string")
+    merged = (
+        sketches.bloom_build(a, "k").unionAll(sketches.bloom_build(b, "k"))
+        .groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = sketches.bloom_build(a.unionAll(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_temperature_mixture_rates_and_sample(spark):
+    from graph_importer_spark.operators import sampling
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r["domain"]: r["rate"]
+        for r in sampling.temperature_mixture_rates(df, "source", 0.5, 0.5).collect()
+    }
+    # sqrt weighting upsamples the rare domain relative to its share
+    assert rates["small"] > rates["big"]
+    assert 0.0 < rates["big"] <= 1.0 and rates["small"] <= 1.0
+    kept = sampling.temperature_mixture_sample(df, "source", "doc_id", 0.5, 0.5)
+    kept2 = sampling.temperature_mixture_sample(
+        df.repartition(13), "source", "doc_id", 0.5, 0.5
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in kept2.collect()
+    )
+    # realized total tracks the 50% target loosely (deterministic coin)
+    n = kept.count()
+    assert 350 <= n <= 650
+
+
+def test_blocklist_filter_matches_subdomain(spark):
+    from graph_importer_spark.operators import urls
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/banner"),
+            (2, "https://www.fine.org/page"),
+            (3, "http://example.com:80/x"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("example.com", "ads")], "domain string, category string")
+    out = {r["id"]: r for r in urls.blocklist_filter(pages, "url", bl).collect()}
+    assert out[1]["blocked"] and out[1]["block_category"] == "ads"
+    assert out[3]["blocked"]  # apex domain matches too
+    assert not out[2]["blocked"] and out[2]["block_category"] is None
+
+
+def test_pack_next_fit_semantics(spark):
+    from graph_importer_spark.operators import packing
+
+    rows = [(i, t) for i, t in enumerate([100, 100, 100, 50, 300, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = packing.pack_next_fit(df, "doc_id", "n_tokens", capacity=256, shards=1)
+    got = sorted(map(tuple, out.collect()))
+    # next-fit in id order: [100,100]=pack0, [100,50]=pack1, [300->256]=pack2, [10]=pack3?
+    # walk: 100(u=100), 100(u=200), 100 overflows -> pack1 (u=100), 50 (u=150),
+    # 300 capped 256 overflows -> pack2 (u=256), 10 overflows -> pack3
+    by_doc = {r[0]: (r[3], r[4]) for r in got}
+    assert by_doc[0] == (0, 0) and by_doc[1] == (0, 100)
+    assert by_doc[2] == (1, 0) and by_doc[3] == (1, 100)
+    assert by_doc[4] == (2, 0) and by_doc[5] == (3, 0)
+
+
+def test_pack_next_fit_capacity_and_determinism(spark):
+    from graph_importer_spark.operators import packing
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens")
+    )
+    a = packing.pack_next_fit(df, "doc_id", "n_tokens", capacity=256, shards=8)
+    b = packing.pack_next_fit(df.repartition(11), "doc_id", "n_tokens", capacity=256, shards=8)
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # no pack exceeds capacity
+    per_pack = (
+        a.groupBy("pack_id").agg(F.sum(F.least("n_tokens", F.lit(256))).alias("tok"))
+        .collect()
+    )
+    assert all(r["tok"] <= 256 for r in per_pack)
