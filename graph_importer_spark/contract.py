@@ -3102,6 +3102,48 @@ LIMIT 50
 """
 
 
+def q_kg_incremental_entities(spark, sf_dir):
+    """Incremental canonicalization over a constructed delta whose
+    merged components have a CLOSED-FORM answer (the strongest oracle:
+    mathematical truth, not a replay).
+
+    Yesterday: 200 names n000..n199 in 10 entities by i%10 (canonical
+    n00g).  Today: edges n_i -- m_(i%25) for i<120, plus 5 brand-new
+    x_j -- y_j pairs.  By CRT, entity g links to bridge m_j iff
+    g = j (mod 5), so entities g and g+5 MERGE for each residue r;
+    every n_i (touched or not — i>=120 are untouched) must land on
+    n00(i%5), every m_j on n00(j%5), and each x/y pair keeps min(x_j).
+    Exercises: id stability, deterministic entity merge, remap reaching
+    untouched members, and fresh-entity minting — in one row set."""
+    from graph_importer_spark.operators.incremental import incremental_canonicalize
+
+    existing = spark.range(200).select(
+        F.format_string("n%03d", F.col("id")).alias("name"),
+        F.format_string("n%03d", F.col("id") % 10).alias("canonical"),
+    )
+    bridge = spark.range(120).select(
+        F.format_string("n%03d", F.col("id")).alias("src"),
+        F.format_string("m%02d", F.col("id") % 25).alias("dst"),
+    )
+    fresh = spark.range(5).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("y"), F.col("id").cast("string")).alias("dst"),
+    )
+    return incremental_canonicalize(existing, bridge.unionByName(fresh))
+
+
+ORACLE_KG_INCREMENTAL = """
+SELECT printf('n%03d', i) AS name, printf('n%03d', i % 5) AS canonical
+FROM range(200) t(i)
+UNION ALL
+SELECT printf('m%02d', j), printf('n%03d', j % 5) FROM range(25) t(j)
+UNION ALL
+SELECT 'x' || j, 'x' || j FROM range(5) t(j)
+UNION ALL
+SELECT 'y' || j, 'x' || j FROM range(5) t(j)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3130,6 +3172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_blocklist": q_web_blocklist,
     "pack_sequences": q_pack_sequences,
     "text_vocab": q_text_vocab,
+    "kg_incremental_entities": q_kg_incremental_entities,
     "corpus_hygiene": q_corpus_hygiene,
     "web_hosts_psl": q_web_hosts_psl,
     "dedup_exact": q_dedup_exact,
@@ -3168,7 +3211,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_vertex_docs": q_gen_vertex_docs,
     # fillers: r3-green entries whose modules border this round's edits
     # (dedup/textstats/sampling) — cheapest to keep re-verified
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_winnow": q_dedup_winnow,
     "text_winnow": q_text_winnow,
     "text_decontam": q_text_decontam,
@@ -3180,6 +3222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # query paths are untouched this round — only new functions were
     # APPENDED to their modules), query + oracle code untouched this
     # round; rotated per the policy ----
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "text_simhash": q_text_simhash,
     "text_repetition": q_text_repetition,
@@ -3299,6 +3342,7 @@ ORACLES: dict[str, str] = {
     "web_blocklist": ORACLE_WEB_BLOCKLIST,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "text_vocab": ORACLE_TEXT_VOCAB,
+    "kg_incremental_entities": ORACLE_KG_INCREMENTAL,
     # every registered query is oracle-checked: the iterative ones replay
     # as chained/recursive CTEs (pagerank_star, sssp_tree), the hash-based
     # ones via md5/congruential-hash formulations (text_simhash,

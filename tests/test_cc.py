@@ -95,3 +95,31 @@ def test_dense_ids_and_cc_dense(spark):
         "alice": "alice", "bob": "alice", "hub": "alice",
         "carol": "carol", "dave": "carol",
     }
+
+
+def test_incremental_canonicalize(spark):
+    from graph_importer_spark.operators.incremental import incremental_canonicalize
+
+    existing = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("p", "p"), ("q", "p"), ("z", "z")],
+        "name string, canonical string",
+    )
+    # new batch: connects entity 'a' and entity 'p' (via c--q), adds a
+    # new member 'w' to entity 'p', and mints a fresh entity {s, t}
+    new_edges = spark.createDataFrame(
+        [("c", "q"), ("w", "p"), ("s", "t")], "src string, dst string"
+    )
+    got = {
+        r["name"]: r["canonical"]
+        for r in incremental_canonicalize(existing, new_edges).collect()
+    }
+    # merge: both old entities land on the SMALLER old id ('a'), reaching
+    # untouched members ('b' never appears in new_edges)
+    assert got["a"] == got["b"] == got["c"] == got["p"] == got["q"] == "a"
+    # new member follows its entity's (merged) id
+    assert got["w"] == "a"
+    # untouched entity is untouched
+    assert got["z"] == "z"
+    # fresh entity gets min(name)
+    assert got["s"] == got["t"] == "s"
+    assert len(got) == 9
