@@ -3144,6 +3144,63 @@ SELECT 'y' || j, 'x' || j FROM range(5) t(j)
 """
 
 
+def q_text_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter: hashed-gram LM trained on the
+    lang='en' split, every document scored by average negative
+    log-likelihood, head/middle/tail split by exact score tertiles."""
+    from graph_importer_spark.operators import perplexity as _ppl
+
+    d = T(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    scores = _ppl.perplexity_scores(d, target, "doc_id", "text", buckets=4096)
+    return _ppl.perplexity_buckets(scores)
+
+
+def _oracle_text_perplexity(buckets: int = 4096) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(m, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, g
+  FROM docs, UNNEST(list_concat(t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END)) AS u(g)),
+hb AS (
+  SELECT doc_id, lang, h % {buckets} AS bucket
+  FROM (SELECT doc_id, lang, md5('0|' || g) AS m FROM grams),
+       LATERAL (SELECT {poly} AS h)),
+tc AS (SELECT bucket, COUNT(*) AS tn FROM hb WHERE lang = 'en' GROUP BY bucket),
+model AS (
+  SELECT bucket,
+         ln((tn + 1) / ((SELECT SUM(tn) FROM tc) + {buckets}.0)) AS logp
+  FROM tc),
+dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM hb GROUP BY doc_id, bucket),
+scored AS (
+  SELECT doc_id, SUM(c) AS n_grams,
+         round(-SUM(c * COALESCE(logp,
+                ln(1.0 / ((SELECT SUM(tn) FROM tc) + {buckets}.0)))) / SUM(c), 6)
+           AS avg_neglogp
+  FROM dc LEFT JOIN model USING (bucket) GROUP BY doc_id),
+cuts AS (
+  SELECT quantile_cont(avg_neglogp, 0.3333333333333333) AS c1,
+         quantile_cont(avg_neglogp, 0.6666666666666666) AS c2
+  FROM scored)
+SELECT doc_id, n_grams, avg_neglogp,
+       CASE WHEN avg_neglogp <= c1 THEN 'head'
+            WHEN avg_neglogp <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored, cuts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3173,6 +3230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "text_vocab": q_text_vocab,
     "kg_incremental_entities": q_kg_incremental_entities,
+    "text_perplexity": q_text_perplexity,
     "corpus_hygiene": q_corpus_hygiene,
     "web_hosts_psl": q_web_hosts_psl,
     "dedup_exact": q_dedup_exact,
@@ -3211,7 +3269,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_vertex_docs": q_gen_vertex_docs,
     # fillers: r3-green entries whose modules border this round's edits
     # (dedup/textstats/sampling) — cheapest to keep re-verified
-    "dedup_winnow": q_dedup_winnow,
     "text_winnow": q_text_winnow,
     "text_decontam": q_text_decontam,
     "text_pii": q_text_pii,
@@ -3222,6 +3279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # query paths are untouched this round — only new functions were
     # APPENDED to their modules), query + oracle code untouched this
     # round; rotated per the policy ----
+    "dedup_winnow": q_dedup_winnow,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "text_simhash": q_text_simhash,
@@ -3343,6 +3401,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "text_vocab": ORACLE_TEXT_VOCAB,
     "kg_incremental_entities": ORACLE_KG_INCREMENTAL,
+    "text_perplexity": _oracle_text_perplexity(),
     # every registered query is oracle-checked: the iterative ones replay
     # as chained/recursive CTEs (pagerank_star, sssp_tree), the hash-based
     # ones via md5/congruential-hash formulations (text_simhash,

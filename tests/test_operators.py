@@ -931,3 +931,38 @@ def test_pack_next_fit_capacity_and_determinism(spark):
         .collect()
     )
     assert all(r["tok"] <= 256 for r in per_pack)
+
+
+def test_perplexity_scores_rank_target_like_docs_lower(spark):
+    from graph_importer_spark.operators import perplexity
+
+    target = spark.createDataFrame(
+        [(100 + i, "the model of the data and the table") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "the model of the data and the table"),       # in-distribution
+            (1, "zq xv qqj kklm vvw zzt ppo uuv"),             # out-of-distribution
+        ],
+        "doc_id long, text string",
+    )
+    s = {
+        r["doc_id"]: r["avg_neglogp"]
+        for r in perplexity.perplexity_scores(
+            corpus, target, "doc_id", "text", buckets=512
+        ).collect()
+    }
+    assert s[0] < s[1]
+
+
+def test_perplexity_buckets_tertiles(spark):
+    from graph_importer_spark.operators import perplexity
+
+    scores = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)], "doc_id long, avg_neglogp double"
+    )
+    out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity.perplexity_buckets(scores).collect()}
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
