@@ -2008,8 +2008,17 @@ def q_corpus_hygiene(spark, sf_dir):
     bench = corpus.filter(F.col("doc_id") % 20 == 0)
     rest = corpus.filter(F.col("doc_id") % 20 != 0)
     # 1. quality gate (Gopher word-count rule, scaled-down threshold)
+    # Stage outputs are persisted (lazily) at each boundary: every stage
+    # below has 2+ consumers (pair self-join probe + survivor anti-join,
+    # audit + redact, ...), and without a cache Spark re-derives the
+    # whole upstream chain per consumer — at this 305-row fixture that
+    # is pure scheduling overhead (measured ~30% of the entry's wall),
+    # and at real scale stage boundaries are materialized tables anyway
+    # (pipeline.py's create_or_replace per stage).
     n_words = _ts.gopher_columns(F.col("text"))["n_words"]
-    quality = rest.withColumn("n_words", n_words).filter(F.col("n_words") >= 30)
+    quality = rest.withColumn("n_words", n_words).filter(
+        F.col("n_words") >= 30
+    ).persist()
     # 2. near-dup keeper selection (jaccard pairs -> CC -> drop dups)
     pairs = _dedup.ngram_jaccard_pairs(quality, "doc_id", "text", k=3, threshold=0.6)
     clusters = _dedup.dup_clusters(pairs.select("id1", "id2"))
@@ -2017,7 +2026,7 @@ def q_corpus_hygiene(spark, sf_dir):
         clusters.filter("is_dup").select(F.col("doc_id").alias("__dup")),
         quality.doc_id == F.col("__dup"),
         "left_anti",
-    )
+    ).persist()
     # 3. decontamination vs the benchmark split (13-gram rule)
     flags = _decontam.contamination(kept, bench, "doc_id", "text", k=13)
     clean = kept.join(
@@ -2028,7 +2037,7 @@ def q_corpus_hygiene(spark, sf_dir):
     # 4. PII plant (deterministic, same synth as text_pii) + audit + redact
     planted = clean.select(
         "doc_id", "lang", "n_words", _pii_text(F.col("doc_id")).alias("text")
-    )
+    ).persist()
     audit = _pii.pii_flags(planted, "doc_id", "text").select(
         "doc_id", "has_pii", "redacted_len"
     )

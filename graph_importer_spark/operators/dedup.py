@@ -50,15 +50,26 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles of the normalized text per doc."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    sh = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    """Distinct k-word shingles of the normalized text per doc.
+
+    The token array is let-bound (textstats.let_bind) so the
+    normalize+split expression evaluates once per document instead of
+    once per shingle position — the interpreted-HOF CollapseProject
+    trap documented at winnow_fingerprints (O(len^2) regexp per doc
+    otherwise; this path feeds MinHash, Jaccard, decontamination, and
+    the hygiene recipe, so the fix compounds)."""
+    from graph_importer_spark.operators.textstats import let_bind
+
+    sh = let_bind(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " "))),
+    )
     return (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()

@@ -413,15 +413,34 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def let_bind(value: Column, body) -> Column:
+    """SQL let-binding: ``transform(array(value), v -> body(v))[0]``
+    evaluates ``value`` exactly ONCE and makes every reference inside
+    ``body`` a NamedLambdaVariable lookup.  Required around any
+    tokenize/normalize expression referenced inside a higher-order
+    lambda: HOFs run interpreted (CodegenFallback, no subexpression
+    elimination) and CollapseProject inlines upstream aliases into the
+    lambda body, re-deriving the full expression once PER ELEMENT —
+    O(len^2) regexp work per document (see winnow_fingerprints'
+    docstring for the measured pathology)."""
+    return F.transform(F.array(value), body).getItem(0)
+
+
 def word_chunks(text: Column, n: int) -> Column:
     """Consecutive n-word chunks of the normalized text (the last chunk
     may be shorter) — the span unit for line-level dedup on corpora
-    without newline structure.  Pure array expression, zero shuffle."""
-    toks = F.split(normalize_text(text), " ")
-    n_chunks = F.floor((F.size(toks) + F.lit(n - 1)) / F.lit(n)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.array_join(F.slice(toks, (i - 1) * n + 1, n), " "),
+    without newline structure.  Pure array expression, zero shuffle;
+    the token array is let-bound so the normalize+split runs once per
+    document, not once per chunk."""
+    return let_bind(
+        F.split(normalize_text(text), " "),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.floor((F.size(toks) + F.lit(n - 1)) / F.lit(n)).cast("int"),
+            ),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * n + 1, n), " "),
+        ),
     )
 
 
@@ -443,14 +462,16 @@ def duplicated_gram_stats(
     over that already-reduced table; the join back is an equi-join on
     the gram key.  This is the suffix-array-free formulation — exact on
     gram starts, no global sort, no driver state."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array())
+    grams = let_bind(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     occ = (
         df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("_gram"))
         .groupBy("_doc", "_gram")
