@@ -3153,6 +3153,46 @@ SELECT 'y' || j, 'x' || j FROM range(5) t(j)
 """
 
 
+def q_text_classifier(spark, sf_dir):
+    """GPT-3-style classifier filtering: hard-sigmoid linear quality
+    score + Pareto(2)-threshold keep rule (score > 1 - X with X drawn
+    from the deterministic coin) — alpha=2 so the inverse CDF is
+    sqrt/divide only (exact in both engines; GPT-3's alpha=9 needs
+    pow(), the one libm call with cross-engine ulp drift)."""
+    from graph_importer_spark.operators.classifier import pareto_keep
+
+    return pareto_keep(
+        T(spark, sf_dir, "documents"), "doc_id", "text", lang="en", seed=23
+    )
+
+
+def _oracle_text_classifier() -> str:
+    sw = _dk_stop_hits("en")
+    ntok = r"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END)"
+    swr = f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round({sw} / {ntok}, 6) END)"
+    pr = (
+        r"(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        r"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text), 6) END)"
+    )
+    mwl = (
+        rf"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round(list_reduce(list_transform("
+        rf"string_split_regex(trim(text), '\s+'), x -> length(x)), (a, b) -> a + b) / {ntok}, 6) END)"
+    )
+    z = (
+        f"4.0 * {swr} + 0.3 * {mwl} + -6.0 * {pr}"
+        f" + 0.25 * ln(1.0 + CAST({ntok} AS DOUBLE)) - 2.0"
+    )
+    score = f"least(1.0, greatest(0.0, 0.5 + ({z}) / 4.0))"
+    x = f"(1.0 / sqrt(1.0 - ((doc_id % {_M}) * {_A} + 23) % {_M} / {_M}.0) - 1.0)"
+    return f"""
+SELECT doc_id,
+       round({score}, 6) AS quality_score,
+       round({x}, 6) AS pareto_x,
+       {score} > (1.0 - {x}) AS kept
+FROM documents
+"""
+
+
 def q_text_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter: hashed-gram LM trained on the
     lang='en' split, every document scored by average negative
@@ -3240,6 +3280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab": q_text_vocab,
     "kg_incremental_entities": q_kg_incremental_entities,
     "text_perplexity": q_text_perplexity,
+    "text_classifier": q_text_classifier,
     "corpus_hygiene": q_corpus_hygiene,
     "web_hosts_psl": q_web_hosts_psl,
     "dedup_exact": q_dedup_exact,
@@ -3278,7 +3319,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_vertex_docs": q_gen_vertex_docs,
     # fillers: r3-green entries whose modules border this round's edits
     # (dedup/textstats/sampling) — cheapest to keep re-verified
-    "text_winnow": q_text_winnow,
     "text_decontam": q_text_decontam,
     "text_pii": q_text_pii,
     "sample_hash": q_sample_hash,
@@ -3288,6 +3328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # query paths are untouched this round — only new functions were
     # APPENDED to their modules), query + oracle code untouched this
     # round; rotated per the policy ----
+    "text_winnow": q_text_winnow,
     "dedup_winnow": q_dedup_winnow,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -3411,6 +3452,7 @@ ORACLES: dict[str, str] = {
     "text_vocab": ORACLE_TEXT_VOCAB,
     "kg_incremental_entities": ORACLE_KG_INCREMENTAL,
     "text_perplexity": _oracle_text_perplexity(),
+    "text_classifier": _oracle_text_classifier(),
     # every registered query is oracle-checked: the iterative ones replay
     # as chained/recursive CTEs (pagerank_star, sssp_tree), the hash-based
     # ones via md5/congruential-hash formulations (text_simhash,

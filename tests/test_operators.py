@@ -966,3 +966,24 @@ def test_perplexity_buckets_tertiles(spark):
     assert [out[i] for i in range(9)] == (
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     )
+
+
+def test_classifier_pareto_keep(spark):
+    from graph_importer_spark.operators.classifier import pareto_keep
+
+    prose = "the cat sat on the mat and the dog ran to the park with a ball"
+    soup = "$$$ ### @@@ %%% ^^^ &&& *** !!! ??? ;;; ::: ~~~"
+    rows = [(i, prose) for i in range(200)] + [(200 + i, soup) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pareto_keep(df, "doc_id", "text").collect()
+    by = {r["doc_id"]: r for r in out}
+    # prose scores higher than symbol soup
+    assert by[0]["quality_score"] > by[200]["quality_score"]
+    # the Pareto threshold keeps most high-quality docs, few low-quality
+    kept_hi = sum(by[i]["kept"] for i in range(200))
+    kept_lo = sum(by[200 + i]["kept"] for i in range(200))
+    assert kept_hi > kept_lo
+    assert kept_lo > 0  # the noisy threshold samples SOME of the tail
+    # deterministic under repartition
+    out2 = pareto_keep(df.repartition(7), "doc_id", "text").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
