@@ -62,6 +62,14 @@ class PipelineConfig:
     # at the 10^12 design point the entity dictionary is 10^8-10^9 rows,
     # far over any broadcast threshold
     broadcast_map_rows: int = 2_000_000
+    # at or below this many (surface, entity) pairs the CC loop runs on
+    # ONE partition: each large/small-star round becomes two single-task
+    # stages instead of fanning a few thousand rows across the full
+    # shuffle width — the per-round scheduling latency dominates small
+    # graphs (same gate as dedup.dup_clusters).  At real scale the gate
+    # never fires; it exists because alias dictionaries, not corpora,
+    # bound this graph's size in many deployments
+    small_cc_rows: int = 200_000
 
 
 class Pipeline:
@@ -253,6 +261,8 @@ class Pipeline:
                 F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("src"),
                 F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("dst"),
             )
+            if n_pairs <= self.cfg.small_cc_rows:
+                edges = edges.coalesce(1)
             labels = _cc.connected_components(
                 edges, max_iter=self.cfg.max_cc_iter, on_iteration=hook
             )
