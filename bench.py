@@ -129,6 +129,10 @@ def main() -> int:
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
+        # queries that persist() intermediates (hygiene, semantic dedup)
+        # would otherwise accumulate cached blocks across the run and
+        # tax every later query's GC
+        spark.catalog.clearCache()
 
     out = {
         "metric": "triples_per_sec_e2e",
