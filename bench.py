@@ -73,6 +73,9 @@ HEADLINE = [
     "text_vocab",
     "corpus_hygiene",
     "web_hosts_psl",
+    "kg_incremental_entities",
+    "text_perplexity",
+    "text_classifier",
 ]
 
 

@@ -44,13 +44,23 @@ def incremental_canonicalize(
     existing: DataFrame,
     new_edges: DataFrame,
     max_iter: int = 50,
+    small_graph_rows: int = 200_000,
 ) -> DataFrame:
     """Return the UPDATED full canonical map (name, canonical).
 
     ``existing``: (name, canonical) from the previous run (canonical
     values are themselves names, per the min-name convention).
     ``new_edges``: (src, dst) co-occurrence pairs from the new batch.
+
+    Delta graphs at or below ``small_graph_rows`` edges run the CC loop
+    on ONE partition (the dup_clusters gate): per-round task scheduling
+    dominates small deltas, and daily deltas are small relative to the
+    map by definition.  The delta is checkpointed either way (lineage
+    truncation the CC loop wants; the size rides the same job as an
+    Observation, so the gate costs no extra action).
     """
+    from pyspark.sql import Observation
+
     touched = (
         new_edges.select(F.col("src").alias("name"))
         .unionByName(new_edges.select(F.col("dst").alias("name")))
@@ -66,6 +76,12 @@ def incremental_canonicalize(
             F.col("name").alias("src"), F.col("canonical").alias("dst")
         )
     )
+    obs = Observation()
+    delta = delta.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    if int(obs.get["n"]) <= small_graph_rows:
+        delta = delta.coalesce(1)
     comp = connected_components_str(delta, max_iter=max_iter)  # (name, canonical)
     comp = comp.select("name", F.col("canonical").alias("_comp"))
 
