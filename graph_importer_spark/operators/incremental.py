@@ -58,6 +58,13 @@ def incremental_canonicalize(
     map by definition.  The delta is checkpointed either way (lineage
     truncation the CC loop wants; the size rides the same job as an
     Observation, so the gate costs no extra action).
+
+    Note: CALLING this function runs one Spark job (the delta
+    checkpoint) — the size gate must see the count before the CC plan
+    is chosen.  The delta is the smallest frame in the operator
+    (new-batch edges + one anchor per touched name), and every caller
+    (streaming foreachBatch, contract) executes immediately anyway;
+    flagged per the repo's no-silent-side-effects convention.
     """
     from pyspark.sql import Observation
 
