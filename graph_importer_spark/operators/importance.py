@@ -58,18 +58,27 @@ def hashed_grams(
     """(id, bucket) with one row per gram OCCURRENCE (counts matter for
     the language model, unlike dedup's distinct shingles): unigrams and
     bigrams over the normalized text."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    from graph_importer_spark.operators.textstats import let_bind
+
     # bigrams via zip_with over shifted slices: one lambda with direct
-    # element args (no interpreted element_at indexing per position)
-    bis = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
+    # element args (no interpreted element_at indexing per position).
+    # The token array is let-bound: it is referenced three times
+    # (unigram concat + both zip_with sides), and without the binding
+    # each reference re-runs the normalize regexp + split per row.
+    grams = let_bind(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda toks: F.concat(
+            toks,
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bis)
+    )
     return df.select(
         F.col(id_col), F.explode(grams).alias("gram")
     ).select(id_col, gram_bucket(F.col("gram"), buckets, seed).alias("bucket"))
