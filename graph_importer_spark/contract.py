@@ -3251,6 +3251,223 @@ FROM scored, cuts
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions (session 2): CMS heavy hitters, SCD2 history,
+# Z-order layout, web link graph
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_cms_topk(spark, sf_dir):
+    """Count-Min heavy hitters over events.user_id with a deliberately
+    narrow sketch (width=64 -> real collisions at sf0.01's key count):
+    the oracle replays the counter matrix AND the min-over-depth
+    estimates bit-for-bit, so the row pins overcount behavior, not just
+    the happy path."""
+    from graph_importer_spark.operators import sketches as _sk
+
+    e = T(spark, sf_dir, "events")
+    cands = e.select("user_id").distinct()
+    return _sk.cms_topk(e, "user_id", cands, k=15, depth=3, width=64)
+
+
+def _oracle_sketch_cms() -> str:
+    key = "CAST(user_id AS VARCHAR)"
+    pos_union = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, {_bloom_pos_sql(d, key, 64)} AS pos FROM events"
+        for d in range(3)
+    )
+    return f"""
+WITH pos AS ({pos_union}),
+cnt AS (SELECT d, pos, COUNT(*) AS cnt FROM pos GROUP BY d, pos),
+probe AS (SELECT DISTINCT user_id, d, pos FROM pos),
+est AS (SELECT probe.user_id AS user_id, MIN(cnt.cnt) AS est
+        FROM probe JOIN cnt ON probe.d = cnt.d AND probe.pos = cnt.pos
+        GROUP BY probe.user_id)
+SELECT user_id, est, rk FROM (
+  SELECT user_id, est,
+         ROW_NUMBER() OVER (ORDER BY est DESC, user_id ASC) AS rk
+  FROM est) WHERE rk <= 15
+"""
+
+
+def q_scd2_user_type(spark, sf_dir):
+    """SCD2 history build over the events change log: per-user
+    event_type intervals with consecutive re-assertions collapsed,
+    validity bounds as epoch micros (engine-neutral)."""
+    from graph_importer_spark.operators import scd2 as _scd2
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    h = _scd2.scd2_history(e, "user_id", ["event_type"], "ts", "event_id")
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "is_current",
+        "version",
+    )
+
+
+ORACLE_SCD2 = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+         LAG(event_type) OVER w AS prev,
+         LAG(ts) OVER w IS NULL AS first
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+c AS (
+  SELECT user_id, event_type, event_id, t FROM o
+  WHERE first OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type,
+       t AS valid_from_us,
+       LEAD(t) OVER w2 AS valid_to_us,
+       LEAD(t) OVER w2 IS NULL AS is_current,
+       ROW_NUMBER() OVER w2 AS version
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+"""
+
+
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout measurement on orders over (o_custkey,
+    o_orderdate): quantize both dims to 8 bits against the global
+    min/max (1-row broadcast agg), interleave into the Morton key,
+    range-assign 16 files, report the per-file min/max a parquet pruner
+    would see.  The oracle replays quantization (same IEEE division),
+    interleave, NTILE assignment, and stats."""
+    from graph_importer_spark.operators import layout as _lay
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("od"),
+    )
+    b = o.agg(
+        F.min("o_custkey").alias("clo"),
+        F.max("o_custkey").alias("chi"),
+        F.min("od").alias("dlo"),
+        F.max("od").alias("dhi"),
+    )
+    j = o.crossJoin(F.broadcast(b))
+    z = _lay.zorder_key(
+        _lay.quantize(F.col("o_custkey"), F.col("clo"), F.col("chi"), 8),
+        _lay.quantize(F.col("od"), F.col("dlo"), F.col("dhi"), 8),
+        8,
+    )
+    return _lay.file_stats(
+        j.withColumn("z", z),
+        F.col("z"),
+        {"cust": F.col("o_custkey"), "od": F.col("od")},
+        n_files=16,
+        tiebreak=F.col("o_orderkey"),
+    )
+
+
+def _oracle_layout_zorder() -> str:
+    interleave = " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od
+  FROM orders),
+b AS (SELECT MIN(o_custkey) AS clo, MAX(o_custkey) AS chi,
+             MIN(od) AS dlo, MAX(od) AS dhi FROM o),
+q AS (
+  SELECT o_orderkey, o_custkey, od,
+         CAST(floor((o_custkey - clo) * 256 / (chi - clo + 1)) AS BIGINT) AS qx,
+         CAST(floor((od - dlo) * 256 / (dhi - dlo + 1)) AS BIGINT) AS qy
+  FROM o, b),
+z AS (SELECT o_orderkey, o_custkey, od, {interleave} AS z FROM q),
+f AS (SELECT o_custkey, od,
+             NTILE(16) OVER (ORDER BY z, o_orderkey) AS file_id
+      FROM z)
+SELECT file_id, COUNT(*) AS n_rows,
+       MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max,
+       MIN(od) AS od_min, MAX(od) AS od_max
+FROM f GROUP BY file_id
+"""
+
+
+def q_web_link_graph(spark, sf_dir):
+    """Hyperlink extraction -> host graph: plant deterministic anchors
+    (two absolute cross-site links in a 37-host universe, plus relative
+    and mailto hrefs the extractor must DROP) in each document's html,
+    parse them back out with regexp codegen, and aggregate the
+    (src_host, dst_host) edge list.  The oracle builds the identical
+    html in SQL and replays the parse + host extraction + rollup."""
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    a1 = F.concat(
+        F.lit('<a href="https://site'), s((i * 7 + 13) % 37),
+        F.lit(".example/p/"), s(i % 97), F.lit('"></a>'),
+    )
+    a2 = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('<a href="https://site'), s((i * 11 + 5) % 37),
+            F.lit(".example/q/"), s(i % 89), F.lit('"></a>'),
+        ),
+    ).otherwise(F.lit('<a href="/rel/path"></a>'))
+    html = F.concat(
+        F.lit("<html><body><script>var x=1;</script>"),
+        a1,
+        a2,
+        F.lit('<a href="mailto:x@example.com"></a><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://src"), s(i % 20), F.lit(".example/d/"), s(i)
+        ).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    links = _urls.extract_links(pages, "html", "url")
+    return _urls.host_link_graph(links)
+
+
+_LG_HOST_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(lower("
+    "regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),"
+    " '^[a-z][a-z0-9+.-]*://', '', 'g'), '^[^@]*@', '', 'g'),"
+    " ':[0-9]+$', '', 'g')"
+)
+
+ORACLE_WEB_LINK_GRAPH = f"""
+WITH h AS (
+  SELECT
+    'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example/d/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    '<html><body><script>var x=1;</script>'
+    || '<a href="https://site' || CAST((doc_id * 7 + 13) % 37 AS VARCHAR)
+      || '.example/p/' || CAST(doc_id % 97 AS VARCHAR) || '"></a>'
+    || CASE WHEN doc_id % 2 = 0 THEN
+         '<a href="https://site' || CAST((doc_id * 11 + 5) % 37 AS VARCHAR)
+           || '.example/q/' || CAST(doc_id % 89 AS VARCHAR) || '"></a>'
+       ELSE '<a href="/rel/path"></a>' END
+    || '<a href="mailto:x@example.com"></a><p>' || text || '</p></body></html>'
+      AS html
+  FROM documents),
+l AS (
+  SELECT url, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+  FROM h),
+a AS (SELECT url, link FROM l WHERE regexp_matches(link, '^https?://')),
+e AS (
+  SELECT {_LG_HOST_SQL.format(u='url')} AS src_host,
+         {_LG_HOST_SQL.format(u='link')} AS dst_host
+  FROM a)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM e WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3265,6 +3482,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship, always driver-checked
     "kg_flagship": q_kg_flagship,
     "kg_extract": q_kg_extract,
+    # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
+    # Z-order layout, web link graph
+    "sketch_cms_topk": q_sketch_cms_topk,
+    "scd2_user_type": q_scd2_user_type,
+    "layout_zorder": q_layout_zorder,
+    "web_link_graph": q_web_link_graph,
     # new or code-touched since the r3 driver ran (ff72a00 + round 4):
     # composed hygiene recipe, PSL domains, de-vacuized oracles,
     # IVF sqrt(n) defaults + hot-list cap, Gopher exact stop set
@@ -3290,7 +3513,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_cosine_topk": q_sim_cosine_topk,
-    "emb_near_dup": q_emb_near_dup,
     "text_gopher": q_text_gopher,
     "web_hosts": q_web_hosts,
     "text_dsir": q_text_dsir,
@@ -3320,10 +3542,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fillers: r3-green entries whose modules border this round's edits
     # (dedup/textstats/sampling) — cheapest to keep re-verified
     "text_decontam": q_text_decontam,
+    # ---- tail (entries 51+): long-stable rows, driver-green in r3
+    # rotated out this session (r2+r3 driver-green, code untouched):
     "text_pii": q_text_pii,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
-    # ---- tail (entries 51+): long-stable rows, driver-green in r3
+    "emb_near_dup": q_emb_near_dup,
     # (the displaced fillers below were driver-green in r3 and their
     # query paths are untouched this round — only new functions were
     # APPENDED to their modules), query + oracle code untouched this
@@ -3369,6 +3593,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
+    "sketch_cms_topk": _oracle_sketch_cms(),
+    "scd2_user_type": ORACLE_SCD2,
+    "layout_zorder": _oracle_layout_zorder(),
+    "web_link_graph": ORACLE_WEB_LINK_GRAPH,
     "cc_star": ORACLE_CC_STAR,
     "cc_canonical_names": ORACLE_CC_NAMES,
     "cc_canonical_dense": ORACLE_CC_NAMES,

@@ -23,7 +23,7 @@ row of r int64s regardless of input size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_importer_spark.operators.generators import _A, _A2, _M, _M2
@@ -178,4 +178,101 @@ def bloom_probe(
     return (
         hit.groupBy(F.col("_key").alias(key_col))
         .agg((F.sum(F.col("_hit").cast("long")) == F.lit(k)).alias("maybe_present"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency counters + heavy hitters
+# ---------------------------------------------------------------------------
+#
+# The frequency-estimation companion to fm_distinct/bloom (Cormode &
+# Muthukrishnan 2005, public).  The sketch state is a depth x width
+# counter matrix stored RELATIONALLY as (d, pos, cnt) rows — at most
+# depth*width rows regardless of input size — so
+#
+# * build is one constant-fanout explode (x depth) into a (d, pos)
+#   hash aggregate: partial aggregation collapses every map task to
+#   <= depth*width rows before the shuffle, the classic sketch shape
+#   that survives 100 TB (the reference's progress counters,
+#   databridge.py:173-189, are driver-side tallies — here the tally IS
+#   a DataFrame and merges by SUM across partitions/days/segments);
+# * estimate(key) = min over d of cnt[d][pos_d(key)] — overcounts only
+#   (never undercounts), error <= e/width * N with prob 1 - e^-depth;
+# * positions reuse the md5 polynomial of _bloom_pos, so both the
+#   counters AND the estimates replay bit-for-bit in DuckDB SQL
+#   (contract._oracle_sketch_cms_topk).
+#
+# The probe side takes a CANDIDATE key set.  At 100 TB you never probe
+# every distinct key (that cardinality is why you sketched in the first
+# place): candidates come from a cheap pre-filter — per-partition local
+# top-m (skew.salted_topk's phase 1), yesterday's heavy hitters, or an
+# explicit watch-list — and the counter matrix broadcasts to them.
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Count-Min counters over ``key_col`` -> (d, pos, cnt).  Mergeable:
+    union two builds and re-aggregate with SUM(cnt)."""
+    key = F.col(key_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _bloom_pos(key, d, width).alias("pos")
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .select("r.d", "r.pos")
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each probe key -> (key_col, est).
+    est >= true count always; the counter matrix (<= depth*width rows)
+    is broadcast so the probe side never shuffles on a data key."""
+    key = F.col(key_col).cast("string")
+    pos = probes.select(
+        F.col(key_col).alias("_key"),
+        F.posexplode(
+            F.array(*[_bloom_pos(key, d, width) for d in range(depth)])
+        ).alias("d", "pos"),
+    )
+    got = pos.join(F.broadcast(cms), ["d", "pos"], "left").select(
+        "_key", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    )
+    return got.groupBy(F.col("_key").alias(key_col)).agg(
+        F.min("cnt").alias("est")
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    key_col: str,
+    candidates: DataFrame,
+    k: int = 10,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy hitters: estimate every candidate key and keep the top k
+    by (est DESC, key ASC) — the deterministic tie-break makes the
+    result partition-invariant and oracle-replayable.  ``candidates``
+    carries ``key_col`` (see module note on candidate generation)."""
+    est = cms_estimate(candidates, key_col, cms_build(df, key_col, depth, width),
+                       depth, width)
+    w = Window.orderBy(F.desc("est"), F.asc(key_col))
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(key_col, "est", "rk")
     )

@@ -183,3 +183,52 @@ def blocklist_filter(
         with_domain.join(F.broadcast(dim), "domain", "left")
         .withColumn("blocked", F.col("block_category").isNotNull())
     )
+
+
+def extract_links(
+    df,
+    html_col: str = "html",
+    url_col: str = "url",
+    absolute_only: bool = True,
+):
+    """Hyperlink extraction: one row per ``href`` in each page's HTML ->
+    ``(url, link)``.
+
+    The web link graph is the other graph hiding in a Common-Crawl
+    corpus (the reference imports explicit edge lists,
+    edge_list.py:30-44; a crawl carries its edges inside the payload).
+    Pure ``regexp_extract_all`` over the decoded html + one explode —
+    JVM codegen, no UDF, no shuffle; the pattern is lookaround-free so
+    the DuckDB oracle executes the identical text.
+
+    ``absolute_only=True`` keeps http(s) targets and drops
+    relative/mailto/javascript hrefs — a documented cut: resolving
+    relative hrefs needs the base-url join of a full crawler, and
+    host-graph analytics (the consumer here) only sees absolute
+    cross-site edges anyway.
+    """
+    links = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"), F.lit('href="([^"]*)"'), F.lit(1)
+    )
+    out = df.select(F.col(url_col).alias("url"), F.explode(links).alias("link"))
+    if absolute_only:
+        out = out.filter(F.col("link").rlike("^https?://"))
+    return out
+
+
+def host_link_graph(links, src_url: str = "url", dst_url: str = "link"):
+    """Aggregate page-level links into the host graph:
+    ``(src_host, dst_host, n_links)``, self-loops dropped.
+
+    One hash aggregate on the (src_host, dst_host) pair; host keys are
+    Zipf-skewed at web scale but counting is partial-agg-safe (the same
+    argument as the per-domain rollup above).  The result feeds the
+    graph analytics catalog directly (pagerank/cc/kcore over hosts).
+    """
+    e = links.select(
+        host_of(F.col(src_url)).alias("src_host"),
+        host_of(F.col(dst_url)).alias("dst_host"),
+    ).filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )

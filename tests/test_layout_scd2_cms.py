@@ -1,0 +1,205 @@
+"""Round-4 session-2 operators: Count-Min sketch, SCD2 history,
+Z-order layout, web link graph."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_importer_spark.operators import layout, scd2, sketches, urls
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    rows = [(k,) for k in [1] * 50 + [2] * 20 + [3] * 5 + list(range(10, 40))]
+    df = spark.createDataFrame(rows, "k long")
+    cands = df.select("k").distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in sketches.cms_estimate(
+            cands, "k", sketches.cms_build(df, "k", 3, 1024), 3, 1024
+        ).collect()
+    }
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    for k, n in true.items():
+        assert est[k] >= n  # CMS overcounts only
+    # wide sketch, few keys: no collisions -> exact
+    assert est[1] == 50 and est[2] == 20 and est[3] == 5
+
+
+def test_cms_narrow_width_still_orders_heavy_hitters(spark):
+    rows = [(k,) for k in [7] * 200 + [8] * 100 + list(range(100, 164))]
+    df = spark.createDataFrame(rows, "k long")
+    top = sketches.cms_topk(df, "k", df.select("k").distinct(), k=2, width=16).collect()
+    assert [r["k"] for r in top] == [7, 8]
+    assert top[0]["est"] >= 200 and top[1]["est"] >= 100
+
+
+def test_cms_mergeable(spark):
+    a = spark.createDataFrame([(k,) for k in [1] * 10 + [2] * 3], "k long")
+    b = spark.createDataFrame([(k,) for k in [1] * 5 + [3] * 7], "k long")
+    merged = (
+        sketches.cms_build(a, "k")
+        .union(sketches.cms_build(b, "k"))
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketches.cms_build(a.union(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # key 1: A -> A (re-assert, collapses) -> B -> A again
+        (1, "A", t(0), 100),
+        (1, "A", t(10), 101),
+        (1, "B", t(20), 102),
+        (1, "A", t(30), 103),
+        # key 2: single state
+        (2, "X", t(5), 104),
+        # key 3: change to NULL is a real change
+        (3, "P", t(0), 105),
+        (3, None, t(10), 106),
+        (3, None, t(20), 107),
+    ]
+    return spark.createDataFrame(rows, "k long, attr string, ts timestamp, eid long")
+
+
+def test_scd2_history_collapses_and_versions(spark, changes):
+    h = scd2.scd2_history(changes, "k", ["attr"], "ts", "eid")
+    rows = {(r["k"], r["version"]): r for r in h.collect()}
+    # key 1: 3 intervals (A collapsed over two assertions, then B, then A)
+    assert (1, 1) in rows and rows[(1, 1)]["attr"] == "A"
+    assert rows[(1, 1)]["valid_to"] == rows[(1, 2)]["valid_from"]
+    assert rows[(1, 2)]["attr"] == "B" and not rows[(1, 2)]["is_current"]
+    assert rows[(1, 3)]["attr"] == "A" and rows[(1, 3)]["is_current"]
+    assert rows[(1, 3)]["valid_to"] is None
+    assert (1, 4) not in rows
+    # key 2: one open interval
+    assert rows[(2, 1)]["is_current"] and rows[(2, 1)]["valid_to"] is None
+    # key 3: NULL transition kept, NULL re-assertion collapsed
+    assert rows[(3, 1)]["attr"] == "P" and rows[(3, 2)]["attr"] is None
+    assert (3, 3) not in rows
+
+
+def test_scd2_latest_matches_history_current(spark, changes):
+    latest = {
+        r["k"]: r["attr"]
+        for r in scd2.scd2_latest(changes, "k", ["attr"], "ts", "eid").collect()
+    }
+    cur = {
+        r["k"]: r["attr"]
+        for r in scd2.scd2_history(changes, "k", ["attr"], "ts", "eid")
+        .filter("is_current")
+        .collect()
+    }
+    assert latest == cur == {1: "A", 2: "X", 3: None}
+
+
+def test_scd2_asof_slices_intervals(spark, changes):
+    h = scd2.scd2_history(changes, "k", ["attr"], "ts", "eid")
+    at = scd2.scd2_asof(h, "k", F.lit(dt.datetime(2024, 1, 1, 0, 0, 25)))
+    got = {r["k"]: r["attr"] for r in at.collect()}
+    assert got == {1: "B", 2: "X", 3: None}
+
+
+def test_scd2_single_shuffle_plan(spark, changes):
+    h = scd2.scd2_history(changes, "k", ["attr"], "ts", "eid")
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    # both windows share one partitioning: exactly one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_interleave_known_values(spark):
+    df = spark.createDataFrame([(x, y) for x in range(4) for y in range(4)], "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", layout.zorder_key(F.col("x"), F.col("y"), 2).alias("z")
+        ).collect()
+    }
+    # Morton order: z = interleave(x lowest bit -> bit0, y lowest -> bit1)
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(1, 1)] == 3 and got[(2, 2)] == 12 and got[(3, 3)] == 15
+
+
+def test_zorder_layout_improves_two_dim_skipping(spark):
+    # a grid where row order is x-major: sorting by x gives perfect x
+    # pruning and useless y pruning; the z-curve prunes on BOTH.
+    n = 32
+    df = spark.createDataFrame(
+        [(i, i // n, i % n) for i in range(n * n)], "id long, x long, y long"
+    )
+    lo, hi = F.lit(0), F.lit(n - 1)
+    z = layout.zorder_key(
+        layout.quantize(F.col("x"), lo, hi, 5),
+        layout.quantize(F.col("y"), lo, hi, 5),
+        5,
+    )
+    dims = {"x": F.col("x"), "y": F.col("y")}
+    by_x = layout.file_stats(df, F.col("x") * n + F.col("y"), dims, 16, F.col("id"))
+    by_z = layout.file_stats(df, z, dims, 16, F.col("id"))
+    skip = lambda stats, d: stats.filter(  # noqa: E731
+        ~((F.col(f"{d}_min") <= 11) & (F.col(f"{d}_max") >= 8))
+    ).count()
+    # x-sort: perfect on x, zero on y; z-order: skips on both dims
+    assert skip(by_x, "x") == 14 and skip(by_x, "y") == 0
+    assert skip(by_z, "x") >= 8 and skip(by_z, "y") >= 8
+    r = layout.skipping_ratio(by_z, "y", 8, 11).collect()[0]["skip_frac"]
+    assert r >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# Web link graph
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_absolute_only(spark):
+    html = (
+        '<html><body><a href="https://a.example/x"></a>'
+        '<a href="/relative"></a><a href="mailto:z@q.com"></a>'
+        '<a href="http://b.example/y"></a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.example/p", bytearray(html, "utf8"))], "url string, html binary"
+    )
+    links = urls.extract_links(df).collect()
+    assert sorted(r["link"] for r in links) == [
+        "http://b.example/y",
+        "https://a.example/x",
+    ]
+    every = urls.extract_links(df, absolute_only=False).count()
+    assert every == 4
+
+
+def test_host_link_graph_drops_self_loops(spark):
+    rows = [
+        ("https://a.example/1", "https://b.example/x"),
+        ("https://a.example/2", "https://b.example/y"),
+        ("https://a.example/3", "https://A.EXAMPLE/self"),  # self loop (case-folded)
+        ("https://b.example/1", "https://a.example/z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, link string")
+    g = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in urls.host_link_graph(df).collect()
+    }
+    assert g == {("a.example", "b.example"): 2, ("b.example", "a.example"): 1}
