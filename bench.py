@@ -76,6 +76,11 @@ HEADLINE = [
     "kg_incremental_entities",
     "text_perplexity",
     "text_classifier",
+    # round 4, session 2
+    "sketch_cms_topk",
+    "scd2_user_type",
+    "layout_zorder",
+    "web_link_graph",
 ]
 
 
