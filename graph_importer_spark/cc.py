@@ -93,10 +93,72 @@ def _checkpoint_fp(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
     return out, (int(got["c"]), int(got["h"]))
 
 
+def connected_components_single(edges: DataFrame) -> DataFrame:
+    """Exact CC for edge sets that fit in ONE task: union-find over a
+    single ``mapInPandas`` pass on ``coalesce(1)``.
+
+    Identical contract to ``connected_components`` (labels(id,
+    component) for every node on a non-self-loop edge; component = min
+    member id; self loops ignored) — asserted equivalent on random
+    graphs in tests/test_cc.py.  The point is
+    JOBS, not shuffles: the iterative loop pays one localCheckpoint
+    job per star round (~4-8 rounds even on a 100-row pair graph,
+    pure driver latency), while this path is one job total.  It stays
+    EXECUTOR-side (no driver collect) and is gated by the caller on a
+    row-count threshold — the small-pair-graph case every dedup
+    pipeline hits, where candidate pairs are a vanishing fraction of
+    the corpus.  Never use it ungated: a single task must hold the
+    whole edge set.
+    """
+    import pandas as pd
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["src"], pdf["dst"]):
+                u = int(u)
+                v = int(v)
+                if u == v:
+                    continue  # self loops ignored (iterative contract)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+        if not parent:
+            return
+        mins: dict = {}
+        for n in parent:
+            r = find(n)
+            if r not in mins or n < mins[r]:
+                mins[r] = n
+        ids = sorted(parent)
+        yield pd.DataFrame(
+            {"id": ids, "component": [mins[find(n)] for n in ids]},
+            dtype="int64",
+        )
+
+    return edges.select("src", "dst").coalesce(1).mapInPandas(
+        uf, "id long, component long"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     on_iteration=None,
+    single_task: bool = False,
 ) -> DataFrame:
     """edges(src long, dst long) -> labels(id long, component long).
 
@@ -104,7 +166,13 @@ def connected_components(
     ``on_iteration(i, n_edges)`` is the observability hook feeding the
     pipeline's _metrics table (the analogue of the reference's Pregel
     status polling, start_Pregel.py:123-164).
+
+    ``single_task=True`` routes to ``connected_components_single`` —
+    callers set it when they already know the edge count is below
+    their small-graph threshold.
     """
+    if single_task:
+        return connected_components_single(edges)
     e, prev = _checkpoint_fp(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -132,7 +200,11 @@ def connected_components(
 
 
 def connected_components_str(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    single_task: bool = False,
 ) -> DataFrame:
     """String-id adapter: hash ids to longs, run CC, map back.
 
@@ -150,7 +222,7 @@ def connected_components_str(
     e = edges.select(
         F.xxhash64(F.col(src)).alias("src"), F.xxhash64(F.col(dst)).alias("dst")
     )
-    labels = connected_components(e, max_iter=max_iter)
+    labels = connected_components(e, max_iter=max_iter, single_task=single_task)
     comp_names = (
         labels.join(nodes, "id")
         .groupBy("component")

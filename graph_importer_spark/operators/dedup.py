@@ -247,14 +247,14 @@ def dup_clusters(
     tiny relative to the corpus — the expensive part was candidate
     generation, not this).
 
-    Pair graphs at or below ``small_graph_rows`` are coalesced to one
-    partition before the CC loop: every large/small-star round then
-    runs as two single-task stages instead of fanning a few hundred
-    rows across the full shuffle width, which is the dominant fixed
-    cost of the loop on small candidate sets (the common case — pairs
-    are a vanishing fraction of the corpus).  The pair graph is
-    materialized exactly once either way (the count rides along on the
-    same checkpoint job CC needs anyway).
+    Pair graphs at or below ``small_graph_rows`` skip the iterative
+    loop entirely: ``cc.connected_components_single`` computes the
+    identical labels by union-find in ONE executor-side task (one job
+    vs one localCheckpoint job per star round — the dominant fixed
+    cost on small candidate sets, the common case: pairs are a
+    vanishing fraction of the corpus).  The pair graph is materialized
+    exactly once either way (the count rides along on the same
+    checkpoint job CC needs anyway).
     """
     from graph_importer_spark.cc import _checkpoint_fp, connected_components
 
@@ -262,9 +262,7 @@ def dup_clusters(
         pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
     )
     edges = uv.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    if n_pairs <= small_graph_rows:
-        edges = edges.coalesce(1)
-    labels = connected_components(edges)
+    labels = connected_components(edges, single_task=n_pairs <= small_graph_rows)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("keeper"),

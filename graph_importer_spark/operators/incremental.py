@@ -52,12 +52,13 @@ def incremental_canonicalize(
     values are themselves names, per the min-name convention).
     ``new_edges``: (src, dst) co-occurrence pairs from the new batch.
 
-    Delta graphs at or below ``small_graph_rows`` edges run the CC loop
-    on ONE partition (the dup_clusters gate): per-round task scheduling
-    dominates small deltas, and daily deltas are small relative to the
-    map by definition.  The delta is checkpointed either way (lineage
-    truncation the CC loop wants; the size rides the same job as an
-    Observation, so the gate costs no extra action).
+    Delta graphs at or below ``small_graph_rows`` edges skip the CC
+    loop for ``cc.connected_components_single`` (one executor-side
+    union-find task instead of one job per star round): per-round job
+    latency dominates small deltas, and daily deltas are small relative
+    to the map by definition.  The delta is checkpointed either way
+    (lineage truncation; the size rides the same job as an Observation,
+    so the gate costs no extra action).
 
     Note: CALLING this function runs one Spark job (the delta
     checkpoint) — the size gate must see the count before the CC plan
@@ -87,9 +88,11 @@ def incremental_canonicalize(
     delta = delta.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
         eager=True
     )
-    if int(obs.get["n"]) <= small_graph_rows:
-        delta = delta.coalesce(1)
-    comp = connected_components_str(delta, max_iter=max_iter)  # (name, canonical)
+    comp = connected_components_str(
+        delta,
+        max_iter=max_iter,
+        single_task=int(obs.get["n"]) <= small_graph_rows,
+    )  # (name, canonical)
     comp = comp.select("name", F.col("canonical").alias("_comp"))
 
     # Stable id per component: min OLD canonical if any member was

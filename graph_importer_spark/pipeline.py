@@ -261,10 +261,11 @@ class Pipeline:
                 F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("src"),
                 F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("dst"),
             )
-            if n_pairs <= self.cfg.small_cc_rows:
-                edges = edges.coalesce(1)
             labels = _cc.connected_components(
-                edges, max_iter=self.cfg.max_cc_iter, on_iteration=hook
+                edges,
+                max_iter=self.cfg.max_cc_iter,
+                on_iteration=hook,
+                single_task=n_pairs <= self.cfg.small_cc_rows,
             )
             ents = pairs.select("entity").distinct().select(
                 "entity", F.xxhash64(F.concat(F.lit("e:"), "entity")).alias("id")

@@ -123,3 +123,25 @@ def test_incremental_canonicalize(spark):
     # fresh entity gets min(name)
     assert got["s"] == got["t"] == "s"
     assert len(got) == 9
+
+
+def test_single_task_equivalent_to_iterative(spark):
+    # deterministic pseudo-random graph: chains, a star, self-loop-only
+    # nodes, isolated pairs, duplicate + reversed edges
+    edges = [(i, (i * 17 + 3) % 40) for i in range(60)]
+    edges += [(100, 100), (7, 7), (200, 201), (201, 200), (5, 3), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    it = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    st = {
+        (r["id"], r["component"])
+        for r in connected_components(df, single_task=True).collect()
+    }
+    assert it == st and len(st) > 0
+
+
+def test_single_task_empty_and_self_loops(spark):
+    # self-loop-only nodes are dropped, matching the iterative contract
+    df = spark.createDataFrame([(9, 9)], "src long, dst long")
+    assert connected_components(df, single_task=True).count() == 0
+    empty = df.filter("src < 0")
+    assert connected_components(empty, single_task=True).count() == 0
