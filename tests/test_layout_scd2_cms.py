@@ -203,3 +203,27 @@ def test_host_link_graph_drops_self_loops(spark):
         for r in urls.host_link_graph(df).collect()
     }
     assert g == {("a.example", "b.example"): 2, ("b.example", "a.example"): 1}
+
+
+def test_host_link_graph_feeds_pagerank(spark):
+    # composition: extract links -> host graph -> pagerank over hosts.
+    # hub.example is linked by every other host, so it must rank first.
+    from graph_importer_spark.operators.analytics import pagerank
+
+    pages = []
+    for i in range(6):
+        html = (
+            f'<html><body><a href="https://hub.example/h"></a>'
+            f'<a href="https://site{(i + 1) % 6}.example/x"></a></body></html>'
+        )
+        pages.append((f"https://site{i}.example/p", bytearray(html, "utf8")))
+    df = spark.createDataFrame(pages, "url string, html binary")
+    g = urls.host_link_graph(urls.extract_links(df))
+    edges = g.select(
+        F.xxhash64("src_host").alias("src"), F.xxhash64("dst_host").alias("dst")
+    )
+    hub = spark.createDataFrame([("hub.example",)], "h string").select(
+        F.xxhash64("h").alias("id")
+    ).collect()[0]["id"]
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges).collect()}
+    assert max(ranks, key=ranks.get) == hub
