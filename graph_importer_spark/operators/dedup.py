@@ -19,7 +19,7 @@ Scale shape notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_importer_spark.operators.textstats import (
@@ -121,10 +121,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bkey")
     )
-    sized = keys.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bkey"))
+    # Degenerate-bucket guard without a window: counting per key via
+    # count().over() re-shuffles and SORTS every (id, band) row; the
+    # offending buckets are the skew tail (few by construction), so a
+    # partial-agg count + broadcast anti-join is the scale-safe form.
+    hot = (
+        keys.groupBy("band", "bkey")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select("band", "bkey")
     )
-    small = sized.filter(F.col("bucket_n") <= max_bucket).select(id_col, "band", "bkey")
+    small = keys.join(F.broadcast(hot), ["band", "bkey"], "left_anti").select(
+        id_col, "band", "bkey"
+    )
     a = small.select(F.col(id_col).alias("id1"), "band", "bkey")
     b = small.select(F.col(id_col).alias("id2"), "band", "bkey")
     return (
@@ -329,10 +338,18 @@ def semantic_dup_pairs(
     cents = ivf_centroids(c, n_centroids, seed)
     a = ivf_assign(c, cents).persist()
     if max_list_size is not None:
-        sized = a.withColumn(
-            "list_n", F.count("*").over(Window.partitionBy("list_id"))
+        # Hot-list cap WITHOUT a window: a per-row count().over(list_id)
+        # shuffles and sorts the entire assignment; the offender set is
+        # by construction tiny (it's the skew tail), so a partial-agg
+        # count + broadcast anti-join removes the same rows with zero
+        # corpus-side sort and no second full-width exchange.
+        hot = (
+            a.groupBy("list_id")
+            .agg(F.count("*").alias("list_n"))
+            .filter(F.col("list_n") > max_list_size)
+            .select("list_id")
         )
-        a = sized.filter(F.col("list_n") <= max_list_size).drop("list_n")
+        a = a.join(F.broadcast(hot), "list_id", "left_anti")
     left = a.select(
         "list_id",
         F.col("neighbor_id").alias("id1"),
