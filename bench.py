@@ -81,6 +81,8 @@ HEADLINE = [
     "scd2_user_type",
     "layout_zorder",
     "web_link_graph",
+    "sample_weighted",
+    "sketch_hist_quantiles",
 ]
 
 

@@ -3467,6 +3467,85 @@ GROUP BY src_host, dst_host
 """
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    top-10 orders per priority class, inclusion odds proportional to
+    o_totalprice.  score_decimals=6 is the documented cross-engine
+    hatch (pow is not correctly rounded; rounding before ranking makes
+    the order — and the tie-breaks — engine-identical)."""
+    from graph_importer_spark.operators import sampling as _samp
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    s = _samp.weighted_sample_topk(
+        o,
+        "o_orderkey",
+        "o_totalprice",
+        k=10,
+        group_cols=["o_orderpriority"],
+        seed=42,
+        score_decimals=6,
+    )
+    return s.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "es_score",
+        F.col("es_rank").alias("rk"),
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+WITH s AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         round(pow(
+           CAST(((o_orderkey % {_M}) * {_A} + 42) % {_M} AS DOUBLE) / {_M}.0,
+           1.0 / o_totalprice), 6) AS es_score
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, o_totalprice, es_score, rk FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY es_score DESC, o_orderkey ASC
+  ) AS rk FROM s)
+WHERE rk <= 10
+"""
+
+
+def q_sketch_hist_quantiles(spark, sf_dir):
+    """Mergeable fixed-bin histogram sketch -> per-event-type p50/p90/
+    p99 estimates (bin upper edges).  The oracle replays the binning,
+    the SUM-mergeable counts, and the cumulative pick bit-for-bit."""
+    from graph_importer_spark.operators import sketches as _sk
+
+    e = T(spark, sf_dir, "events")
+    h = _sk.hist_sketch(e, ["event_type"], "value", lo=0.0, hi=500.0, bins=50)
+    return _sk.hist_quantiles(
+        h, ["event_type"], [0.5, 0.9, 0.99], lo=0.0, hi=500.0, bins=50
+    )
+
+
+ORACLE_HIST_QUANTILES = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST(
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) * 50.0 / 500.0) AS BIGINT),
+           0), 49) AS bin
+  FROM events),
+h AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY event_type, bin),
+t AS (SELECT event_type, SUM(cnt) AS total FROM h GROUP BY event_type),
+c AS (SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM h),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) AS v(q)),
+pick AS (
+  SELECT c.event_type, qs.q, MIN(c.bin) AS bin
+  FROM c JOIN t ON c.event_type = t.event_type CROSS JOIN qs
+  WHERE c.cum >= CEIL(qs.q * t.total)
+  GROUP BY c.event_type, qs.q)
+SELECT event_type, q, 0.0 + (bin + 1) * 10.0 AS est FROM pick
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3488,6 +3567,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_type": q_scd2_user_type,
     "layout_zorder": q_layout_zorder,
     "web_link_graph": q_web_link_graph,
+    "sample_weighted": q_sample_weighted,
+    "sketch_hist_quantiles": q_sketch_hist_quantiles,
     # new or code-touched since the r3 driver ran (ff72a00 + round 4):
     # composed hygiene recipe, PSL domains, de-vacuized oracles,
     # IVF sqrt(n) defaults + hot-list cap, Gopher exact stop set
@@ -3514,7 +3595,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_cosine_topk": q_sim_cosine_topk,
     "text_gopher": q_text_gopher,
-    "web_hosts": q_web_hosts,
     "text_dsir": q_text_dsir,
     # the r3 tail (never driver-checked in r3; judge-verified) rotates
     # back into the window per the policy above
@@ -3535,7 +3615,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "imp_edge_parse": q_imp_edge_parse,
     "imp_smart_keys": q_imp_smart_keys,
     "imp_unique_insert": q_imp_unique_insert,
-    "gen_clique": q_gen_clique,
     "gen_tournament": q_gen_tournament,
     "gen_kpartite": q_gen_kpartite,
     "gen_vertex_docs": q_gen_vertex_docs,
@@ -3544,6 +3623,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontam": q_text_decontam,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # rotated out this session (r2+r3 driver-green, code untouched):
+    "web_hosts": q_web_hosts,
+    # gen_clique: r2-green, judge-verified r3; its generator module is
+    # exercised in-window via the r03-green gen_cliques_graph
+    "gen_clique": q_gen_clique,
     "text_pii": q_text_pii,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
@@ -3597,6 +3680,8 @@ ORACLES: dict[str, str] = {
     "scd2_user_type": ORACLE_SCD2,
     "layout_zorder": _oracle_layout_zorder(),
     "web_link_graph": ORACLE_WEB_LINK_GRAPH,
+    "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
+    "sketch_hist_quantiles": ORACLE_HIST_QUANTILES,
     "cc_star": ORACLE_CC_STAR,
     "cc_canonical_names": ORACLE_CC_NAMES,
     "cc_canonical_dense": ORACLE_CC_NAMES,

@@ -129,3 +129,57 @@ def temperature_mixture_sample(
         F.broadcast(rates.select(F.col("domain").alias(domain_col), "rate")),
         domain_col,
     ).filter(hash_unit(key_col, seed) < F.col("rate"))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: int = 42,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public): each row draws u = hash coin, scores
+    u^(1/w), and the k largest scores per group are the sample —
+    inclusion probability proportional to weight, exactly k rows kept.
+
+    Deterministic end to end: u comes from the congruential coin on
+    ``key_col`` (partition-invariant), the score is one IEEE pow, and
+    ties (impossible up to double precision unless keys collide) break
+    on key — so the sample is reproducible at any cluster size and
+    replayable in SQL.
+
+    Scale shape: one window sort per group — the per-group row count is
+    the cost driver, exactly like any top-k.  For a GLOBAL weighted
+    sample over a skewed corpus route through the two-phase
+    ``skew.salted_topk`` with ``es_score`` as the ranking column
+    instead (same score, partial top-k per salt bucket first).
+
+    ``score_decimals`` rounds the score BEFORE ranking — the
+    cross-engine determinism hatch: ``pow`` is not correctly rounded by
+    IEEE-754 (Java Math.pow and C pow may differ in the last ulp), so
+    an oracle replaying the ranking in another engine could flip a
+    near-tie.  Rounding to 6 collapses sub-ulp differences; genuine
+    round-to-same-value ties then break on key in BOTH engines.  None
+    (the default) ranks on the raw double.
+    """
+    from pyspark.sql import Window
+
+    score = F.pow(hash_unit(key_col, seed), F.lit(1.0) / F.col(weight_col))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = df.withColumn("es_score", score)
+    part = group_cols or []
+    w = (
+        Window.partitionBy(*part).orderBy(
+            F.desc("es_score"), F.asc(key_col)
+        )
+        if part
+        else Window.orderBy(F.desc("es_score"), F.asc(key_col))
+    )
+    return (
+        scored.withColumn("es_rank", F.row_number().over(w))
+        .filter(F.col("es_rank") <= k)
+    )

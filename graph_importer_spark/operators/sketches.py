@@ -276,3 +276,95 @@ def cms_topk(
         .filter(F.col("rk") <= k)
         .select(key_col, "est", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch: mergeable quantiles / distributions
+# ---------------------------------------------------------------------------
+#
+# Completes the mergeable-sketch catalog (distinct = fm_distinct,
+# frequency = cms_*, membership = bloom_*): a fixed-bin equi-width
+# histogram per group, stored relationally as (group..., bin, cnt).
+# <= bins rows per group whatever the input size; merges by SUM across
+# partitions/days/segments — the rollup-friendly alternative to
+# Spark's approx_percentile, whose internal GK sketch neither merges
+# across pre-aggregated segments as a column nor replays in another
+# engine.  Quantile error is bounded by the bin width ((hi-lo)/bins),
+# the classic histogram trade: pick the range from domain knowledge or
+# one min/max scan.  Every count and every estimate is a pure
+# deterministic function of the inputs — DuckDB replays the whole
+# thing bit-for-bit (contract ORACLE_HIST_QUANTILES).
+
+
+def hist_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Equi-width histogram -> (group_cols..., bin, cnt).  Values are
+    clamped into [lo, hi]; bin = floor((v - lo) * bins / (hi - lo)),
+    capped at bins-1 (the IEEE expression the oracle replays).
+    Mergeable: union + re-aggregate with SUM(cnt)."""
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - F.lit(lo)) * F.lit(float(bins)) / F.lit(hi - lo)).cast(
+        "long"
+    )
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the
+    UPPER EDGE of the first bin whose cumulative count reaches
+    q * total -> (group_cols..., q, est).  Error <= one bin width.
+    One partial-agg collect of <= bins (bin, cnt) structs per group —
+    no window, no second shuffle: the cumulative walk happens inside a
+    per-group array expression."""
+    packed = hist.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("bin", "cnt"))).alias("bc"),
+        F.sum("cnt").alias("total"),
+    )
+    width = (hi - lo) / bins
+    out_rows = []
+    for q in qs:
+        # need = ceil(q * total) rows; first bin with running cnt >= need
+        need = F.ceil(F.lit(q) * F.col("total"))
+        # aggregate carries (remaining, chosen_bin)
+        picked = F.aggregate(
+            F.col("bc"),
+            F.struct(
+                need.cast("long").alias("rem"),
+                F.lit(-1).cast("long").alias("pick"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["rem"] - x["cnt"]).alias("rem"),
+                F.when(
+                    (acc["pick"] == -1) & (acc["rem"] <= x["cnt"]), x["bin"]
+                )
+                .otherwise(acc["pick"])
+                .alias("pick"),
+            ),
+        )["pick"]
+        out_rows.append(
+            F.struct(
+                F.lit(q).alias("q"),
+                (F.lit(lo) + (picked + 1) * F.lit(width)).alias("est"),
+            )
+        )
+    return packed.select(
+        *group_cols, F.explode(F.array(*out_rows)).alias("r")
+    ).select(*group_cols, "r.q", "r.est")

@@ -227,3 +227,55 @@ def test_host_link_graph_feeds_pagerank(spark):
     ).collect()[0]["id"]
     ranks = {r["id"]: r["rank"] for r in pagerank(edges).collect()}
     assert max(ranks, key=ranks.get) == hub
+
+
+# ---------------------------------------------------------------------------
+# Histogram sketch + weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantiles_track_uniform(spark):
+    from graph_importer_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i % 2, float(i % 100)) for i in range(2000)], "g int, v double"
+    )
+    h = sketches.hist_sketch(df, ["g"], "v", lo=0.0, hi=100.0, bins=50)
+    q = {
+        (r["g"], r["q"]): r["est"]
+        for r in sketches.hist_quantiles(
+            h, ["g"], [0.5, 0.9], lo=0.0, hi=100.0, bins=50
+        ).collect()
+    }
+    # uniform 0..99, bin width 2: p50 ~ 50, p90 ~ 90, error <= one bin
+    for g in (0, 1):
+        assert abs(q[(g, 0.5)] - 50.0) <= 2.0
+        assert abs(q[(g, 0.9)] - 90.0) <= 2.0
+
+
+def test_hist_sketch_mergeable_and_clamped(spark):
+    from graph_importer_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(0, -5.0), (0, 3.0), (0, 999.0)], "g int, v double"
+    )
+    h = {r["bin"]: r["cnt"] for r in
+         sketches.hist_sketch(df, ["g"], "v", 0.0, 10.0, 10).collect()}
+    # -5 clamps to bin 0, 999 clamps to bin 9
+    assert h[0] == 1 and h[3] == 1 and h[9] == 1
+
+
+def test_weighted_sample_prefers_heavy_and_is_deterministic(spark):
+    from graph_importer_spark.operators import sampling
+
+    rows = [(i, 50.0 if i % 10 == 0 else 0.05) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = sampling.weighted_sample_topk(df, "id", "w", k=50)
+    b = sampling.weighted_sample_topk(df.repartition(7), "id", "w", k=50)
+    ids_a = sorted(r["id"] for r in a.collect())
+    ids_b = sorted(r["id"] for r in b.collect())
+    assert ids_a == ids_b  # partition-invariant
+    heavy = sum(1 for i in ids_a if i % 10 == 0)
+    # 100 heavy rows (weight 50) vs 900 light (weight 0.05): the sample
+    # must be dominated by heavy rows
+    assert heavy >= 40
