@@ -1,7 +1,8 @@
 """Slowly-changing-dimension (type 2) history construction.
 
-The reference importer's sinks are append/overwrite-only (helpers.py
-``insert_documents``; edge_list.py:47-58 only *skips* existing keys) —
+The reference importer's sinks are append/overwrite-only
+(``insert_documents``, general.py:122; edge_list.py:47-58 only *skips*
+existing keys) —
 there is no notion of attribute history.  A warehouse ingesting mutable
 entities at 100 TB needs the standard SCD2 shape: each (key, attribute)
 change becomes a validity interval ``[valid_from, valid_to)`` with the

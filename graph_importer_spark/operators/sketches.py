@@ -193,9 +193,10 @@ def bloom_probe(
 # * build is one constant-fanout explode (x depth) into a (d, pos)
 #   hash aggregate: partial aggregation collapses every map task to
 #   <= depth*width rows before the shuffle, the classic sketch shape
-#   that survives 100 TB (the reference's progress counters,
-#   databridge.py:173-189, are driver-side tallies — here the tally IS
-#   a DataFrame and merges by SUM across partitions/days/segments);
+#   that survives 100 TB (the reference's progress counters are
+#   driver-side tqdm tallies, graphalytics_importer.py:83-90 — here
+#   the tally IS a DataFrame and merges by SUM across
+#   partitions/days/segments);
 # * estimate(key) = min over d of cnt[d][pos_d(key)] — overcounts only
 #   (never undercounts), error <= e/width * N with prob 1 - e^-depth;
 # * positions reuse the md5 polynomial of _bloom_pos, so both the
