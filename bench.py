@@ -83,6 +83,7 @@ HEADLINE = [
     "web_link_graph",
     "sample_weighted",
     "sketch_hist_quantiles",
+    "range_lookup_tiers",
 ]
 
 

@@ -3546,6 +3546,38 @@ SELECT event_type, q, 0.0 + (bin + 1) * 10.0 AS est FROM pick
 """
 
 
+def q_range_lookup_tiers(spark, sf_dir):
+    """Broadcast range-dim lookup: bucket-exploded equi-join (no
+    broadcast nested loop) mapping each event value into a price-tier
+    interval table with a deliberate gap (tier 5 missing -> NULL tier
+    rows prove the left-join semantics).  Rolled up per tier so the
+    oracle pins counts and value bounds."""
+    from graph_importer_spark.operators import joins as _joins
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("long").alias("v")
+    )
+    rows = [(i * 37, (i + 1) * 37, f"tier{i:02d}") for i in range(14) if i != 5]
+    ranges = spark.createDataFrame(rows, "lo long, hi long, tier string")
+    out = _joins.range_lookup(e, ranges, "v", bucket_bits=5)
+    return out.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+
+
+ORACLE_RANGE_LOOKUP = """
+WITH f AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v FROM events),
+r AS (SELECT i * 37 AS lo, (i + 1) * 37 AS hi,
+             'tier' || lpad(CAST(i AS VARCHAR), 2, '0') AS tier
+      FROM range(14) t(i) WHERE i <> 5),
+j AS (SELECT f.v, r.tier FROM f LEFT JOIN r ON r.lo <= f.v AND f.v < r.hi)
+SELECT tier, COUNT(*) AS n, MIN(v) AS v_min, MAX(v) AS v_max
+FROM j GROUP BY tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3569,6 +3601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_link_graph": q_web_link_graph,
     "sample_weighted": q_sample_weighted,
     "sketch_hist_quantiles": q_sketch_hist_quantiles,
+    "range_lookup_tiers": q_range_lookup_tiers,
     # new or code-touched since the r3 driver ran (ff72a00 + round 4):
     # composed hygiene recipe, PSL domains, de-vacuized oracles,
     # IVF sqrt(n) defaults + hot-list cap, Gopher exact stop set
@@ -3617,12 +3650,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "imp_unique_insert": q_imp_unique_insert,
     "gen_tournament": q_gen_tournament,
     "gen_kpartite": q_gen_kpartite,
-    "gen_vertex_docs": q_gen_vertex_docs,
     # fillers: r3-green entries whose modules border this round's edits
     # (dedup/textstats/sampling) — cheapest to keep re-verified
     "text_decontam": q_text_decontam,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # rotated out this session (r2+r3 driver-green, code untouched):
+    # gen_vertex_docs: r2-green, judge-verified r3, generator path
+    # untouched for three rounds
+    "gen_vertex_docs": q_gen_vertex_docs,
     "web_hosts": q_web_hosts,
     # gen_clique: r2-green, judge-verified r3; its generator module is
     # exercised in-window via the r03-green gen_cliques_graph
@@ -3682,6 +3717,7 @@ ORACLES: dict[str, str] = {
     "web_link_graph": ORACLE_WEB_LINK_GRAPH,
     "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
     "sketch_hist_quantiles": ORACLE_HIST_QUANTILES,
+    "range_lookup_tiers": ORACLE_RANGE_LOOKUP,
     "cc_star": ORACLE_CC_STAR,
     "cc_canonical_names": ORACLE_CC_NAMES,
     "cc_canonical_dense": ORACLE_CC_NAMES,

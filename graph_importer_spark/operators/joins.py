@@ -261,3 +261,64 @@ def interval_join(
         F.col("__iv_rt").alias("r_ts_s"),
         *[F.col(f"r_{c}") for c in rpay],
     )
+
+
+def range_lookup(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_bits: int = 16,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Broadcast range-dimension lookup: attach to each fact row the
+    dim row whose half-open interval [lo, hi) contains ``value_col``
+    (IP->geo, port->service, price->tier — the static-range flavor of
+    dim enrichment, vs the temporal as-of above).
+
+    Naive `facts JOIN ranges ON lo <= v AND v < hi` plans a broadcast
+    NESTED LOOP (every fact probes every range).  Here both sides are
+    bucketed by the value's high bits (bucket = v >> bucket_bits): each
+    dim interval explodes to the buckets it overlaps, the join is a
+    broadcast EQUI-join on bucket refined by the range predicate, so a
+    fact probes only the handful of intervals sharing its bucket.  The
+    fact side never shuffles and stays whole-stage codegen.
+
+    Pick ``bucket_bits`` near the log2 of the typical interval width:
+    each interval then lands in ~1-2 buckets (the explode fan-out is
+    (hi-lo)/2^bits + 1, so the broadcast stays ~|ranges| rows).
+    Intervals must not overlap (standard range-dim contract; overlaps
+    produce one output row per covering interval).  ``payload`` narrows
+    the dim columns carried.  Unmatched facts keep NULL payload (left
+    join semantics).  All arithmetic is int64 shifts — replayable in
+    SQL (contract ORACLE_RANGE_LOOKUP).
+    """
+    v = F.col(value_col).cast("long")
+    pay = payload if payload is not None else [
+        c for c in ranges.columns if c not in (lo_col, hi_col)
+    ]
+    _check_names(facts, ranges.select(*pay), "_rl_", pay)
+    dim = ranges.select(
+        F.col(lo_col).cast("long").alias("_rl_lo"),
+        F.col(hi_col).cast("long").alias("_rl_hi"),
+        *pay,
+    ).withColumn(
+        "_rl_bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col("_rl_lo"), bucket_bits),
+                F.shiftright(F.col("_rl_hi") - 1, bucket_bits),
+            )
+        ),
+    )
+    out = facts.withColumn("_rl_fb", F.shiftright(v, bucket_bits)).join(
+        F.broadcast(dim),
+        on=[
+            F.col("_rl_fb") == F.col("_rl_bucket"),
+            F.col("_rl_lo") <= v,
+            v < F.col("_rl_hi"),
+        ],
+        how="left",
+    )
+    return out.drop("_rl_fb", "_rl_bucket", "_rl_lo", "_rl_hi")

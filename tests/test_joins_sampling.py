@@ -256,3 +256,48 @@ def test_interval_join_inclusive_bounds_and_plan(spark):
     assert got == [10, 11, 12]  # both endpoints inclusive; key 8 excluded
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_lookup_semantics_and_plan(spark):
+    from graph_importer_spark.operators.joins import range_lookup
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 99, 100, 150, 2**20, 77])],
+        "id long, v long",
+    )
+    ranges = spark.createDataFrame(
+        [(0, 100, "low"), (100, 200, "mid")], "lo long, hi long, tier string"
+    )
+    out = range_lookup(facts, ranges, "v", bucket_bits=6)
+    got = {r["id"]: r["tier"] for r in out.collect()}
+    # half-open intervals: 99 -> low, 100 -> mid; out-of-range -> NULL
+    assert got == {0: "low", 1: "low", 2: "low", 3: "mid", 4: "mid",
+                   5: None, 6: "low"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_lookup_matches_naive_join(spark):
+    from graph_importer_spark.operators.joins import range_lookup
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(500)], "id long, v long"
+    )
+    ranges = spark.createDataFrame(
+        [(i * 50, (i + 1) * 50, f"t{i}") for i in range(20) if i % 4 != 3],
+        "lo long, hi long, tier string",
+    )
+    fast = {(r["id"], r["tier"]) for r in
+            range_lookup(facts, ranges, "v", bucket_bits=4).collect()}
+    naive = {
+        (r["id"], r["tier"])
+        for r in facts.join(
+            ranges,
+            (ranges.lo <= facts.v) & (facts.v < ranges.hi),
+            "left",
+        ).select("id", "tier").collect()
+    }
+    assert fast == naive
