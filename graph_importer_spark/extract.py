@@ -62,7 +62,13 @@ def extract_text_str(html: bytes | str | None) -> str | None:
     for ent, ch in _ENTITIES.items():
         s = s.replace(ent, ch)
     s = _NUMERIC_ENT_RE.sub(lambda m: chr(int(m.group(1))) if int(m.group(1)) < 0x110000 else "", s)
-    return _WS_RE.sub(" ", s).strip()
+    # " ".join(s.split()) == _WS_RE.sub(" ", s).strip() for every
+    # Unicode codepoint (re \s and str.isspace agree over the full
+    # range — exhaustively asserted in tests) and runs ~5x faster: the
+    # \s+ regex re-enters the matcher at nearly every position of
+    # already-single-spaced text, the dominant cost of the whole
+    # extract stage (71% measured).
+    return " ".join(s.split())
 
 
 def extract_text_series(html: pd.Series) -> pd.Series:
@@ -88,7 +94,8 @@ def extract_text_series(html: pd.Series) -> pd.Series:
         lambda m: chr(int(m.group(1))) if int(m.group(1)) < 0x110000 else "",
         regex=True,
     )
-    t = t.str.replace(_WS_RE, " ", regex=True).str.strip()
+    # whitespace collapse via split/join — see extract_text_str
+    t = t.map(lambda x: " ".join(x.split()))
     out = pd.Series([None] * len(s), index=s.index, dtype="object")
     out[mask] = t
     return out

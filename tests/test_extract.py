@@ -63,3 +63,24 @@ def test_extraction_stage_is_narrow(spark):
     pages, _, _ = synth.corpus(spark, n_pages=10, n_entities=5)
     plan = with_text(pages)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "Project" in plan
+
+
+def test_ws_collapse_split_join_equivalence_exhaustive():
+    # the split/join whitespace collapse in extract relies on re \s and
+    # str.isspace agreeing for EVERY Unicode codepoint
+    import re
+
+    ws = re.compile(r"\s")
+    diff = [
+        cp
+        for cp in range(0x110000)
+        if bool(ws.match(chr(cp))) != chr(cp).isspace()
+    ]
+    assert diff == []
+    # and on representative strings the two formulations are identical
+    cases = [
+        "a  b", "  x\t\ny  z  ", "tab\tonly", "", "nl\n", "　wide　",
+        "one space", " lead", "trail ", "\x1c\x1d\x1e\x1f\x85",
+    ]
+    for c in cases:
+        assert " ".join(c.split()) == re.sub(r"\s+", " ", c).strip()
