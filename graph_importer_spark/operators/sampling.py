@@ -149,7 +149,9 @@ def weighted_sample_topk(
     ``key_col`` (partition-invariant), the score is one IEEE pow, and
     ties (impossible up to double precision unless keys collide) break
     on key — so the sample is reproducible at any cluster size and
-    replayable in SQL.
+    replayable in SQL.  Weights must be > 0 (the ES scheme's domain):
+    w=0 degenerates to never-sampled, negative w inverts the odds —
+    filter or clamp upstream.
 
     Scale shape: one window sort per group — the per-group row count is
     the cost driver, exactly like any top-k.  For a GLOBAL weighted
