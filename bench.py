@@ -84,6 +84,10 @@ HEADLINE = [
     "sample_weighted",
     "sketch_hist_quantiles",
     "range_lookup_tiers",
+    # round 4, session 3
+    "text_bm25",
+    "split_by_customer",
+    "diff_orders",
 ]
 
 

@@ -58,6 +58,62 @@ def stratified_sample(
     return df.filter(hash_unit(key_col, seed) < rate)
 
 
+def string_unit(key: Column | str, seed: int = 42) -> Column:
+    """[0, 1) coin from a STRING key: the first 8 hex chars of
+    md5(key || '|' || seed) as a uint32 over 2^32.  The string-keyed
+    sibling of ``hash_unit`` (which needs an int64): md5 is the repo's
+    oracle hash (contract.py replays it in DuckDB), so membership
+    decisions keyed on urls / domains / text fingerprints stay
+    SQL-replayable and partition-invariant."""
+    k = F.col(key) if isinstance(key, str) else key
+    h8 = F.substring(
+        F.md5(F.encode(F.concat(k, F.lit(f"|{seed}")), "UTF-8")), 1, 8
+    )
+    return F.conv(h8, 16, 10).cast("bigint").cast("double") / F.lit(float(2**32))
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, float]],
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-free train/holdout assignment: every row gets a
+    ``split`` label that is a pure function of its GROUP key, so all
+    rows of a group (all pages of a domain, all orders of a customer,
+    all chunks of a document) land in the SAME split — grouped
+    splitting is how eval leakage through near-duplicate group members
+    is prevented (the reason scikit-learn ships GroupShuffleSplit).
+
+    ``splits`` is an ordered list of (name, fraction); fractions must
+    sum to 1 (within 1e-9).  Assignment: the group's ``string_unit``
+    coin falls into the half-open cumulative interval of each split,
+    with the LAST split catching the remainder (no row is ever
+    unassigned to float rounding).
+
+    Scale shape: zero shuffle and zero join — the label is a scalar
+    expression on the group column, usable as a partition column on
+    write.  Membership is partition-invariant and SQL-replayable.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(frac for _, frac in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    coin = string_unit(group_col, seed)
+    # build the CASE outside-in so the SMALLEST boundary is tested
+    # first (when-chains evaluate outermost-first)
+    expr = F.lit(splits[-1][0])
+    bounds = []
+    hi = 0.0
+    for name, frac in splits[:-1]:
+        hi += frac
+        bounds.append((name, hi))
+    for name, hi in reversed(bounds):
+        expr = F.when(coin < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def temperature_mixture_rates(
     df: DataFrame, domain_col: str, alpha: float = 0.5, target_frac: float = 0.5
 ) -> DataFrame:
