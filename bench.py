@@ -88,6 +88,7 @@ HEADLINE = [
     "text_bm25",
     "split_by_customer",
     "diff_orders",
+    "web_anchor_alias",
 ]
 
 

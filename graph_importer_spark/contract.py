@@ -3754,6 +3754,82 @@ SELECT status, cols, COUNT(*) AS n FROM lab GROUP BY status, cols
 """
 
 
+def q_web_anchor_alias(spark, sf_dir):
+    """Anchor-text alias dictionary (Crosswikis-style): plant
+    deterministic ``<a href>text</a>`` anchors over a 23-entity
+    universe — a canonical 'Entity k' name (every 5th doc pointing at
+    an -alt host so P(dst|alias) < 1), a case/whitespace variant that
+    must NORMALIZE to the same alias, a second 'Ek Corp' alias, plus
+    relative-href and empty-text anchors the extractor must drop —
+    then mine (alias, dst_host, n, prob) with min_count=2."""
+    from graph_importer_spark.operators import urls as _urls
+
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    k1, k2 = s((i * 7 + 13) % 23), s((i * 5 + 3) % 23)
+    a1 = F.concat(
+        F.lit('<a href="https://e'), k1,
+        F.when(i % 5 == 0, F.lit("-alt")).otherwise(F.lit("")),
+        F.lit('.wiki/p">Entity '), k1, F.lit("</a>"),
+    )
+    a2 = F.concat(
+        F.lit('<a href="https://e'), k2, F.lit('.wiki/p">'),
+        F.when(i % 3 == 0, F.concat(F.lit("  ENTITY   "), k2, F.lit(" ")))
+        .otherwise(F.concat(F.lit("E"), k2, F.lit(" Corp"))),
+        F.lit("</a>"),
+    )
+    html = F.concat(
+        F.lit("<html><body>"), a1,
+        F.lit('<a href="/rel">here</a><a href="https://noise.example/x"></a>'),
+        a2, F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://src.example/d/"), s(i)).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    anchors = _urls.extract_anchors(pages, "html", "url")
+    return _urls.anchor_alias_candidates(anchors, min_count=2)
+
+
+ORACLE_WEB_ANCHOR_ALIAS = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST((doc_id * 7 + 13) % 23 AS VARCHAR) AS k1,
+         CAST((doc_id * 5 + 3) % 23 AS VARCHAR) AS k2
+  FROM documents),
+h AS (
+  SELECT '<html><body><a href="https://e' || k1
+         || CASE WHEN doc_id % 5 = 0 THEN '-alt' ELSE '' END
+         || '.wiki/p">Entity ' || k1 || '</a>'
+         || '<a href="/rel">here</a><a href="https://noise.example/x"></a>'
+         || '<a href="https://e' || k2 || '.wiki/p">'
+         || CASE WHEN doc_id % 3 = 0 THEN '  ENTITY   ' || k2 || ' '
+                 ELSE 'E' || k2 || ' Corp' END
+         || '</a></body></html>' AS html
+  FROM d),
+x AS (
+  SELECT UNNEST(regexp_extract_all(html,
+           '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS link,
+         UNNEST(regexp_extract_all(html,
+           '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+  FROM h),
+f AS (
+  SELECT {_LG_HOST_SQL.format(u='link')} AS dst,
+         trim(regexp_replace(lower(anchor), '\\s+', ' ', 'g')) AS alias
+  FROM x
+  WHERE anchor <> '' AND regexp_matches(link, '^https?://')),
+p AS (
+  SELECT alias, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM f WHERE alias <> '' GROUP BY alias, dst),
+t AS (SELECT alias, SUM(n) AS total FROM p GROUP BY alias)
+SELECT alias, dst, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS prob
+FROM p JOIN t USING (alias)
+WHERE n >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3826,7 +3902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": q_text_bm25,
     "split_by_customer": q_split_by_customer,
     "diff_orders": q_diff_orders,
-    "semi_join_segments": q_semi_join_segments,
+    "web_anchor_alias": q_web_anchor_alias,
     "imp_edge_parse": q_imp_edge_parse,
     "imp_smart_keys": q_imp_smart_keys,
     "imp_unique_insert": q_imp_unique_insert,
@@ -3846,6 +3922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "region_volume": q_region_volume,
     "window_top_orders": q_window_top_orders,
+    "semi_join_segments": q_semi_join_segments,
     "web_hosts": q_web_hosts,
     # gen_clique: r2-green, judge-verified r3; its generator module is
     # exercised in-window via the r03-green gen_cliques_graph
@@ -3962,6 +4039,7 @@ ORACLES: dict[str, str] = {
     "text_bm25": ORACLE_TEXT_BM25,
     "split_by_customer": _oracle_split_by_customer(),
     "diff_orders": ORACLE_DIFF_ORDERS,
+    "web_anchor_alias": ORACLE_WEB_ANCHOR_ALIAS,
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

@@ -232,3 +232,96 @@ def host_link_graph(links, src_url: str = "url", dst_url: str = "link"):
     return e.groupBy("src_host", "dst_host").agg(
         F.count("*").alias("n_links")
     )
+
+
+# one full <a ...>text</a> element: group 1 = href, group 2 = anchor
+# text (innermost text only — nested markup ends the capture at the
+# first '<', the standard cheap-parse cut).  Lookaround-free so Spark
+# (Java regex) and the DuckDB oracle (RE2) run the identical pattern.
+ANCHOR_PATTERN = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(
+    df,
+    html_col: str = "html",
+    url_col: str = "url",
+    absolute_only: bool = True,
+):
+    """Anchor extraction: one row per ``<a href=...>text</a>`` element
+    -> ``(url, link, anchor)``.
+
+    The anchor-text sibling of ``extract_links``: where that feeds the
+    host GRAPH, this feeds the alias DICTIONARY — anchor text is how
+    the web names entities, and mining it is the published recipe for
+    building the broadcast alias tables the entity-linking stage
+    consumes (Spitkovsky & Chang 2012's Crosswikis dictionary is built
+    exactly this way from hyperlink anchors).
+
+    Same execution shape as ``extract_links``: two
+    ``regexp_extract_all`` passes over the decoded html (group 1 =
+    href, group 2 = text) zipped positionally, one explode — JVM
+    codegen, no UDF, no shuffle.  Rows with empty anchor text are
+    dropped (an image link names nothing).
+    """
+    h = F.decode(F.col(html_col), "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(1)).alias("link"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(2)).alias(
+            "anchor"
+        ),
+    )
+    out = (
+        df.select(F.col(url_col).alias("url"), F.explode(pairs).alias("a"))
+        .select("url", F.col("a.link").alias("link"), F.col("a.anchor").alias("anchor"))
+        .filter(F.col("anchor") != "")
+    )
+    if absolute_only:
+        out = out.filter(F.col("link").rlike("^https?://"))
+    return out
+
+
+def anchor_alias_candidates(
+    anchors,
+    min_count: int = 2,
+    min_prob: float = 0.0,
+    by_host: bool = True,
+):
+    """Anchor-text alias dictionary: ``(alias, dst, n, prob)`` where
+    ``alias`` is the normalized anchor string (lower-cased, whitespace
+    collapsed, trimmed), ``dst`` is the link target (host by default,
+    canonical URL with ``by_host=False``), ``n`` the number of anchor
+    occurrences naming that target, and ``prob = n / total(alias)`` the
+    link probability P(dst | alias) — the Crosswikis statistic the
+    linking stage scores candidates with.
+
+    Scale shape: two hash aggregates and one alias-keyed equi-join.
+    Counting (alias, dst) pairs is partial-agg-safe under the Zipf skew
+    of generic anchors ("here", "read more"): map-side combine
+    collapses each partition to distinct pairs before the exchange.
+    The per-alias total is a second aggregate OVER THE PAIR COUNTS
+    (already tiny vs the corpus), joined back on alias — hot aliases
+    are exactly the generic ones, which ``min_prob`` then discards
+    (a "here" pointing at 10^6 hosts has prob ~0 for each), so the
+    skewed join keys never survive to the consumer; AQE's skew-join
+    split covers the join itself.  The result is the ≤dictionary-size
+    table the pipeline BROADCASTS to the linking stage.
+    """
+    from graph_importer_spark.operators.textstats import normalize_text
+
+    dst = host_of(F.col("link")) if by_host else normalize_url(F.col("link"))
+    pairs = (
+        anchors.select(
+            normalize_text(F.col("anchor")).alias("alias"), dst.alias("dst")
+        )
+        .filter(F.col("alias") != "")
+        .groupBy("alias", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("alias").agg(F.sum("n").alias("_total"))
+    out = pairs.join(totals, "alias").select(
+        "alias",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.col("_total"), 6).alias("prob"),
+    )
+    return out.filter((F.col("n") >= min_count) & (F.col("prob") >= min_prob))

@@ -279,3 +279,60 @@ def test_weighted_sample_prefers_heavy_and_is_deterministic(spark):
     # 100 heavy rows (weight 50) vs 900 light (weight 0.05): the sample
     # must be dominated by heavy rows
     assert heavy >= 40
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    html = (
+        '<html><a href="https://a.example/x">First Link</a>'
+        '<a class="nav" href="https://b.example/y">Second</a>'
+        '<a href="/relative">rel text</a>'
+        '<a href="https://c.example/z"></a></html>'
+    )
+    df = spark.createDataFrame([("u1", html.encode())], ["url", "html"])
+    rows = sorted(
+        (r["link"], r["anchor"])
+        for r in urls.extract_anchors(df).collect()
+    )
+    # relative dropped (absolute_only), empty-text dropped, href/text
+    # pairing stays positional
+    assert rows == [
+        ("https://a.example/x", "First Link"),
+        ("https://b.example/y", "Second"),
+    ]
+    with_rel = urls.extract_anchors(df, absolute_only=False).count()
+    assert with_rel == 3  # relative kept, empty text still dropped
+
+
+def test_anchor_alias_candidates_normalizes_and_scores(spark):
+    rows = (
+        [("u", "https://e1.wiki/p", "Entity One")] * 3
+        + [("u", "https://e1.wiki/p", "  entity   ONE ")] * 1
+        + [("u", "https://e1-alt.wiki/q", "Entity One")] * 1
+        + [("u", "https://e2.wiki/p", "Entity Two")] * 1  # below min_count
+    )
+    df = spark.createDataFrame(rows, ["url", "link", "anchor"])
+    got = {
+        (r["alias"], r["dst"]): (r["n"], r["prob"])
+        for r in urls.anchor_alias_candidates(df, min_count=2).collect()
+    }
+    # case/whitespace variants merge; prob = n / total over the alias
+    assert got == {("entity one", "e1.wiki"): (4, 0.8)}
+    loose = {
+        (r["alias"], r["dst"]): r["prob"]
+        for r in urls.anchor_alias_candidates(df, min_count=1).collect()
+    }
+    assert loose[("entity one", "e1-alt.wiki")] == 0.2
+    assert loose[("entity two", "e2.wiki")] == 1.0
+    # min_prob discards the minority sense
+    strict = urls.anchor_alias_candidates(df, min_count=1, min_prob=0.5)
+    assert {r["dst"] for r in strict.collect()} == {"e1.wiki", "e2.wiki"}
+
+
+def test_anchor_alias_candidates_by_url(spark):
+    df = spark.createDataFrame(
+        [("u", "https://E1.wiki/p#frag", "X"), ("u", "https://e1.wiki/p", "X")],
+        ["url", "link", "anchor"],
+    )
+    (r,) = urls.anchor_alias_candidates(df, min_count=2, by_host=False).collect()
+    # canonical-URL dst: case-folded host, fragment stripped -> merged
+    assert (r["alias"], r["dst"], r["n"]) == ("x", "https://e1.wiki/p", 2)
