@@ -285,6 +285,7 @@ def anchor_alias_candidates(
     min_count: int = 2,
     min_prob: float = 0.0,
     by_host: bool = True,
+    normalize: bool = True,
 ):
     """Anchor-text alias dictionary: ``(alias, dst, n, prob)`` where
     ``alias`` is the normalized anchor string (lower-cased, whitespace
@@ -305,14 +306,23 @@ def anchor_alias_candidates(
     skewed join keys never survive to the consumer; AQE's skew-join
     split covers the join itself.  The result is the ≤dictionary-size
     table the pipeline BROADCASTS to the linking stage.
+
+    ``normalize=True`` folds case and whitespace (the dedup normal
+    form) — right for recall statistics; ``normalize=False`` keeps the
+    exact surface string (trimmed only) — right when the dictionary
+    feeds a case-sensitive surface matcher like
+    ``mentions.detect_mentions``.
     """
     from graph_importer_spark.operators.textstats import normalize_text
 
     dst = host_of(F.col("link")) if by_host else normalize_url(F.col("link"))
+    alias_expr = (
+        normalize_text(F.col("anchor"))
+        if normalize
+        else F.trim(F.col("anchor"))
+    )
     pairs = (
-        anchors.select(
-            normalize_text(F.col("anchor")).alias("alias"), dst.alias("dst")
-        )
+        anchors.select(alias_expr.alias("alias"), dst.alias("dst"))
         .filter(F.col("alias") != "")
         .groupBy("alias", "dst")
         .agg(F.count("*").alias("n"))
@@ -325,3 +335,17 @@ def anchor_alias_candidates(
         F.round(F.col("n") / F.col("_total"), 6).alias("prob"),
     )
     return out.filter((F.col("n") >= min_count) & (F.col("prob") >= min_prob))
+
+
+def alias_table(candidates, entity: Column | None = None):
+    """Adapt ``anchor_alias_candidates`` output to the
+    ``(alias, entity, prior)`` gazetteer schema the mention-detection
+    and linking stages consume (pipeline.py's ``aliases`` input): the
+    link target IS the entity by default — the canonical-page
+    convention of anchor dictionaries — and the link probability
+    becomes the prior.  Pass ``entity`` to map the target to your
+    entity-id scheme (e.g. extract an id from the host)."""
+    ent = entity if entity is not None else F.col("dst")
+    return candidates.select(
+        "alias", ent.alias("entity"), F.col("prob").alias("prior")
+    )

@@ -105,3 +105,54 @@ def test_resume_skips_and_is_idempotent(spark, warehouse):
     assert len(p3.cat.snapshots("pages_text")) == snaps_before  # untouched
     third = sorted(map(tuple, p3.triples().select("subj", "pred", "obj", "url").collect()))
     assert first == third
+
+
+def test_mined_anchor_aliases_drive_the_pipeline(spark, warehouse):
+    """Close the gazetteer loop: mine the alias dictionary from anchor
+    text (urls.extract_anchors -> anchor_alias_candidates ->
+    alias_table) instead of taking synth's table as given, feed it to
+    run_pipeline, and hold the same P/R gate.  Anchors point at
+    canonical entity pages (https://<entity>.kb/p) with the exact
+    alias surface as anchor text, occurrences proportional to the
+    synth prior."""
+    from graph_importer_spark.operators import urls as _urls
+
+    pages, gt, aliases = synth.corpus(spark, n_pages=120, n_entities=40)
+    # a small "link corpus": each alias row appears round(prior*10)
+    # times as <a href="https://<entity>.kb/p"><alias></a>
+    reps = F.round(F.col("prior") * 10).cast("int")
+    link_pages = aliases.select(
+        F.concat(F.lit("https://hub.example/"), F.col("entity")).alias("url"),
+        F.concat(
+            F.lit("<html><body>"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), reps),
+                    lambda _: F.concat(
+                        F.lit('<a href="https://'),
+                        F.col("entity"),
+                        F.lit('.kb/p">'),
+                        F.col("alias"),
+                        F.lit("</a>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    anchors = _urls.extract_anchors(link_pages)
+    cands = _urls.anchor_alias_candidates(
+        anchors, min_count=1, normalize=False
+    )
+    mined = _urls.alias_table(
+        cands, entity=F.regexp_extract(F.col("dst"), r"^(ent_[0-9]+)\.kb$", 1)
+    )
+    # the mined dictionary covers the synth gazetteer exactly
+    syn = {(r["alias"], r["entity"]) for r in aliases.collect()}
+    got = {(r["alias"], r["entity"]) for r in mined.collect()}
+    assert got == syn
+    p = run_pipeline(spark, pages, mined, warehouse)
+    precision, recall = _pr(p.triples(), gt)
+    assert precision >= 0.95, precision
+    assert recall >= 0.95, recall
