@@ -89,6 +89,8 @@ HEADLINE = [
     "split_by_customer",
     "diff_orders",
     "web_anchor_alias",
+    "web_domain_quota",
+    "text_keywords",
 ]
 
 

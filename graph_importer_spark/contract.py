@@ -3754,6 +3754,117 @@ SELECT status, cols, COUNT(*) AS n FROM lab GROUP BY status, cols
 """
 
 
+def _u32_coin_sql(key_sql: str, seed: int = 42) -> str:
+    """DuckDB replay of sampling.string_unit: uint32 of the first 8
+    md5 hex chars (no conv() in DuckDB -> positional polynomial, the
+    simhash-oracle idiom) over 2^32.  Exact: the numerator is an
+    integer < 2^32 and the divisor a power of two, so both engines
+    produce the identical double."""
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return (
+        f"(SELECT CAST(({poly}) AS DOUBLE) / 4294967296.0 FROM "
+        f"(SELECT substring(md5({key_sql} || '|{seed}'), 1, 8) AS h8))"
+    )
+
+
+def q_web_domain_quota(spark, sf_dir):
+    """C4-style per-domain cap: keep at most 10 documents per source,
+    membership a pure function of (doc_id, seed), selection routed
+    through the two-phase salted top-k (no per-domain window sort).
+    Returns (source, doc_id, coin) — coin is an exact dyadic rational
+    (uint32 / 2^32), identical IEEE doubles on both engines."""
+    from graph_importer_spark.operators import sampling as _samp
+
+    d = T(spark, sf_dir, "documents")
+    kept = _samp.domain_quota_sample(d, "source", "doc_id", quota=10, seed=42)
+    return kept.select("source", "doc_id", F.col("_coin").alias("coin"))
+
+
+def _oracle_web_domain_quota(seed: int = 42) -> str:
+    coin = _u32_coin_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+WITH u AS (
+  SELECT source, doc_id, {coin} AS coin FROM documents),
+r AS (
+  SELECT source, doc_id, coin,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY coin DESC, doc_id) AS rn
+  FROM u)
+SELECT source, doc_id, coin FROM r WHERE rn <= 10
+"""
+
+
+def q_text_keywords(spark, sf_dir):
+    """Smoothed TF-IDF top-5 keywords per document (df bounds
+    [2, 0.3N]); scores rounded to 6, rank ties broken by term asc.
+    Window-free per-doc top-k (collect_list/array_sort/slice).
+
+    The synthetic corpus's natural vocabulary is ~31 terms, 30 of them
+    hotter than the 0.3N ceiling — so doc-keyed keyword terms are
+    PLANTED (kwa<i%151> once, kwb<i%67> twice) to give every document
+    in-bounds candidates with tf and df variation; the hot natural
+    terms must be filtered by the ceiling, the planted ones ranked by
+    (tf/dl) * idf."""
+    from graph_importer_spark.operators import retrieval as _ret
+
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" kwa"), s(i % 151),
+            F.lit(" kwb"), s(i % 67),
+            F.lit(" kwb"), s(i % 67),
+        ).alias("text"),
+    )
+    return _ret.tfidf_keywords(
+        aug, "doc_id", "text", k=5, min_df=2, max_df_frac=0.3
+    )
+
+
+ORACLE_TEXT_KEYWORDS = f"""
+WITH docs0 AS (
+  SELECT doc_id,
+         text || ' kwa' || CAST(doc_id % 151 AS VARCHAR)
+              || ' kwb' || CAST(doc_id % 67 AS VARCHAR)
+              || ' kwb' || CAST(doc_id % 67 AS VARCHAR) AS text
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split({_NF_SQL}, ' '), t -> t <> '') AS toks
+  FROM docs0),
+base AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM base)
+  GROUP BY doc_id, dl, term),
+stats AS (SELECT COUNT(*) AS n_docs FROM base),
+dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+kept AS (
+  SELECT term, df FROM dfq CROSS JOIN stats
+  WHERE df >= 2 AND df <= n_docs * 0.3),
+scored AS (
+  SELECT doc_id, term,
+         round((tf / CAST(dl AS DOUBLE))
+               * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS score
+  FROM tf JOIN kept USING (term) CROSS JOIN stats),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+FROM r WHERE rank <= 5
+"""
+
+
 def q_web_anchor_alias(spark, sf_dir):
     """Anchor-text alias dictionary (Crosswikis-style): plant
     deterministic ``<a href>text</a>`` anchors over a 23-entity
@@ -3888,7 +3999,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_canonical_names": q_cc_canonical_names,
     "cc_canonical_dense": q_cc_canonical_dense,
     "text_stats": q_text_stats,
-    "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "text_lang": q_text_lang,
     "dedup_jaccard": q_dedup_jaccard,
@@ -3903,10 +4013,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_by_customer": q_split_by_customer,
     "diff_orders": q_diff_orders,
     "web_anchor_alias": q_web_anchor_alias,
+    "web_domain_quota": q_web_domain_quota,
+    "text_keywords": q_text_keywords,
     "imp_edge_parse": q_imp_edge_parse,
     "imp_smart_keys": q_imp_smart_keys,
     "imp_unique_insert": q_imp_unique_insert,
-    "gen_tournament": q_gen_tournament,
     "gen_kpartite": q_gen_kpartite,
     # fillers: r3-green entries whose modules border this round's edits
     # (dedup/textstats/sampling) — cheapest to keep re-verified
@@ -3923,6 +4034,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_volume": q_region_volume,
     "window_top_orders": q_window_top_orders,
     "semi_join_segments": q_semi_join_segments,
+    "events_hourly": q_events_hourly,
+    "gen_tournament": q_gen_tournament,
     "web_hosts": q_web_hosts,
     # gen_clique: r2-green, judge-verified r3; its generator module is
     # exercised in-window via the r03-green gen_cliques_graph
@@ -4040,6 +4153,8 @@ ORACLES: dict[str, str] = {
     "split_by_customer": _oracle_split_by_customer(),
     "diff_orders": ORACLE_DIFF_ORDERS,
     "web_anchor_alias": ORACLE_WEB_ANCHOR_ALIAS,
+    "web_domain_quota": _oracle_web_domain_quota(),
+    "text_keywords": ORACLE_TEXT_KEYWORDS,
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

@@ -107,3 +107,84 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF —
+    the keyword-extraction / topic-labeling primitive of corpus
+    curation (and the feature map behind classic tf-idf document
+    vectors).
+
+    Scoring: ``score = (tf / dl) * (ln((1 + N) / (1 + df)) + 1)``
+    (sklearn's smooth idf), rounded to 6 so cross-engine ordering is
+    stable; ties broken by term ascending.  Terms outside
+    ``[min_df, max_df_frac * N]`` document-frequency bounds are
+    discarded first (rare-noise floor, corpus-stopword ceiling).
+
+    Scale shape: unlike ``bm25_topk`` (which filters to the query terms
+    BEFORE exploding), keyword extraction must see every token once —
+    one corpus scan + explode, collapsed immediately by the (doc, term)
+    partial aggregate (uniform keys).  The document-frequency table
+    aggregates the already-collapsed tf rows; the df-filter join back
+    is term-keyed (Zipf-hot terms are exactly the ones the
+    ``max_df_frac`` ceiling deletes; AQE covers the join).  Per-doc
+    top-k avoids a window sort: ``collect_list`` -> ``array_sort`` ->
+    ``slice`` carries at most the doc's own distinct terms per group —
+    bounded by document length, never by corpus size.
+
+    Returns ``(id_col, rank, term, score)``, rank 1-based.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = base.agg(F.count("*").alias("n_docs"))
+    dfq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
+        )
+    )
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(dfq, "term").select(
+        id_col,
+        F.col("term"),
+        F.round((F.col("tf") / F.col("dl")) * idf, 6).alias("score"),
+    )
+    row = F.struct(F.col("score").alias("o"), F.col("term").alias("t"))
+    cmp = (
+        "(l, r) -> CASE WHEN l.o > r.o THEN -1 WHEN l.o < r.o THEN 1 "
+        "WHEN l.t < r.t THEN -1 WHEN l.t > r.t THEN 1 ELSE 0 END"
+    )
+    top = (
+        scored.groupBy(id_col)
+        .agg(F.collect_list(row).alias("rows"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.slice(F.expr(f"array_sort(rows, {cmp})"), 1, k)
+            ).alias("rank0", "r"),
+        )
+    )
+    return top.select(
+        id_col,
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("r.t").alias("term"),
+        F.col("r.o").alias("score"),
+    )

@@ -241,3 +241,40 @@ def weighted_sample_topk(
         scored.withColumn("es_rank", F.row_number().over(w))
         .filter(F.col("es_rank") <= k)
     )
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    quota: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-domain quota cap: keep at most ``quota`` rows per domain,
+    chosen by the deterministic hash coin — the C4/RefinedWeb-style
+    guard against any single site dominating the training mix (the
+    mixture-rate siblings above RESAMPLE proportions; this HARD-CAPS
+    membership).
+
+    Which rows survive is a pure function of (id, seed): stable across
+    runs, partitionings, and cluster sizes, and replayable in SQL.
+    Domains are Zipf-hot at web scale, so selection routes through the
+    two-phase ``skew.salted_topk`` (per-bucket partial top-k, then a
+    <= buckets x quota candidate merge) — no per-domain window sort
+    ever sees a hot domain's full row set.  Rows keep all original
+    columns plus the ``_coin`` ordering key.
+    """
+    from graph_importer_spark.operators.skew import salted_topk
+
+    payload = [c for c in df.columns if c not in (domain_col, id_col)]
+    coined = df.withColumn(
+        "_coin", string_unit(F.col(id_col).cast("string"), seed)
+    )
+    return salted_topk(
+        coined,
+        key=domain_col,
+        order_col="_coin",
+        tiebreak=id_col,
+        k=quota,
+        payload=payload,
+    )

@@ -301,3 +301,34 @@ def test_range_lookup_matches_naive_join(spark):
         ).select("id", "tier").collect()
     }
     assert fast == naive
+
+
+def test_domain_quota_sample_caps_and_is_partition_invariant(spark):
+    from graph_importer_spark.operators.sampling import domain_quota_sample
+
+    # skewed: domain "hot" has 400 rows, others 5 each
+    rows = [("hot", i) for i in range(400)] + [
+        (f"d{i % 8}", 1000 + i) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["domain", "id"]).withColumn(
+        "payload", F.col("id") * 2
+    )
+    kept = domain_quota_sample(df, "domain", "id", quota=7)
+    per = {r["domain"]: r["n"] for r in
+           kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert per["hot"] == 7
+    assert all(v == 5 for d, v in per.items() if d != "hot")
+    # payload columns survive
+    assert set(kept.columns) >= {"domain", "id", "payload", "_coin"}
+    k = kept.filter(F.col("payload") != F.col("id") * 2).count()
+    assert k == 0
+    # membership is a pure function of (id, seed): repartitioning the
+    # input must not change the kept set
+    a = {tuple(r) for r in kept.select("domain", "id").collect()}
+    b = {
+        tuple(r)
+        for r in domain_quota_sample(df.repartition(13), "domain", "id", 7)
+        .select("domain", "id")
+        .collect()
+    }
+    assert a == b

@@ -186,3 +186,59 @@ def test_group_split_validates_fractions(spark):
         group_split(df, "grp", [("a", 0.5), ("b", 0.6)])
     with pytest.raises(ValueError):
         group_split(df, "grp", [])
+
+
+# ---------------------------------------------------------------------------
+# tfidf_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from graph_importer_spark.operators.retrieval import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha alpha beta"),
+            (2, "common alpha gamma"),
+            (3, "common gamma gamma delta"),
+            (4, "common delta beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(docs, "doc_id", "text", k=2, min_df=1, max_df_frac=0.9)
+    rows = {(r["doc_id"], r["rank"]): r["term"] for r in out.collect()}
+    # 'common' (df=4 > 0.9*4) is excluded by the ceiling; within doc 1
+    # 'alpha' (tf=2) outranks 'beta' (tf=1, same df)
+    assert "common" not in set(rows.values())
+    assert rows[(1, 1)] == "alpha"
+    assert rows[(1, 2)] == "beta"
+    # doc 3: gamma tf=2 beats delta
+    assert rows[(3, 1)] == "gamma"
+
+
+def test_tfidf_keywords_df_floor_and_k(spark):
+    from graph_importer_spark.operators.retrieval import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "solo shared"), (2, "shared other words")], ["doc_id", "text"]
+    )
+    out = tfidf_keywords(docs, "doc_id", "text", k=5, min_df=2, max_df_frac=1.0)
+    terms = {r["term"] for r in out.collect()}
+    assert terms == {"shared"}  # df=1 terms dropped by the floor
+    # k caps output
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    out2 = tfidf_keywords(docs2, "doc_id", "text", k=3, min_df=1, max_df_frac=1.0)
+    assert out2.groupBy("doc_id").count().collect()[0]["count"] == 3
+
+
+def test_tfidf_keywords_tie_break_is_term_asc(spark):
+    from graph_importer_spark.operators.retrieval import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "zed ant"), (2, "zed ant")], ["doc_id", "text"]
+    )
+    out = tfidf_keywords(docs, "doc_id", "text", k=2, min_df=1, max_df_frac=1.0)
+    rows = {(r["doc_id"], r["rank"]): r["term"] for r in out.collect()}
+    assert rows[(1, 1)] == "ant" and rows[(1, 2)] == "zed"
