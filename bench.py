@@ -91,6 +91,7 @@ HEADLINE = [
     "web_anchor_alias",
     "web_domain_quota",
     "text_keywords",
+    "text_chunks",
 ]
 
 

@@ -3865,6 +3865,38 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking (24-token chunks, 6-token overlap,
+    stride 18) over the raw document text; every token lands in at
+    least one chunk, chunk strings round-trip the original surface
+    tokens.  The oracle replays the identical stride arithmetic with
+    DuckDB list slicing."""
+    from graph_importer_spark.operators import packing as _pack
+
+    d = T(spark, sf_dir, "documents")
+    return _pack.chunk_text(d, "doc_id", "text", chunk_tokens=24, overlap=6)
+
+
+ORACLE_TEXT_CHUNKS = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+c AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, 1 + CAST(ceil(greatest(n - 24, 0) / 18.0) AS INT)))
+           AS chunk_id
+  FROM b),
+s AS (
+  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         list_slice(toks, chunk_id * 18 + 1, chunk_id * 18 + 24) AS sl
+  FROM c)
+SELECT doc_id, chunk_id, len(sl) AS n_tokens, array_to_string(sl, ' ') AS chunk
+FROM s WHERE len(sl) > 0
+"""
+
+
 def q_web_anchor_alias(spark, sf_dir):
     """Anchor-text alias dictionary (Crosswikis-style): plant
     deterministic ``<a href>text</a>`` anchors over a 23-entity
@@ -4015,9 +4047,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_anchor_alias": q_web_anchor_alias,
     "web_domain_quota": q_web_domain_quota,
     "text_keywords": q_text_keywords,
+    "text_chunks": q_text_chunks,
     "imp_edge_parse": q_imp_edge_parse,
     "imp_smart_keys": q_imp_smart_keys,
-    "imp_unique_insert": q_imp_unique_insert,
     "gen_kpartite": q_gen_kpartite,
     # fillers: r3-green entries whose modules border this round's edits
     # (dedup/textstats/sampling) — cheapest to keep re-verified
@@ -4036,6 +4068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_segments": q_semi_join_segments,
     "events_hourly": q_events_hourly,
     "gen_tournament": q_gen_tournament,
+    "imp_unique_insert": q_imp_unique_insert,
     "web_hosts": q_web_hosts,
     # gen_clique: r2-green, judge-verified r3; its generator module is
     # exercised in-window via the r03-green gen_cliques_graph
@@ -4155,6 +4188,7 @@ ORACLES: dict[str, str] = {
     "web_anchor_alias": ORACLE_WEB_ANCHOR_ALIAS,
     "web_domain_quota": _oracle_web_domain_quota(),
     "text_keywords": ORACLE_TEXT_KEYWORDS,
+    "text_chunks": ORACLE_TEXT_CHUNKS,
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

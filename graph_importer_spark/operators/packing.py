@@ -93,3 +93,69 @@ def pack_next_fit(
     return base.groupBy("shard").applyInPandas(
         lambda pdf: _pack_group(pdf, capacity), schema=_PACK_SCHEMA
     )
+
+
+def chunk_text(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+):
+    """Overlapping fixed-size window chunking: split each document into
+    ``chunk_tokens``-token chunks advancing by ``chunk_tokens -
+    overlap`` — the sliding-window regime of RAG indexing and of
+    pretraining loaders that split over-long documents across context
+    windows (the complement of ``pack_next_fit``, which PACKS short
+    docs; this SPLITS long ones).
+
+    Tokens are whitespace tokens of the raw text (chunking must
+    round-trip the original surface, so no normalization here).
+    Returns ``(id_col, chunk_id, n_tokens, chunk)`` with ``chunk_id``
+    0-based; a document shorter than ``chunk_tokens`` yields exactly
+    one chunk.  The final chunk is the tail remainder (≥1 token,
+    possibly shorter than ``chunk_tokens``); stride arithmetic
+    guarantees every token appears in at least one chunk and
+    consecutive chunks share exactly ``overlap`` tokens.
+
+    Scale shape: pure per-row array expressions (split / sequence /
+    slice / array_join) — zero shuffle, whole-stage codegen, fan-out
+    ~len/stride per document.  The token array is let-bound through a
+    lateral-style explode of precomputed slices so the plan does not
+    re-split the text once per chunk (the CollapseProject O(len²) trap
+    the winnowing operator documents).
+    """
+    if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    # let-bind the token array once per row (explode of a 1-element
+    # wrapper defeats CollapseProject's expression duplication)
+    bound = df.select(
+        F.col(id_col), F.explode(F.array(toks)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    # number of chunks: 1 + ceil(max(0, n - chunk_tokens) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(
+                F.col("_toks"), i * F.lit(stride) + F.lit(1), F.lit(chunk_tokens)
+            ).alias("toks"),
+        ),
+    )
+    out = bound.select(
+        id_col, F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.toks").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk"),
+    )
+    return out.filter(F.col("n_tokens") > 0)

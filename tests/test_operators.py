@@ -987,3 +987,38 @@ def test_classifier_pareto_keep(spark):
     # deterministic under repartition
     out2 = pareto_keep(df.repartition(7), "doc_id", "text").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_chunk_text_stride_and_overlap(spark):
+    from graph_importer_spark.operators.packing import chunk_text
+
+    text = " ".join(f"t{i}" for i in range(57))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")], ["doc_id", "text"])
+    out = chunk_text(df, "doc_id", "text", chunk_tokens=32, overlap=8)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+        for r in out.collect()
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # 57 tokens, stride 24 -> chunks at 0, 24, 48: 32 + 32 + 9 tokens
+    assert [(r[1], r[2]) for r in d1] == [(0, 32), (1, 32), (2, 9)]
+    # consecutive chunks share exactly `overlap` tokens
+    c0, c1 = d1[0][3].split(" "), d1[1][3].split(" ")
+    assert c0[-8:] == c1[:8]
+    # every token appears somewhere, surface round-trips
+    assert c0[0] == "t0" and d1[2][3].split(" ")[-1] == "t56"
+    # short doc -> one chunk; empty doc -> none
+    assert [(r[1], r[2], r[3]) for r in rows if r[0] == 2] == [(0, 2, "a b")]
+    assert not [r for r in rows if r[0] == 3]
+
+
+def test_chunk_text_validates_params(spark):
+    import pytest as _pt
+
+    from graph_importer_spark.operators.packing import chunk_text
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        chunk_text(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+    with _pt.raises(ValueError):
+        chunk_text(df, "doc_id", "text", chunk_tokens=0)
