@@ -92,6 +92,7 @@ HEADLINE = [
     "web_domain_quota",
     "text_keywords",
     "text_chunks",
+    "web_meta",
 ]
 
 

@@ -3897,6 +3897,64 @@ FROM s WHERE len(sl) > 0
 """
 
 
+def q_web_meta(spark, sf_dir):
+    """Head-metadata extraction: plant titles, descriptions (both
+    attribute orders), canonical links, and robots directives
+    (noindex on every 7th page, a plain 'index,follow' on every 3rd,
+    absent otherwise; description/canonical absent on every 5th/11th)
+    and parse them back out."""
+    from graph_importer_spark.operators import urls as _urls
+
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    desc = F.when(
+        i % 5 == 0, F.lit("")
+    ).when(
+        i % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="about topic '), s(i % 13), F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="rev about topic '), s(i % 13), F.lit('" name="description">')),
+    )
+    canon = F.when(i % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit('<link rel="canonical" href="https://c.example/p/'), s(i % 97), F.lit('">'))
+    )
+    robots = F.when(
+        i % 7 == 0, F.lit('<meta name="robots" content="noindex,nofollow">')
+    ).when(
+        i % 3 == 0, F.lit('<meta name="robots" content="index,follow">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), s(i), F.lit(" title</title>"),
+        desc, canon, robots,
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://m.example/d/"), s(i)).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    return _urls.extract_meta(pages)
+
+
+ORACLE_WEB_META = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS ds,
+         CAST(doc_id % 13 AS VARCHAR) AS topic,
+         CAST(doc_id % 97 AS VARCHAR) AS cp
+  FROM documents)
+SELECT 'https://m.example/d/' || ds AS url,
+       'Doc ' || ds || ' title' AS title,
+       CASE WHEN doc_id % 5 = 0 THEN ''
+            WHEN doc_id % 2 = 0 THEN 'about topic ' || topic
+            ELSE 'rev about topic ' || topic END AS meta_description,
+       CASE WHEN doc_id % 11 = 0 THEN ''
+            ELSE 'https://c.example/p/' || cp END AS canonical_url,
+       doc_id % 7 = 0 AS noindex
+FROM d
+"""
+
+
 def q_web_anchor_alias(spark, sf_dir):
     """Anchor-text alias dictionary (Crosswikis-style): plant
     deterministic ``<a href>text</a>`` anchors over a 23-entity
@@ -4029,7 +4087,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "cc_star": q_cc_star,
     "cc_canonical_names": q_cc_canonical_names,
-    "cc_canonical_dense": q_cc_canonical_dense,
     "text_stats": q_text_stats,
     "events_sessions": q_events_sessions,
     "text_lang": q_text_lang,
@@ -4048,6 +4105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_quota": q_web_domain_quota,
     "text_keywords": q_text_keywords,
     "text_chunks": q_text_chunks,
+    "web_meta": q_web_meta,
     "imp_edge_parse": q_imp_edge_parse,
     "imp_smart_keys": q_imp_smart_keys,
     "gen_kpartite": q_gen_kpartite,
@@ -4069,6 +4127,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "gen_tournament": q_gen_tournament,
     "imp_unique_insert": q_imp_unique_insert,
+    # cc family remains window-covered by cc_star + cc_canonical_names;
+    # the dense-id variant (same oracle) rotates out
+    "cc_canonical_dense": q_cc_canonical_dense,
     "web_hosts": q_web_hosts,
     # gen_clique: r2-green, judge-verified r3; its generator module is
     # exercised in-window via the r03-green gen_cliques_graph
@@ -4189,6 +4250,7 @@ ORACLES: dict[str, str] = {
     "web_domain_quota": _oracle_web_domain_quota(),
     "text_keywords": ORACLE_TEXT_KEYWORDS,
     "text_chunks": ORACLE_TEXT_CHUNKS,
+    "web_meta": ORACLE_WEB_META,
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

@@ -349,3 +349,44 @@ def alias_table(candidates, entity: Column | None = None):
     return candidates.select(
         "alias", ent.alias("entity"), F.col("prob").alias("prior")
     )
+
+
+def extract_meta(df, html_col: str = "html", url_col: str = "url"):
+    """Page-metadata extraction: ``(url, title, meta_description,
+    canonical_url, noindex)`` from the raw HTML.
+
+    The head metadata drives three standard corpus decisions the text
+    body cannot: canonical-URL dedup (``<link rel="canonical">`` is the
+    site's own statement of page identity — join it into the exact-dup
+    keyer ahead of ``normalize_url``), robots exclusion (``noindex``
+    pages are removed by polite corpora), and title-bearing quality /
+    alias signals (titles are alias candidates exactly like anchor
+    text).
+
+    Same execution contract as the extractors above: lookaround-free
+    ``regexp_extract`` chains over the decoded html — codegen, no UDF,
+    no shuffle, oracle-replayable.  Missing fields come back as empty
+    strings (''), not NULL, so downstream predicates stay null-free;
+    attribute matching tolerates any attribute order for the
+    name/content pair via two alternative patterns.
+    """
+    h = F.decode(F.col(html_col), "UTF-8")
+    title = F.regexp_extract(h, "<title[^>]*>([^<]*)</title>", 1)
+    # <meta name="description" content="..."> in either attribute order
+    d1 = F.regexp_extract(
+        h, '<meta name="description" content="([^"]*)"', 1
+    )
+    d2 = F.regexp_extract(
+        h, '<meta content="([^"]*)" name="description"', 1
+    )
+    canon = F.regexp_extract(
+        h, '<link rel="canonical" href="([^"]*)"', 1
+    )
+    robots = F.regexp_extract(h, '<meta name="robots" content="([^"]*)"', 1)
+    return df.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        F.when(d1 != "", d1).otherwise(d2).alias("meta_description"),
+        canon.alias("canonical_url"),
+        robots.contains("noindex").alias("noindex"),
+    )

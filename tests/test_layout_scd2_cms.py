@@ -336,3 +336,34 @@ def test_anchor_alias_candidates_by_url(spark):
     (r,) = urls.anchor_alias_candidates(df, min_count=2, by_host=False).collect()
     # canonical-URL dst: case-folded host, fragment stripped -> merged
     assert (r["alias"], r["dst"], r["n"]) == ("x", "https://e1.wiki/p", 2)
+
+
+def test_extract_meta_fields_and_defaults(spark):
+    html1 = (
+        "<html><head><title>My Page</title>"
+        '<meta name="description" content="a fine page">'
+        '<link rel="canonical" href="https://x.example/canon">'
+        '<meta name="robots" content="noindex,nofollow"></head></html>'
+    )
+    html2 = (
+        "<html><head><title>Other</title>"
+        '<meta content="reversed attrs" name="description"></head></html>'
+    )
+    html3 = "<html><body>no head metadata at all</body></html>"
+    df = spark.createDataFrame(
+        [("u1", html1.encode()), ("u2", html2.encode()), ("u3", html3.encode())],
+        ["url", "html"],
+    )
+    rows = {r["url"]: r for r in urls.extract_meta(df).collect()}
+    assert rows["u1"]["title"] == "My Page"
+    assert rows["u1"]["meta_description"] == "a fine page"
+    assert rows["u1"]["canonical_url"] == "https://x.example/canon"
+    assert rows["u1"]["noindex"] is True
+    # reversed attribute order still matches
+    assert rows["u2"]["meta_description"] == "reversed attrs"
+    assert rows["u2"]["noindex"] is False
+    # absent fields come back as '' / False, never NULL
+    assert rows["u3"]["title"] == ""
+    assert rows["u3"]["meta_description"] == ""
+    assert rows["u3"]["canonical_url"] == ""
+    assert rows["u3"]["noindex"] is False
