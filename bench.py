@@ -93,6 +93,7 @@ HEADLINE = [
     "text_keywords",
     "text_chunks",
     "web_meta",
+    "dedup_incremental",
 ]
 
 

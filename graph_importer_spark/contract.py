@@ -3897,6 +3897,58 @@ FROM s WHERE len(sl) > 0
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental fuzzy dedup: build the LSH band index over the
+    corpus slice (doc_id < 300), then probe a NEW batch (clones of
+    every 9th corpus doc under shifted ids — byte-identical text, so
+    every band must match) without re-pairing the corpus.  Returns the
+    (new_id, corpus_id) candidate links."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    index = _dedup.lsh_band_index(d, "doc_id", "text", k=3, n_hashes=8, bands=4)
+    batch = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return _dedup.lsh_probe(
+        batch, index, "doc_id", "text", k=3, n_hashes=8, bands=4
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+batch AS (
+  SELECT doc_id + 500000 AS doc_id, text FROM corpus WHERE doc_id % 9 = 0),
+allkeys AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS bkey,
+         doc_id >= 500000 AS is_new
+  FROM (
+    SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+    FROM (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+             ELSE array_to_string(t, ' ') END AS shingle
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM (SELECT * FROM corpus UNION ALL SELECT * FROM batch)),
+      UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+    UNNEST(generate_series(0, 7)) AS s(seed)
+    GROUP BY doc_id, seed)
+  GROUP BY 1, 2, 4),
+idx AS (
+  SELECT a.*, cnt.bucket_n FROM allkeys a
+  JOIN (SELECT band, bkey, COUNT(*) AS bucket_n
+        FROM allkeys WHERE NOT is_new GROUP BY 1, 2) cnt
+    USING (band, bkey)
+  WHERE NOT a.is_new)
+SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS corpus_id
+FROM (SELECT * FROM allkeys WHERE is_new) n
+JOIN idx i ON n.band = i.band AND n.bkey = i.bkey
+WHERE i.bucket_n <= 1000 AND n.doc_id <> i.doc_id
+"""
+
+
 def q_web_meta(spark, sf_dir):
     """Head-metadata extraction: plant titles, descriptions (both
     attribute orders), canonical links, and robots directives
@@ -4089,8 +4141,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_canonical_names": q_cc_canonical_names,
     "text_stats": q_text_stats,
     "events_sessions": q_events_sessions,
-    "text_lang": q_text_lang,
-    "dedup_jaccard": q_dedup_jaccard,
+    # session-3 LSH refactor (lsh_band_keys factored out of
+    # lsh_candidate_pairs) puts the touched paths in-window: the new
+    # index/probe row plus the refactored pair row
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_fingerprint": q_dedup_fingerprint,
     # round-4 session-3 additions: BM25 retrieval, grouped
     # train/holdout split, snapshot diff.  New entries take window
@@ -4144,7 +4199,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round; rotated per the policy ----
     "text_winnow": q_text_winnow,
     "dedup_winnow": q_dedup_winnow,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_lang": q_text_lang,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "text_simhash": q_text_simhash,
     "text_repetition": q_text_repetition,
@@ -4251,6 +4307,7 @@ ORACLES: dict[str, str] = {
     "text_keywords": ORACLE_TEXT_KEYWORDS,
     "text_chunks": ORACLE_TEXT_CHUNKS,
     "web_meta": ORACLE_WEB_META,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

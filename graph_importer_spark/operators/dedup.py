@@ -93,6 +93,95 @@ def minhash_signatures(
     return seeded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bkey) LSH band keys: rows_per_band = n_hashes/bands,
+    band key = md5 of the seed-ordered concat of the band's minhashes.
+    The shared core of within-corpus pairing (``lsh_candidate_pairs``)
+    and the persistent index/probe split below."""
+    r = n_hashes // bands
+    sigs = minhash_signatures(shingles(df, id_col, text_col, k), id_col, n_hashes)
+    banded = sigs.withColumn("band", (F.col("seed") / r).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.encode(
+                F.array_join(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"), "|"),
+                "UTF-8",
+            )
+        ).alias("bkey")
+    )
+
+
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistent LSH index for INCREMENTAL dedup: ``(id, band, bkey,
+    bucket_n)`` — write this next to the corpus (ideally bucketed by
+    (band, bkey)) and new batches dedup against it via ``lsh_probe``
+    without ever rescanning corpus text.
+
+    This is the iterate-on-the-corpus primitive: re-deduping 100 TB to
+    admit a 1 TB delivery is the quadratic trap; probing the stored
+    band index costs one scan of the BATCH plus an equi-join into the
+    index.  ``bucket_n`` (the bucket's corpus-side population) is
+    computed once here, at build time, so every probe gets its
+    boilerplate-skew guard for free instead of re-counting the index.
+    """
+    keys = lsh_band_keys(df, id_col, text_col, k, n_hashes, bands)
+    counts = keys.groupBy("band", "bkey").agg(
+        F.count("*").alias("bucket_n")
+    )
+    return keys.join(counts, ["band", "bkey"]).select(
+        id_col, "band", "bkey", "bucket_n"
+    )
+
+
+def lsh_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Probe a NEW batch against a stored ``lsh_band_index``:
+    ``(new_id, corpus_id)`` candidate near-dup links, distinct.
+
+    The batch pays shingle -> minhash -> band keys (one scan of the
+    batch only); the corpus side is the pre-built index, filtered by
+    its build-time ``bucket_n`` guard (degenerate boilerplate buckets
+    are a recall trade, same contract as ``lsh_candidate_pairs``).
+    Hash/band parameters MUST match the index build — band keys are
+    md5s of parameter-dependent signatures, so a mismatch silently
+    yields zero matches; persist the parameters with the index.
+    """
+    probe = lsh_band_keys(batch, id_col, text_col, k, n_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bkey"
+    )
+    idx = index.filter(F.col("bucket_n") <= max_bucket).select(
+        F.col(id_col).alias("corpus_id"), "band", "bkey"
+    )
+    return (
+        probe.join(idx, ["band", "bkey"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -110,17 +199,7 @@ def lsh_candidate_pairs(
     trade documented at the call site, not silent: count them via
     ``.filter(col('bucket_n') > max_bucket)`` if needed.
     """
-    r = n_hashes // bands
-    sigs = minhash_signatures(shingles(df, id_col, text_col, k), id_col, n_hashes)
-    banded = sigs.withColumn("band", (F.col("seed") / r).cast("int"))
-    keys = banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.encode(
-                F.array_join(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"), "|"),
-                "UTF-8",
-            )
-        ).alias("bkey")
-    )
+    keys = lsh_band_keys(df, id_col, text_col, k, n_hashes, bands)
     # Degenerate-bucket guard without a window: counting per key via
     # count().over() re-shuffles and SORTS every (id, band) row; the
     # offending buckets are the skew tail (few by construction), so a

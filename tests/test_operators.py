@@ -1022,3 +1022,59 @@ def test_chunk_text_validates_params(spark):
         chunk_text(df, "doc_id", "text", chunk_tokens=8, overlap=8)
     with _pt.raises(ValueError):
         chunk_text(df, "doc_id", "text", chunk_tokens=0)
+
+
+def test_lsh_index_probe_finds_clones_without_corpus_rescan(spark):
+    from graph_importer_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_candidate_pairs,
+        lsh_probe,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(i, base + f" tail{i}") if i % 2 else (i, f"unique doc {i} " * 5)
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    index = lsh_band_index(corpus, "doc_id", "text", k=3, n_hashes=8, bands=4)
+    assert set(index.columns) == {"doc_id", "band", "bkey", "bucket_n"}
+    # batch: exact clone of doc 1 plus an unrelated doc
+    batch = spark.createDataFrame(
+        [(101, base + " tail1"), (102, "nothing like the corpus here ok")],
+        ["doc_id", "text"],
+    )
+    hits = lsh_probe(batch, index, "doc_id", "text", k=3, n_hashes=8, bands=4)
+    got = {(r["new_id"], r["corpus_id"]) for r in hits.collect()}
+    assert (101, 1) in got
+    assert not any(n == 102 for n, _ in got)
+    # probe parity with the batch-mode pairer: a clone found by probe
+    # is found by lsh_candidate_pairs on the union too
+    union = corpus.unionByName(batch)
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(
+            union, "doc_id", "text", k=3, n_hashes=8, bands=4
+        ).collect()
+    }
+    assert (1, 101) in pairs
+
+
+def test_lsh_probe_respects_bucket_guard(spark):
+    from graph_importer_spark.operators.dedup import lsh_band_index, lsh_probe
+
+    boiler = "same boilerplate text everywhere on this site"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)], ["doc_id", "text"]
+    )
+    index = lsh_band_index(corpus, "doc_id", "text", k=3, n_hashes=8, bands=4)
+    batch = spark.createDataFrame([(900, boiler)], ["doc_id", "text"])
+    # bucket_n = 20 > max_bucket=10 -> degenerate bucket skipped
+    guarded = lsh_probe(
+        batch, index, "doc_id", "text", k=3, n_hashes=8, bands=4, max_bucket=10
+    )
+    assert guarded.count() == 0
+    open_probe = lsh_probe(
+        batch, index, "doc_id", "text", k=3, n_hashes=8, bands=4, max_bucket=100
+    )
+    assert open_probe.count() == 20
