@@ -64,8 +64,7 @@ def test_registry_consistency():
     assert len(qs) >= 30
 
 
-@pytest.mark.parametrize("name", FAST)
-def test_oracle_parity(spark, sf_dir, duck, name):
+def _oracle_parity(spark, sf_dir, duck, name):
     sdf = C.QUERIES[name](spark, sf_dir)
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
@@ -78,6 +77,11 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     a = sorted("|".join(_canon(v) for v in r) for r in srows)
     b = sorted("|".join(_canon(v) for v in r) for r in drows)
     assert a == b
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    _oracle_parity(spark, sf_dir, duck, name)
 
 
 def test_flagship_oracle_precondition(duck):
@@ -101,7 +105,7 @@ def test_flagship_oracle_precondition(duck):
 )
 @pytest.mark.parametrize("name", sorted(set(C.ORACLES) - set(FAST)))
 def test_oracle_parity_full(spark, sf_dir, duck, name):
-    test_oracle_parity.__wrapped__(spark, sf_dir, duck, name)
+    _oracle_parity(spark, sf_dir, duck, name)
 
 
 def test_frame_oracle_ascii_precondition(duck):

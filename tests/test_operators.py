@@ -1078,3 +1078,18 @@ def test_lsh_probe_respects_bucket_guard(spark):
         batch, index, "doc_id", "text", k=3, n_hashes=8, bands=4, max_bucket=100
     )
     assert open_probe.count() == 20
+
+
+def test_chunk_text_and_extract_meta_plans_are_narrow(spark):
+    """The zero-shuffle claims in SURVEY 2.11 stay plan-asserted."""
+    from graph_importer_spark.operators.packing import chunk_text
+    from graph_importer_spark.operators.urls import extract_meta
+
+    df = spark.createDataFrame(
+        [(1, "some words here", b"<html><title>t</title></html>", "u")],
+        ["doc_id", "text", "html", "url"],
+    )
+    p1 = chunk_text(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p1
+    p2 = extract_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p2 and "BatchEvalPython" not in p2
