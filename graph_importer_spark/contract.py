@@ -3949,6 +3949,49 @@ WHERE i.bucket_n <= 1000 AND n.doc_id <> i.doc_id
 """
 
 
+def q_stream_fuzzy_dedup(spark, sf_dir):
+    """streaming_fuzzy_dedup executed AS A STREAM: the dedup_incremental
+    plant split into two micro-batches (batch 0 = corpus slice, batch 1
+    = byte-identical clones under shifted ids), file-per-trigger.  The
+    accumulated near_dups table must equal the BATCH probe exactly —
+    same oracle as dedup_incremental."""
+    import os as _os
+    import tempfile as _tmp
+
+    from graph_importer_spark import streaming as _stream
+    from graph_importer_spark.tables import GraphCatalog
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    root = _tmp.mkdtemp(prefix="sfz_")
+    docs_dir = _os.path.join(root, "docs")
+    _os.makedirs(docs_dir)
+    for i, batch in enumerate((d, clones)):
+        pdf = batch.toPandas()
+        path = _os.path.join(docs_dir, f"{i:04d}.parquet")
+        pdf.to_parquet(path, index=False)
+        # FileStreamSource orders by modification time: pin it ascending
+        _os.utime(path, (1700000000 + i, 1700000000 + i))
+    cat = GraphCatalog(spark, _os.path.join(root, "wh"))
+    q = _stream.streaming_fuzzy_dedup(
+        spark,
+        docs_dir,
+        cat,
+        _os.path.join(root, "ckpt"),
+        d.schema,
+        k=3,
+        n_hashes=8,
+        bands=4,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return cat.read("near_dups")
+
+
 def q_web_meta(spark, sf_dir):
     """Head-metadata extraction: plant titles, descriptions (both
     attribute orders), canonical links, and robots directives
@@ -4145,8 +4188,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # lsh_candidate_pairs) puts the touched paths in-window: the new
     # index/probe row plus the refactored pair row
     "dedup_incremental": q_dedup_incremental,
+    "stream_fuzzy_dedup": q_stream_fuzzy_dedup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_fingerprint": q_dedup_fingerprint,
     # round-4 session-3 additions: BM25 retrieval, grouped
     # train/holdout split, snapshot diff.  New entries take window
     # precedence (rule (a)); the three displaced rows
@@ -4193,6 +4236,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "emb_near_dup": q_emb_near_dup,
+    # displaced for stream_fuzzy_dedup: the md5 fingerprint formula
+    # stays window-exercised via stream_dedup's oracle and the dedup
+    # family's 7 in-window rows
+    "dedup_fingerprint": q_dedup_fingerprint,
     # (the displaced fillers below were driver-green in r3 and their
     # query paths are untouched this round — only new functions were
     # APPENDED to their modules), query + oracle code untouched this
@@ -4308,6 +4355,9 @@ ORACLES: dict[str, str] = {
     "text_chunks": ORACLE_TEXT_CHUNKS,
     "web_meta": ORACLE_WEB_META,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    # the stream accumulates exactly the batch probe's links (batch 0
+    # has no priors), so the oracle is shared
+    "stream_fuzzy_dedup": ORACLE_DEDUP_INCREMENTAL,
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,
