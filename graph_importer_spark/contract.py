@@ -3949,6 +3949,66 @@ WHERE i.bucket_n <= 1000 AND n.doc_id <> i.doc_id
 """
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """Filtered corrupt-tail negative sampling over a deterministic
+    triple set built from orders — sparse enough (40 x 2 x 997 cells,
+    every 7th order) that most corruptions survive, dense enough that
+    some collide with positives and the anti-join filter provably
+    drops rows; entity ranks passed explicitly (sorted) so the
+    md5-mod pick replays cross-engine."""
+    from pyspark.sql import Window as _W
+
+    from graph_importer_spark import triples as _tr
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    t = o.select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 40).cast("string")).alias("subj"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("buys"))
+        .otherwise(F.lit("returns"))
+        .alias("pred"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 997).cast("string")).alias("obj"),
+    ).distinct()
+    ranks = (
+        t.select(F.col("obj").alias("neg_obj"))
+        .distinct()
+        .select(
+            "neg_obj",
+            (F.row_number().over(_W.orderBy("neg_obj")) - 1).alias("_rank"),
+        )
+    )
+    return _tr.negative_samples(t, n_per_positive=2, entity_ranks=ranks)
+
+
+def _oracle_kg_negative_samples(seed: int = 42) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH t AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey % 40 AS VARCHAR) AS subj,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'buys' ELSE 'returns' END AS pred,
+         'p' || CAST(o_orderkey % 997 AS VARCHAR) AS obj
+  FROM orders WHERE o_orderkey % 7 = 0),
+v AS (
+  SELECT neg_obj, row_number() OVER (ORDER BY neg_obj) - 1 AS r
+  FROM (SELECT DISTINCT obj AS neg_obj FROM t)),
+f AS (
+  SELECT subj, pred, obj, CAST(j AS INT) AS j,
+         substring(md5(subj || '|' || pred || '|' || obj || '|'
+                       || CAST(j AS VARCHAR) || '|{seed}'), 1, 8) AS h8
+  FROM t, UNNEST(generate_series(0, 1)) u(j)),
+cand AS (
+  SELECT subj, pred, obj, j,
+         ({poly}) % (SELECT COUNT(*) FROM v) AS r
+  FROM f)
+SELECT c.subj, c.pred, c.obj, v.neg_obj, c.j
+FROM cand c JOIN v USING (r)
+ANTI JOIN t p ON c.subj = p.subj AND c.pred = p.pred AND v.neg_obj = p.obj
+"""
+
+
 def q_stream_fuzzy_dedup(spark, sf_dir):
     """streaming_fuzzy_dedup executed AS A STREAM: the dedup_incremental
     plant split into two micro-batches (batch 0 = corpus slice, batch 1
@@ -4164,6 +4224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "text_vocab": q_text_vocab,
     "kg_incremental_entities": q_kg_incremental_entities,
+    "kg_negative_samples": q_kg_negative_samples,
     "text_perplexity": q_text_perplexity,
     "text_classifier": q_text_classifier,
     "corpus_hygiene": q_corpus_hygiene,
@@ -4183,7 +4244,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_star": q_cc_star,
     "cc_canonical_names": q_cc_canonical_names,
     "text_stats": q_text_stats,
-    "events_sessions": q_events_sessions,
     # session-3 LSH refactor (lsh_band_keys factored out of
     # lsh_candidate_pairs) puts the touched paths in-window: the new
     # index/probe row plus the refactored pair row
@@ -4225,6 +4285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "gen_tournament": q_gen_tournament,
     "imp_unique_insert": q_imp_unique_insert,
+    "events_sessions": q_events_sessions,
     # cc family remains window-covered by cc_star + cc_canonical_names;
     # the dense-id variant (same oracle) rotates out
     "cc_canonical_dense": q_cc_canonical_dense,
@@ -4358,6 +4419,7 @@ ORACLES: dict[str, str] = {
     # the stream accumulates exactly the batch probe's links (batch 0
     # has no priors), so the oracle is shared
     "stream_fuzzy_dedup": ORACLE_DEDUP_INCREMENTAL,
+    "kg_negative_samples": _oracle_kg_negative_samples(),
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

@@ -73,3 +73,86 @@ def extract_triples(
         .select("subj", "pred", "obj", "url", "warc_ts")
     )
     return out
+
+
+def negative_samples(
+    triples: DataFrame,
+    n_per_positive: int = 1,
+    seed: int = 42,
+    entity_ranks: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic corrupt-tail negative sampling for KG-embedding
+    training (the TransE-family regime, Bordes et al. 2013): for each
+    positive (subj, pred, obj) emit ``n_per_positive`` corrupted
+    triples (subj, pred, neg_obj) with neg_obj drawn pseudo-randomly
+    from the graph's object vocabulary, then anti-join the true triple
+    set so no negative is accidentally a positive (filtered negative
+    sampling).
+
+    Determinism: neg_obj is the vocabulary entry at index
+    ``uint32(md5(subj|pred|obj|j|seed)) mod |E|`` — a pure function of
+    the triple, stable across partitionings (df.sample's
+    per-partition RNG is exactly what this avoids; see sampling.py's
+    module note).  Uniformity over the vocabulary holds for ANY
+    bijection entity <-> [0, |E|); which bijection is in play is the
+    caller's choice:
+
+    * ``entity_ranks=None`` (default): ``ids.dense_ids`` over the
+      distinct objects — the 10^12-scale path (two-pass, no global
+      sort), deterministic for a fixed shuffle-partition count but not
+      SQL-replayable.
+    * an explicit ``(neg_obj, _rank)`` table — training jobs already
+      hold an entity dictionary; pass it for cross-engine-replayable
+      picks (the contract row does this with a sorted rank).
+
+    Scale shape: the vocabulary is ~|E| rows — broadcast against the
+    positives x n_per_positive fan-out; the safety filter is one
+    anti-join on the triple key.  Corruptions colliding with a
+    positive are DROPPED, not resampled (resampling needs a loop; the
+    drop rate is ~degree/|E|, negligible at KG scale and exactly
+    reproducible).
+
+    Returns (subj, pred, obj, neg_obj, j).
+    """
+    if entity_ranks is None:
+        from graph_importer_spark.operators.ids import dense_ids
+
+        entity_ranks = dense_ids(
+            triples.select(F.col("obj")).distinct(), "obj"
+        ).select(F.col("obj").alias("neg_obj"), F.col("id").alias("_rank"))
+    ents = entity_ranks.select("neg_obj", "_rank")
+    n_ents = ents.count()
+    fanned = triples.select("subj", "pred", "obj").distinct().select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.sequence(F.lit(0), F.lit(n_per_positive - 1))).alias("j"),
+    )
+    pick = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|",
+                        "subj",
+                        "pred",
+                        "obj",
+                        F.col("j").cast("string"),
+                        F.lit(str(seed)),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % F.lit(n_ents)
+    cand = fanned.withColumn("_rank", pick).join(F.broadcast(ents), "_rank")
+    true_set = triples.select(
+        "subj", "pred", F.col("obj").alias("neg_obj")
+    ).distinct()
+    return cand.join(
+        true_set, ["subj", "pred", "neg_obj"], "left_anti"
+    ).select("subj", "pred", "obj", "neg_obj", "j")

@@ -94,3 +94,35 @@ def test_linking_determinism_tiebreak(spark):
     )
     linked = link_mentions(detect_mentions(pages, aliases), aliases).collect()
     assert len(linked) == 1 and linked[0]["entity"] == "ent_a"
+
+
+def test_negative_samples_filtered_and_deterministic(spark):
+    from graph_importer_spark.triples import negative_samples
+
+    t = spark.createDataFrame(
+        [("a", "likes", "x"), ("a", "likes", "y"), ("b", "likes", "x")],
+        ["subj", "pred", "obj"],
+    )
+    out = negative_samples(t, n_per_positive=4, seed=1)
+    rows = [(r["subj"], r["pred"], r["obj"], r["neg_obj"], r["j"]) for r in out.collect()]
+    # no negative is a positive
+    pos = {("a", "likes", "x"), ("a", "likes", "y"), ("b", "likes", "x")}
+    assert all((s, p, n) not in pos for s, p, _, n, _ in rows)
+    # neg_obj from the object vocabulary only
+    assert {n for *_, n, _ in rows} <= {"x", "y"}
+    # deterministic across runs and partitionings
+    again = [
+        (r["subj"], r["pred"], r["obj"], r["neg_obj"], r["j"])
+        for r in negative_samples(t.repartition(7), 4, seed=1).collect()
+    ]
+    assert sorted(rows) == sorted(again)
+    # seed changes picks
+    other = [
+        (r["subj"], r["pred"], r["obj"], r["neg_obj"], r["j"])
+        for r in negative_samples(t, 4, seed=2).collect()
+    ]
+    assert sorted(rows) != sorted(other)
+    # explicit rank table overrides the dense-id default
+    ranks = spark.createDataFrame([("x", 0), ("y", 1)], ["neg_obj", "_rank"])
+    explicit = negative_samples(t, 4, seed=1, entity_ranks=ranks)
+    assert explicit.count() > 0
