@@ -94,6 +94,9 @@ HEADLINE = [
     "text_chunks",
     "web_meta",
     "dedup_incremental",
+    "kg_negative_samples",
+    "graph_khop",
+    "graph_walks",
 ]
 
 

@@ -3949,6 +3949,84 @@ WHERE i.bucket_n <= 1000 AND n.doc_id <> i.doc_id
 """
 
 
+def q_graph_khop(spark, sf_dir):
+    """3-hop BFS neighborhood (min hops per node) over the
+    customer->order->customer-residue graph, sources = custkeys < 5;
+    the oracle is a bounded recursive CTE."""
+    from graph_importer_spark.operators.analytics import k_hop
+
+    o = T(spark, sf_dir, "orders")
+    fwd = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + 1000000).alias("dst"),
+    )
+    back = o.select(
+        (F.col("o_orderkey") + 1000000).alias("src"),
+        (F.col("o_custkey") % 100).alias("dst"),
+    )
+    edges = fwd.unionByName(back)
+    sources = o.select(F.col("o_custkey").alias("id")).filter(
+        F.col("id") < 5
+    ).distinct()
+    return k_hop(edges, sources, k=3)
+
+
+ORACLE_GRAPH_KHOP = """
+WITH RECURSIVE e AS (
+  SELECT o_custkey AS src, o_orderkey + 1000000 AS dst FROM orders
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_custkey % 100 FROM orders),
+bfs AS (
+  SELECT DISTINCT o_custkey AS id, 0 AS hops FROM orders WHERE o_custkey < 5
+  UNION
+  SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON b.id = e.src
+  WHERE b.hops < 3)
+SELECT id, CAST(MIN(hops) AS INT) AS hops FROM bfs GROUP BY id
+"""
+
+
+def q_graph_walks(spark, sf_dir):
+    """Deterministic 4-step random walks (min-hash next-hop choice)
+    over the custkey-residue functional graph; one walk per distinct
+    source residue.  The oracle unrolls the four arg_min steps."""
+    from graph_importer_spark.operators.analytics import random_walks
+
+    c = T(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 97).alias("src"),
+        ((F.col("c_custkey") * 3 + 1) % 97).alias("dst"),
+    ).distinct()
+    return random_walks(edges, length=4, seed=42)
+
+
+def _oracle_graph_walks(length: int = 4, seed: int = 42) -> str:
+    steps = []
+    prev = "s0"
+    parts = [
+        "s0 AS (SELECT src AS walk_id, src AS node FROM e GROUP BY src)"
+    ]
+    for i in range(1, length + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT p.walk_id,
+         arg_min(e.dst, md5(CAST(p.walk_id AS VARCHAR) || '|{i}|'
+                 || CAST(e.dst AS VARCHAR) || '|{seed}')) AS node
+  FROM {prev} p JOIN e ON p.node = e.src GROUP BY p.walk_id)"""
+        )
+        steps.append(f"SELECT walk_id, {i} AS step, node FROM s{i}")
+        prev = f"s{i}"
+    union = "\nUNION ALL\n".join(
+        ["SELECT walk_id, 0 AS step, node FROM s0"] + steps
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT c_custkey % 97 AS src, (c_custkey * 3 + 1) % 97 AS dst
+  FROM customer),
+{", ".join(parts)}
+SELECT walk_id, CAST(step AS INT) AS step, node FROM ({union})
+"""
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Filtered corrupt-tail negative sampling over a deterministic
     triple set built from orders — sparse enough (40 x 2 x 997 cells,
@@ -4225,6 +4303,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab": q_text_vocab,
     "kg_incremental_entities": q_kg_incremental_entities,
     "kg_negative_samples": q_kg_negative_samples,
+    "graph_khop": q_graph_khop,
+    "graph_walks": q_graph_walks,
     "text_perplexity": q_text_perplexity,
     "text_classifier": q_text_classifier,
     "corpus_hygiene": q_corpus_hygiene,
@@ -4240,10 +4320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dsir": q_text_dsir,
     # the r3 tail (never driver-checked in r3; judge-verified) rotates
     # back into the window per the policy above
-    "text_quality": q_text_quality,
     "cc_star": q_cc_star,
     "cc_canonical_names": q_cc_canonical_names,
-    "text_stats": q_text_stats,
     # session-3 LSH refactor (lsh_band_keys factored out of
     # lsh_candidate_pairs) puts the touched paths in-window: the new
     # index/probe row plus the refactored pair row
@@ -4294,6 +4372,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exercised in-window via the r03-green gen_cliques_graph
     "gen_clique": q_gen_clique,
     "text_pii": q_text_pii,
+    # displaced for graph_khop/graph_walks: textstats family stays
+    # window-covered (gopher/dsir/perplexity/classifier/keywords)
+    "text_quality": q_text_quality,
+    "text_stats": q_text_stats,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "emb_near_dup": q_emb_near_dup,
@@ -4420,6 +4502,8 @@ ORACLES: dict[str, str] = {
     # has no priors), so the oracle is shared
     "stream_fuzzy_dedup": ORACLE_DEDUP_INCREMENTAL,
     "kg_negative_samples": _oracle_kg_negative_samples(),
+    "graph_khop": ORACLE_GRAPH_KHOP,
+    "graph_walks": _oracle_graph_walks(),
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

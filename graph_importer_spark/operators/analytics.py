@@ -800,3 +800,110 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     else:
         raise RuntimeError(f"kcore did not settle within {max_iter} rounds")
     return cur.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+
+
+def k_hop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-hop neighborhood expansion with frontier dedup: (id, hops)
+    where ``hops`` is the MINIMUM hop count from any source (<= k).
+
+    The user-facing BFS primitive under SSSP (reference scope:
+    start_Pregel.py's sssp with unit weights answers the same question
+    via a full fixpoint; k_hop stops at radius k — the entity-context
+    / subgraph-extraction query a KG serves constantly).
+
+    Scale shape: k rounds of (frontier JOIN edges) -> anti-join against
+    the visited set -> distinct.  The frontier is keyed on ``src``
+    (hub-skewed at web scale — AQE's skew split covers the join, and a
+    hub expands once because the visited anti-join removes it from
+    every later frontier).  The visited set is carried as a
+    localCheckpoint per round — same loop-lineage hygiene as the CC
+    driver (cc.py), cost one job per hop, plans stay O(1) deep.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("id")
+    for depth in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges[src])
+            .select(F.col(dst).alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(depth))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("hops") == depth).select("id")
+    return visited
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random walks (DeepWalk corpus generation,
+    Perozzi et al. 2014): one walk per distinct source node, ``length``
+    steps, next hop chosen uniformly-ish among out-neighbors by
+    min-hash — ``argmin over neighbors of md5(walk_id|step|neighbor|
+    seed)`` — so the walk is a pure function of (graph, seed):
+    partition-invariant, replayable in SQL (min_by), and different per
+    step and per walk.
+
+    Scale shape: each step is ONE hash aggregate —
+    ``groupBy(walk) . min_by(neighbor, md5(...))`` after a frontier
+    equi-join — with map-side partials, so a hub node's millions of
+    out-edges are reduced inside each partition before the exchange
+    (the per-key window/sort trap never appears).  ``length`` stages,
+    lineage cut per step like the CC loop.  Dead ends stop early
+    (walks shorter than ``length`` are the documented DeepWalk
+    behavior on directed graphs).
+
+    Returns (walk_id, step, node) with step 0 at the source.
+    """
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    start = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .select(F.col("node").alias("walk_id"), F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = start.withColumn("step", F.lit(0))
+    cur = start
+    for step in range(1, length + 1):
+        coin = F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    F.col("walk_id"),
+                    F.lit(str(step)),
+                    F.col(dst),
+                    F.lit(str(seed)),
+                ),
+                "UTF-8",
+            )
+        )
+        # min_by needs the coin as a real column (expr-local)
+        nxt = (
+            cur.join(edges, cur.node == edges[src])
+            .withColumn("md5_coin", coin)
+            .groupBy("walk_id")
+            .agg(F.expr(f"min_by({dst}, md5_coin)").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(nxt.withColumn("step", F.lit(step)))
+        cur = nxt
+    return out.select("walk_id", "step", "node")

@@ -246,3 +246,52 @@ def test_kcore_empty_when_k_too_large(spark):
 
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     assert kcore(edges, k=3).count() == 0  # triangle is a 2-core only
+
+
+def test_k_hop_min_hops_and_radius(spark):
+    from graph_importer_spark.operators.analytics import k_hop
+
+    # path 1->2->3->4->5 plus shortcut 1->3 and a cycle 4->1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (4, 1)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(1,)], ["id"])
+    got = {r["id"]: r["hops"] for r in k_hop(edges, srcs, k=2).collect()}
+    # min hops: 3 reachable in 1 via the shortcut; 5 is 3 hops -> absent
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+    full = {r["id"]: r["hops"] for r in k_hop(edges, srcs, k=10).collect()}
+    assert full[5] == 3  # cycle 4->1 must not loop forever or relabel 1
+    assert full[1] == 0
+    assert k_hop(edges, srcs, k=0).count() == 1
+
+
+def test_random_walks_deterministic_and_neighbor_closed(spark):
+    from graph_importer_spark.operators.analytics import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 5)], ["src", "dst"]
+    )
+    w = random_walks(edges, length=3, seed=7)
+    rows = {(r["walk_id"], r["step"]): r["node"] for r in w.collect()}
+    adj = {1: {2, 3}, 2: {4}, 3: {4}, 4: {1}, 5: {5}}
+    # step 0 is the source; every step follows a real edge
+    for (wid, step), node in rows.items():
+        if step == 0:
+            assert node == wid
+        else:
+            assert node in adj[rows[(wid, step - 1)]]
+    # one walk per source, full length (no dead ends in this graph)
+    assert {wid for wid, _ in rows} == {1, 2, 3, 4, 5}
+    assert all((wid, s) in rows for wid in adj for s in range(4))
+    # partition-invariant determinism
+    again = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(edges.repartition(5), 3, seed=7).collect()
+    }
+    assert rows == again
+    # dead ends stop early
+    dead = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    d = random_walks(dead, length=3, seed=7)
+    assert {(r["walk_id"], r["step"], r["node"]) for r in d.collect()} == {
+        (1, 0, 1), (1, 1, 2)
+    }
