@@ -1,0 +1,89 @@
+"""Plan-hygiene audits: pushdown, pruning, codegen, and join-shape
+checks for representative operators, via graph_importer_spark.plans."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_importer_spark import plans as P
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_filter_pushdown_reaches_parquet_scan(orders):
+    df = orders.filter(F.col("o_orderkey") % 1 == 0).filter(
+        F.col("o_custkey") > 100
+    ).select("o_orderkey", "o_custkey")
+    pushed = P.pushed_filters(df)
+    assert any("o_custkey" in p and "GreaterThan" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_read_schema(orders):
+    df = orders.select("o_orderkey", "o_custkey")
+    (schema,) = P.read_schemas(df)
+    assert "o_orderkey" in schema and "o_custkey" in schema
+    assert "o_comment" not in schema and "o_totalprice" not in schema
+
+
+def test_sampling_predicate_is_pushdown_compatible(spark, orders):
+    # hash_sample's coin is a pure function of the key column: the scan
+    # must not read any other column, and the plan stays narrow
+    from graph_importer_spark.operators.sampling import hash_sample
+
+    df = hash_sample(
+        orders.select("o_orderkey"), "o_orderkey", fraction=0.1
+    )
+    assert P.exchange_count(df) == 0
+    (schema,) = P.read_schemas(df)
+    assert "o_custkey" not in schema
+
+
+def test_aggregate_budgets_one_shuffle(orders):
+    df = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    assert P.shuffle_exchange_count(df) == 1
+    df.collect()  # AQE finalizes the plan; codegen spans appear only then
+    assert P.codegen_stage_count(df) >= 1
+
+
+def test_broadcast_join_is_not_nested_loop(spark, orders):
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert not P.has_nested_loop_join(j)
+    # the big (customer) side must not shuffle for a broadcast join
+    assert P.shuffle_exchange_count(j) == 0
+
+
+def test_range_lookup_is_equi_join_not_nested_loop(spark, orders):
+    from graph_importer_spark.operators.joins import range_lookup
+
+    dim = spark.createDataFrame(
+        [(0, 1000, "low"), (1000, 1000000, "high")], ["lo", "hi", "tier"]
+    )
+    out = range_lookup(
+        orders.select("o_orderkey", "o_totalprice"),
+        dim,
+        value_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_bits=10,
+    )
+    assert not P.has_nested_loop_join(out)
+
+
+def test_hot_paths_have_no_row_python(spark):
+    from graph_importer_spark.operators.packing import chunk_text
+    from graph_importer_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert P.python_eval_count(chunk_text(docs, "doc_id", "text")) == 0
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    assert P.python_eval_count(q) == 0
