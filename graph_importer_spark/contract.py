@@ -3987,8 +3987,9 @@ SELECT id, CAST(MIN(hops) AS INT) AS hops FROM bfs GROUP BY id
 
 def q_graph_walks(spark, sf_dir):
     """Deterministic 4-step random walks (min-hash next-hop choice)
-    over the custkey-residue functional graph; one walk per distinct
-    source residue.  The oracle unrolls the four arg_min steps."""
+    over the custkey-residue functional graph; TWO walks per source
+    residue (walk_no feeds the coin so siblings diverge).  The oracle
+    unrolls the four arg_min steps."""
     from graph_importer_spark.operators.analytics import random_walks
 
     c = T(spark, sf_dir, "customer")
@@ -3996,34 +3997,36 @@ def q_graph_walks(spark, sf_dir):
         (F.col("c_custkey") % 97).alias("src"),
         ((F.col("c_custkey") * 3 + 1) % 97).alias("dst"),
     ).distinct()
-    return random_walks(edges, length=4, seed=42)
+    return random_walks(edges, length=4, seed=42, n_walks=2)
 
 
 def _oracle_graph_walks(length: int = 4, seed: int = 42) -> str:
     steps = []
     prev = "s0"
     parts = [
-        "s0 AS (SELECT src AS walk_id, src AS node FROM e GROUP BY src)"
+        "s0 AS (SELECT src AS walk_id, CAST(w AS INT) AS walk_no, src AS node"
+        " FROM (SELECT src FROM e GROUP BY src), UNNEST(generate_series(0, 1)) u(w))"
     ]
     for i in range(1, length + 1):
         parts.append(
             f"""s{i} AS (
-  SELECT p.walk_id,
-         arg_min(e.dst, md5(CAST(p.walk_id AS VARCHAR) || '|{i}|'
+  SELECT p.walk_id, p.walk_no,
+         arg_min(e.dst, md5(CAST(p.walk_id AS VARCHAR) || '|'
+                 || CAST(p.walk_no AS VARCHAR) || '|{i}|'
                  || CAST(e.dst AS VARCHAR) || '|{seed}')) AS node
-  FROM {prev} p JOIN e ON p.node = e.src GROUP BY p.walk_id)"""
+  FROM {prev} p JOIN e ON p.node = e.src GROUP BY p.walk_id, p.walk_no)"""
         )
-        steps.append(f"SELECT walk_id, {i} AS step, node FROM s{i}")
+        steps.append(f"SELECT walk_id, walk_no, {i} AS step, node FROM s{i}")
         prev = f"s{i}"
     union = "\nUNION ALL\n".join(
-        ["SELECT walk_id, 0 AS step, node FROM s0"] + steps
+        ["SELECT walk_id, walk_no, 0 AS step, node FROM s0"] + steps
     )
     return f"""
 WITH e AS (
   SELECT DISTINCT c_custkey % 97 AS src, (c_custkey * 3 + 1) % 97 AS dst
   FROM customer),
 {", ".join(parts)}
-SELECT walk_id, CAST(step AS INT) AS step, node FROM ({union})
+SELECT walk_id, walk_no, CAST(step AS INT) AS step, node FROM ({union})
 """
 
 

@@ -853,6 +853,7 @@ def random_walks(
     seed: int = 42,
     src: str = "src",
     dst: str = "dst",
+    n_walks: int = 1,
 ) -> DataFrame:
     """Deterministic random walks (DeepWalk corpus generation,
     Perozzi et al. 2014): one walk per distinct source node, ``length``
@@ -871,14 +872,26 @@ def random_walks(
     (walks shorter than ``length`` are the documented DeepWalk
     behavior on directed graphs).
 
-    Returns (walk_id, step, node) with step 0 at the source.
+    ``n_walks`` starts that many walks per source node (DeepWalk runs
+    10-80); the per-walk ``walk_no`` feeds the coin, so sibling walks
+    from one node diverge at the first branching.
+
+    Returns (walk_id, walk_no, step, node) with step 0 at the source.
     """
     if length < 0:
         raise ValueError("length must be >= 0")
+    if n_walks < 1:
+        raise ValueError("n_walks must be >= 1")
     start = (
         edges.select(F.col(src).alias("node"))
         .distinct()
-        .select(F.col("node").alias("walk_id"), F.col("node"))
+        .select(
+            F.col("node").alias("walk_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias(
+                "walk_no"
+            ),
+            F.col("node"),
+        )
         .localCheckpoint(eager=True)
     )
     out = start.withColumn("step", F.lit(0))
@@ -889,6 +902,7 @@ def random_walks(
                 F.concat_ws(
                     "|",
                     F.col("walk_id"),
+                    F.col("walk_no").cast("string"),
                     F.lit(str(step)),
                     F.col(dst),
                     F.lit(str(seed)),
@@ -900,10 +914,10 @@ def random_walks(
         nxt = (
             cur.join(edges, cur.node == edges[src])
             .withColumn("md5_coin", coin)
-            .groupBy("walk_id")
+            .groupBy("walk_id", "walk_no")
             .agg(F.expr(f"min_by({dst}, md5_coin)").alias("node"))
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(nxt.withColumn("step", F.lit(step)))
         cur = nxt
-    return out.select("walk_id", "step", "node")
+    return out.select("walk_id", "walk_no", "step", "node")

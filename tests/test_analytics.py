@@ -292,6 +292,17 @@ def test_random_walks_deterministic_and_neighbor_closed(spark):
     # dead ends stop early
     dead = spark.createDataFrame([(1, 2)], ["src", "dst"])
     d = random_walks(dead, length=3, seed=7)
-    assert {(r["walk_id"], r["step"], r["node"]) for r in d.collect()} == {
-        (1, 0, 1), (1, 1, 2)
+    assert {(r["walk_id"], r["walk_no"], r["step"], r["node"]) for r in d.collect()} == {
+        (1, 0, 0, 1), (1, 0, 1, 2)
     }
+    # n_walks starts that many walks per source, each edge-closed
+    multi = random_walks(edges, length=3, seed=7, n_walks=3)
+    m = {(r["walk_id"], r["walk_no"], r["step"]): r["node"] for r in multi.collect()}
+    assert {(wid, wn) for wid, wn, _ in m} == {
+        (wid, wn) for wid in adj for wn in range(3)
+    }
+    for (wid, wn, step), node in m.items():
+        if step == 0:
+            assert node == wid
+        else:
+            assert node in adj[m[(wid, wn, step - 1)]]
