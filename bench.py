@@ -97,6 +97,10 @@ HEADLINE = [
     "kg_negative_samples",
     "graph_khop",
     "graph_walks",
+    # round 4, session 4
+    "graph_linkpred",
+    "er_blocking",
+    "emb_quantize",
 ]
 
 

@@ -4030,6 +4030,106 @@ SELECT walk_id, walk_no, CAST(step AS INT) AS step, node FROM ({union})
 """
 
 
+def q_graph_linkpred(spark, sf_dir):
+    """Common-neighbor / Jaccard / Adamic-Adar link prediction on the
+    part co-purchase graph (operators/linkpred.py): one wedge self-join
+    keyed on the middle vertex, (a, b) partial aggregate, left-anti vs
+    the existing edge set (scores NEW links only), true-degree Jaccard
+    denominators joined back after the aggregate.  Exact (no hub cap)
+    so the oracle replays the identical wedge aggregation; the capped
+    variant is pytest-asserted a subset of this."""
+    from graph_importer_spark.operators.linkpred import link_prediction_scores
+
+    return link_prediction_scores(_copurchase_edges(spark, sf_dir), min_common=2)
+
+
+ORACLE_GRAPH_LINKPRED = f"""
+WITH {_COPURCHASE_SQL},
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+w AS (
+  SELECT x.v AS a, y.v AS b, x.u AS mid
+  FROM adj x JOIN adj y ON y.u = x.u AND x.v < y.v),
+g AS (
+  SELECT w.a, w.b, COUNT(*) AS common,
+         round(SUM(1.0 / ln(d.deg)), 6) AS adamic_adar
+  FROM w JOIN deg d ON d.u = w.mid
+  GROUP BY w.a, w.b
+  HAVING COUNT(*) >= 2),
+nw AS (
+  SELECT g.* FROM g LEFT JOIN e ON e.a = g.a AND e.b = g.b
+  WHERE e.a IS NULL)
+SELECT nw.a, nw.b, nw.common,
+       round(nw.common / CAST(da.deg + db.deg - nw.common AS DOUBLE), 6) AS jaccard,
+       nw.adamic_adar
+FROM nw JOIN deg da ON da.u = nw.a JOIN deg db ON db.u = nw.b
+"""
+
+
+def q_er_blocking(spark, sf_dir):
+    """Sorted-neighborhood ER blocking over part names
+    (operators/blocking.py): exact global rank by (p_name, p_partkey)
+    via the two-phase bucket-offset rank (order-preserving first-letter
+    bucket; NO single-partition window), then one rank equi-join pairs
+    each record with the next 2 in sort order.  The oracle is the
+    textbook ROW_NUMBER formulation the distributed plan must equal."""
+    from graph_importer_spark.operators.blocking import sorted_neighborhood_pairs
+
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return sorted_neighborhood_pairs(
+        p, "p_partkey", "p_name", bucket=F.substring("p_name", 1, 1), window=3
+    )
+
+
+ORACLE_ER_BLOCKING = """
+WITH r AS (
+  SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rnk
+  FROM part)
+SELECT a.p_partkey AS a, b.p_partkey AS b, CAST(b.rnk - a.rnk AS INT) AS dist
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+"""
+
+
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization + reconstruction-error audit
+    over the embeddings table (operators/quantize.py) — pure codegen
+    array expressions, zero shuffle.  The rounding rule is pinned to
+    floor(x/scale + 0.5) so both engines agree on .5 boundaries; the
+    code vector itself is hash-checked through its integer sum
+    (``q_sum``), the float stats through round-to-9."""
+    from graph_importer_spark.operators.quantize import quantize_int8
+
+    e = T(spark, sf_dir, "embeddings")
+    return quantize_int8(e, "vec_id", "embedding").drop("codes")
+
+
+ORACLE_EMB_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings),
+s AS (
+  SELECT vec_id, len(cv) AS n_dims, cv,
+         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS sc
+  FROM v),
+c AS (
+  SELECT vec_id, n_dims, cv, sc,
+         list_transform(cv, x -> CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor(x / sc + 0.5) AS BIGINT) END) AS codes
+  FROM s),
+e2 AS (
+  SELECT vec_id, n_dims, sc, codes,
+         list_transform(generate_series(1, CAST(n_dims AS INT)),
+                        i -> cv[i] - codes[i] * sc) AS err
+  FROM c)
+SELECT vec_id, n_dims, round(sc, 6) AS scale,
+       list_reduce(codes, (a, b) -> a + b) AS q_sum,
+       round(list_reduce(list_transform(err, x -> x * x), (a, b) -> a + b)
+             / n_dims, 9) AS mse,
+       round(list_max(list_transform(err, x -> abs(x))), 9) AS max_abs_err
+FROM e2
+"""
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Filtered corrupt-tail negative sampling over a deterministic
     triple set built from orders — sparse enough (40 x 2 x 997 cells,
@@ -4308,6 +4408,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negative_samples": q_kg_negative_samples,
     "graph_khop": q_graph_khop,
     "graph_walks": q_graph_walks,
+    # round-4 session-4 additions: link prediction, sorted-neighborhood
+    # ER blocking, int8 embedding quantization
+    "graph_linkpred": q_graph_linkpred,
+    "er_blocking": q_er_blocking,
+    "emb_quantize": q_emb_quantize,
     "text_perplexity": q_text_perplexity,
     "text_classifier": q_text_classifier,
     "corpus_hygiene": q_corpus_hygiene,
@@ -4507,6 +4612,9 @@ ORACLES: dict[str, str] = {
     "kg_negative_samples": _oracle_kg_negative_samples(),
     "graph_khop": ORACLE_GRAPH_KHOP,
     "graph_walks": _oracle_graph_walks(),
+    "graph_linkpred": ORACLE_GRAPH_LINKPRED,
+    "er_blocking": ORACLE_ER_BLOCKING,
+    "emb_quantize": ORACLE_EMB_QUANTIZE,
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

@@ -1,0 +1,83 @@
+"""Sorted-neighborhood blocking for entity resolution.
+
+The classic ER candidate generator (Hernandez & Stolfo, SIGMOD'95):
+sort all records by a blocking key and pair every record with the next
+``window - 1`` records in the total order.  In the KG pipeline this is
+the mention/alias-matching counterpart to the dedup blockers: where
+MinHash-LSH blocks on content, sorted-neighborhood blocks on a
+domain-provided key (name, normalized alias), catching near-misses that
+token blocking splits.
+
+Scale shape — a global sort order WITHOUT a single-partition window:
+* ``Window.orderBy(key)`` with no partition key collapses to one task;
+  instead ranks come from the two-phase distributed rank: an
+  order-preserving coarse bucket (caller-supplied ``bucket``
+  expression: b(k1) < b(k2) whenever k1 < k2 across buckets), per-bucket
+  counts collected as driver metadata (<= thousands of rows), exclusive
+  prefix sums broadcast back, and ``row_number`` partitioned BY BUCKET
+  (parallel) plus the bucket offset = exact global rank.
+* Pairing is one equi-join: the left side explodes each record into
+  ``window - 1`` probe ranks (rank + 1 .. rank + w - 1) and joins on
+  rank — linear output, no range predicate, AQE-friendly.
+* Ties in the key are broken by the id column so the order (and the
+  emitted pair set) is deterministic and replayable in SQL
+  (ROW_NUMBER() OVER (ORDER BY key, id)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    bucket: Column,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact 1-based global rank of rows ordered by (key, id), computed
+    without a single-partition window.  ``bucket`` must be an
+    order-preserving coarsening of ``key_col`` (prefix, truncation,
+    range bucket): every key in a smaller bucket sorts before every key
+    in a larger one."""
+    b = df.withColumn("_bkt", bucket)
+    counts = b.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    rows = sorted(counts.collect(), key=lambda r: r["_bkt"])
+    offsets, acc = [], 0
+    for r in rows:  # driver metadata: one row per bucket
+        offsets.append((r["_bkt"], acc))
+        acc += r["_n"]
+    off = df.sparkSession.createDataFrame(offsets, ["_bkt", "_off"])
+    w = Window.partitionBy("_bkt").orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+    return (
+        b.join(F.broadcast(off), "_bkt")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_bkt", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    bucket: Column,
+    window: int = 3,
+) -> DataFrame:
+    """-> (a, b, dist): candidate pairs of ids whose global sort
+    positions (by key, ties by id) differ by 1 .. window-1; ``a`` is the
+    earlier record, ``dist`` the rank gap."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    ranked = global_rank(
+        df.select(id_col, key_col), key_col, id_col, bucket
+    ).localCheckpoint(eager=True)  # rank once, probe once
+    probes = ranked.select(
+        F.col(id_col).alias("a"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("dist"),
+        F.col("rank"),
+    ).withColumn("rank", F.col("rank") + F.col("dist"))
+    return probes.join(
+        ranked.select(F.col(id_col).alias("b"), "rank"), "rank"
+    ).select("a", "b", "dist")

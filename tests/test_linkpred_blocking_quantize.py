@@ -1,0 +1,160 @@
+"""Link prediction, sorted-neighborhood blocking, int8 quantization."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_importer_spark.operators.blocking import (
+    global_rank,
+    sorted_neighborhood_pairs,
+)
+from graph_importer_spark.operators.linkpred import link_prediction_scores
+from graph_importer_spark.operators.quantize import quantize_int8
+
+
+# -- link prediction --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def path_graph(spark):
+    # 1-2-3-4 path plus 2-5, 3-5: known wedges
+    rows = [(1, 2), (2, 3), (3, 4), (2, 5), (3, 5)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_linkpred_known_scores(spark, path_graph):
+    got = {
+        (r["a"], r["b"]): r
+        for r in link_prediction_scores(path_graph).collect()
+    }
+    # (1,3): common neighbor 2 (deg 3); not adjacent
+    assert (1, 3) in got
+    r = got[(1, 3)]
+    assert r["common"] == 1
+    assert r["adamic_adar"] == round(1 / math.log(3), 6)
+    # deg(1)=1, deg(3)=3 -> jaccard = 1/(1+3-1)
+    assert r["jaccard"] == round(1 / 3, 6)
+    # (2,4) via 3; (4,5) via 3; (1,5) via 2; (2,3) adjacent -> excluded
+    assert (2, 3) not in got and (3, 5) not in got
+    assert {(2, 4), (4, 5), (1, 5)} <= set(got)
+
+
+def test_linkpred_min_common_and_cap(spark, path_graph):
+    # 2 and 5 share only neighbor 3 after 2-5 edge exists... actually
+    # (4,5) has common={3}; min_common=2 keeps only pairs with >= 2
+    # shared neighbors: none in the path graph
+    assert link_prediction_scores(path_graph, min_common=2).count() == 0
+    # hub cap: capped results are a subset of exact
+    exact = {
+        (r["a"], r["b"]) for r in link_prediction_scores(path_graph).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in link_prediction_scores(path_graph, max_degree=2).collect()
+    }
+    assert capped <= exact
+    # degree-3 middles (2 and 3) are dropped; only wedges through
+    # degree<=2 middles survive (5: neighbors 2,3 -> pair (2,3) is
+    # adjacent, dropped) -> nothing left
+    assert capped == set()
+
+
+def test_linkpred_symmetric_input(spark):
+    # direction and duplication of input edges must not change scores
+    e1 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    e2 = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2)], "src long, dst long"
+    )
+    r1 = sorted(map(tuple, link_prediction_scores(e1).collect()))
+    r2 = sorted(map(tuple, link_prediction_scores(e2).collect()))
+    assert r1 == r2 and len(r1) == 1  # (1,3) via 2
+
+
+# -- sorted-neighborhood blocking --------------------------------------------
+
+@pytest.fixture(scope="module")
+def names(spark):
+    rows = [
+        (10, "apple"),
+        (11, "apricot"),
+        (12, "banana"),
+        (13, "banana"),   # tie on key -> id breaks it
+        (14, "cherry"),
+        (15, "almond"),
+    ]
+    return spark.createDataFrame(rows, "rid long, name string")
+
+
+def test_global_rank_matches_sort(spark, names):
+    ranked = global_rank(
+        names, "name", "rid", bucket=F.substring("name", 1, 1)
+    ).collect()
+    got = {r["rid"]: r["rank"] for r in ranked}
+    order = sorted(
+        [(r["name"], r["rid"]) for r in names.collect()]
+    )
+    want = {rid: i + 1 for i, (_, rid) in enumerate(order)}
+    assert got == want
+
+
+def test_snm_pairs_match_bruteforce(spark, names):
+    w = 3
+    pairs = sorted_neighborhood_pairs(
+        names, "rid", "name", bucket=F.substring("name", 1, 1), window=w
+    ).collect()
+    got = {(r["a"], r["b"], r["dist"]) for r in pairs}
+    order = [rid for _, rid in sorted((r["name"], r["rid"]) for r in names.collect())]
+    want = {
+        (order[i], order[i + d], d)
+        for i in range(len(order))
+        for d in range(1, w)
+        if i + d < len(order)
+    }
+    assert got == want
+    # pairs cross bucket boundaries (almond/apple in 'a', banana in 'b',
+    # cherry in 'c'): adjacent-in-order pairs from different buckets exist
+    assert (11, 12, 1) in got  # apricot -> banana crosses a->b
+
+
+def test_snm_window_must_be_ge_2(spark, names):
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(
+            names, "rid", "name", bucket=F.substring("name", 1, 1), window=1
+        )
+
+
+# -- int8 quantization --------------------------------------------------------
+
+def test_quantize_roundtrip_bounds(spark):
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+        (2, [1e-6, -1e-6, 5e-7, 0.0]),    # tiny magnitudes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    r0 = out[0]
+    assert r0["scale"] == round(1.0 / 127, 6)
+    assert all(-127 <= c <= 127 for c in r0["codes"])
+    # max element quantizes to +-127 exactly -> its error ~ 0
+    assert min(r0["codes"]) == -127
+    # reconstruction error bounded by scale/2 (+ rounding slack)
+    assert r0["max_abs_err"] <= 0.5 / 127 + 1e-9
+    # zero vector: scale 0, all-zero codes, zero error
+    r1 = out[1]
+    assert r1["scale"] == 0.0 and set(r1["codes"]) == {0}
+    assert r1["mse"] == 0.0 and r1["max_abs_err"] == 0.0
+    # q_sum is the integer checksum
+    assert r0["q_sum"] == sum(r0["codes"])
+
+
+def test_quantize_half_up_rule(spark):
+    # 0.5 boundary: x/scale = 63.5 must round UP (floor(x+0.5) rule)
+    # scale = 1/127 -> x = 63.5/127 = 0.5
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    r = quantize_int8(df).collect()[0]
+    assert r["codes"] == [127, 64]

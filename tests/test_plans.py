@@ -87,3 +87,25 @@ def test_hot_paths_have_no_row_python(spark):
     assert P.python_eval_count(chunk_text(docs, "doc_id", "text")) == 0
     q = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
     assert P.python_eval_count(q) == 0
+
+
+def test_quantize_is_zero_shuffle_codegen(spark):
+    from graph_importer_spark.operators.quantize import quantize_int8
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    assert P.exchange_count(out) == 0
+    assert P.python_eval_count(out) == 0
+    (schema,) = P.read_schemas(out)
+    assert "label" not in schema  # untouched columns pruned from the scan
+
+
+def test_linkpred_has_no_nested_loop(spark):
+    from graph_importer_spark.operators.linkpred import link_prediction_scores
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    out = link_prediction_scores(edges, min_common=1)
+    assert not P.has_nested_loop_join(out)
+    assert P.python_eval_count(out) == 0
