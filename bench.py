@@ -101,6 +101,10 @@ HEADLINE = [
     "graph_linkpred",
     "er_blocking",
     "emb_quantize",
+    # round 4, session 5
+    "graph_skipgram",
+    "kg_triple_confidence",
+    "emb_pq",
 ]
 
 

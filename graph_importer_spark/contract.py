@@ -4130,6 +4130,126 @@ FROM e2
 """
 
 
+def q_graph_skipgram(spark, sf_dir):
+    """Skip-gram co-occurrence counts (window=2) over the SAME
+    deterministic random-walk corpus as `graph_walks` — the
+    training-pair stage of DeepWalk (analytics.skipgram_pairs): one
+    (walk_id, walk_no) collect into bounded arrays, codegen pair
+    expansion touching only the ±window slice, partial-agg count.  The
+    oracle self-joins the unrolled-walk CTE on |step gap| <= window."""
+    from graph_importer_spark.operators.analytics import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    c = T(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 97).alias("src"),
+        ((F.col("c_custkey") * 3 + 1) % 97).alias("dst"),
+    ).distinct()
+    return skipgram_pairs(
+        random_walks(edges, length=4, seed=42, n_walks=2), window=2
+    )
+
+
+def _oracle_graph_skipgram(window: int = 2) -> str:
+    return f"""
+WITH walks AS ({_oracle_graph_walks()})
+SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.walk_no = b.walk_no
+ AND a.step <> b.step AND abs(a.step - b.step) <= {window}
+GROUP BY 1, 2
+"""
+
+
+def q_kg_triple_confidence(spark, sf_dir):
+    """Noisy-or evidence aggregation over a deterministic scored
+    triple set built from orders (triples.triple_confidence): each
+    order row is one evidence mention of (customer-residue entity,
+    status, priority) with a congruential-unit score in [0.05, 0.95];
+    the aggregate combines independent evidence as
+    1 - prod(1 - p) == exp(sum(ln(1 - p))) — an order-insensitive SUM.
+    The oracle replays score synthesis and the log-sum identity."""
+    from graph_importer_spark.triples import triple_confidence
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    scored = o.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 50).cast("string")).alias(
+            "subj"
+        ),
+        F.col("o_orderstatus").alias("pred"),
+        F.col("o_orderpriority").alias("obj"),
+        (F.lit(0.05) + F.lit(0.9) * _gen._unit(F.col("o_orderkey"), 42)).alias(
+            "score"
+        ),
+    )
+    return triple_confidence(scored)
+
+
+ORACLE_KG_TRIPLE_CONFIDENCE = """
+WITH scored AS (
+  SELECT 'e' || CAST(o_custkey % 50 AS VARCHAR) AS subj,
+         o_orderstatus AS pred,
+         o_orderpriority AS obj,
+         0.05 + 0.9 * (((o_orderkey % 1000003) * 2654435761 + 42) % 1000003)
+                / 1000003.0 AS score
+  FROM orders WHERE o_orderkey < 2000)
+SELECT subj, pred, obj,
+       COUNT(*) AS n_evidence,
+       round(MAX(score), 6) AS max_score,
+       round(1.0 - exp(SUM(ln(1.0 - score))), 6) AS noisy_or
+FROM scored
+GROUP BY subj, pred, obj
+"""
+
+
+def q_emb_pq(spark, sf_dir):
+    """Product-quantization codes over the embeddings table
+    (quantize.pq_codes, dim=64 -> 4 blocks x 16-dim, k=16 codes/block):
+    the fine half of the IVF-PQ ANN layout.  Codebook = the 16
+    smallest-congruential-hash corpus vectors (the ivf_centroids
+    sampling rule — SQL-replayable), assignment = broadcast-join +
+    per-(vec, block) min_by on rounded squared L2 with code-id
+    tie-break.  The oracle replays sampling, slicing, and argmin."""
+    from graph_importer_spark.operators.quantize import pq_codes
+
+    e = T(spark, sf_dir, "embeddings")
+    return pq_codes(e, dim=64, m_blocks=4, k=16)
+
+
+def _oracle_emb_pq(dim: int = 64, m: int = 4, k: int = 16, seed: int = 42) -> str:
+    db = dim // m
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+         ((vec_id % 1000003) * 2654435761 + {seed}) % 1000003 AS h
+  FROM embeddings),
+samp AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code
+  FROM v ORDER BY h, vec_id LIMIT {k}),
+blocks AS (SELECT unnest(generate_series(0, {m - 1})) AS block),
+book AS (
+  SELECT blocks.block, samp.code,
+         samp.cv[blocks.block * {db} + 1 : blocks.block * {db} + {db}] AS cvec
+  FROM samp, blocks),
+sub AS (
+  SELECT v.vec_id, blocks.block,
+         v.cv[blocks.block * {db} + 1 : blocks.block * {db} + {db}] AS sub
+  FROM v, blocks),
+d AS (
+  SELECT s.vec_id, s.block, b.code,
+         round(list_reduce(list_transform(generate_series(1, {db}),
+               i -> (s.sub[i] - b.cvec[i]) * (s.sub[i] - b.cvec[i])),
+               (a, b) -> a + b), 6) AS d2
+  FROM sub s JOIN book b ON b.block = s.block),
+m AS (SELECT vec_id, block, MIN(d2) AS d2 FROM d GROUP BY 1, 2)
+SELECT m.vec_id, m.block, MIN(d.code) AS code, m.d2
+FROM m JOIN d ON d.vec_id = m.vec_id AND d.block = m.block AND d.d2 = m.d2
+GROUP BY m.vec_id, m.block, m.d2
+"""
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Filtered corrupt-tail negative sampling over a deterministic
     triple set built from orders — sparse enough (40 x 2 x 997 cells,
@@ -4413,6 +4533,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_linkpred": q_graph_linkpred,
     "er_blocking": q_er_blocking,
     "emb_quantize": q_emb_quantize,
+    "graph_skipgram": q_graph_skipgram,
+    "kg_triple_confidence": q_kg_triple_confidence,
+    "emb_pq": q_emb_pq,
     "text_perplexity": q_text_perplexity,
     "text_classifier": q_text_classifier,
     "corpus_hygiene": q_corpus_hygiene,
@@ -4423,13 +4546,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_lsh": q_sim_ann_lsh,
-    "sim_cosine_topk": q_sim_cosine_topk,
     "text_gopher": q_text_gopher,
     "text_dsir": q_text_dsir,
-    # the r3 tail (never driver-checked in r3; judge-verified) rotates
-    # back into the window per the policy above
+    # cc.py was code-touched this session (connected_components_single,
+    # 5c87ffb): cc_star keeps the iterative star path in-window; the
+    # union-find path is in-window via dedup_clusters /
+    # kg_incremental_entities / corpus_hygiene
     "cc_star": q_cc_star,
-    "cc_canonical_names": q_cc_canonical_names,
     # session-3 LSH refactor (lsh_band_keys factored out of
     # lsh_candidate_pairs) puts the touched paths in-window: the new
     # index/probe row plus the refactored pair row
@@ -4450,14 +4573,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_keywords": q_text_keywords,
     "text_chunks": q_text_chunks,
     "web_meta": q_web_meta,
+    # ---- tail (entries 51+): long-stable rows, driver-green in r3
+    # or r2+judge-r3, code untouched.  Displaced by the session-4/5
+    # additions (skipgram/confidence/PQ) under rule (a); every tail
+    # entry below was re-verified locally this session via the full
+    # scripts/check_contract.py sweep before commit:
+    # - sim_cosine_topk: r2-green, judge-r3; similarity.py only had
+    #   functions APPENDED (similarity_recall, LSH/IVF variants are
+    #   in-window)
+    "sim_cosine_topk": q_sim_cosine_topk,
+    # - cc_canonical_names: r2-green, judge-r3; both CC code paths
+    #   (iterative star, single-task union-find) are in-window via
+    #   cc_star and dedup_clusters/kg_incremental_entities
+    "cc_canonical_names": q_cc_canonical_names,
+    # - imp_* / gen_kpartite: r2-green, judge-r3, importer/generator
+    #   modules untouched all round
     "imp_edge_parse": q_imp_edge_parse,
     "imp_smart_keys": q_imp_smart_keys,
     "gen_kpartite": q_gen_kpartite,
-    # fillers: r3-green entries whose modules border this round's edits
-    # (dedup/textstats/sampling) — cheapest to keep re-verified
+    # - text_decontam: r3 driver-green, decontam.py untouched (its
+    #   neighbour modules changed, its own query path did not)
     "text_decontam": q_text_decontam,
-    # ---- tail (entries 51+): long-stable rows, driver-green in r3
-    # rotated out this session (r2+r3 driver-green, code untouched):
+    # rotated out earlier this round (r2+r3 driver-green, code untouched):
     # gen_vertex_docs: r2-green, judge-verified r3, generator path
     # untouched for three rounds
     "gen_vertex_docs": q_gen_vertex_docs,
@@ -4472,7 +4609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_tournament": q_gen_tournament,
     "imp_unique_insert": q_imp_unique_insert,
     "events_sessions": q_events_sessions,
-    # cc family remains window-covered by cc_star + cc_canonical_names;
+    # cc family remains window-covered by cc_star;
     # the dense-id variant (same oracle) rotates out
     "cc_canonical_dense": q_cc_canonical_dense,
     "web_hosts": q_web_hosts,
@@ -4615,6 +4752,9 @@ ORACLES: dict[str, str] = {
     "graph_linkpred": ORACLE_GRAPH_LINKPRED,
     "er_blocking": ORACLE_ER_BLOCKING,
     "emb_quantize": ORACLE_EMB_QUANTIZE,
+    "graph_skipgram": _oracle_graph_skipgram(),
+    "kg_triple_confidence": ORACLE_KG_TRIPLE_CONFIDENCE,
+    "emb_pq": _oracle_emb_pq(),
     "text_pii": ORACLE_TEXT_PII,
     "web_hosts": ORACLE_WEB_HOSTS,
     "web_hosts_psl": ORACLE_WEB_HOSTS_PSL,

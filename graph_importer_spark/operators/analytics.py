@@ -921,3 +921,54 @@ def random_walks(
         out = out.unionByName(nxt.withColumn("step", F.lit(step)))
         cur = nxt
     return out.select("walk_id", "walk_no", "step", "node")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(walk_id, walk_no, step, node) random-walk corpus ->
+    (center, context, n): skip-gram co-occurrence counts with the given
+    window — the training-pair stage of the DeepWalk/node2vec recipe
+    (walks come from ``random_walks``; these counts feed any SGNS
+    trainer or, aggregated, a PPMI matrix).
+
+    Scale shape: ONE shuffle keyed on (walk_id, walk_no) collects each
+    walk into a length-``length`` array (bounded, tiny), then pair
+    generation is a pure codegen array expression — per position only
+    the ±window slice is touched (O(len·window), not O(len²)) — and
+    the final (center, context) count aggregate is partial-agg-safe
+    under hub skew (a hub node appearing in millions of walks is
+    pre-summed map-side).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    seq = (
+        walks.groupBy("walk_id", "walk_no")
+        .agg(F.array_sort(F.collect_list(F.struct("step", "node"))).alias("s"))
+        .select(F.transform("s", lambda x: x["node"]).alias("nodes"))
+    )
+    n = F.size("nodes")
+    idx = F.sequence(F.lit(1), n)
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.greatest(F.lit(1), i - window),
+                        F.least(n, i + window),
+                    ),
+                    lambda j: F.struct(
+                        F.element_at(F.col("nodes"), i).alias("center"),
+                        F.element_at(F.col("nodes"), j).alias("context"),
+                        (j - i).alias("d"),
+                    ),
+                ),
+                lambda p: p["d"] != 0,
+            ),
+        )
+    )
+    return (
+        seq.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+    )

@@ -96,3 +96,109 @@ def quantize_int8(
             "max_abs_err"
         ),
     )
+
+
+_M = 1000003          # prime modulus (operators/generators.py convention)
+_A = 2654435761       # Knuth multiplicative constant
+
+
+def pq_codebook(
+    df: DataFrame,
+    dim: int,
+    m_blocks: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic product-quantization codebook: the ``k`` corpus
+    vectors with the smallest congruential id-hash (ties by id), each
+    sliced into ``m_blocks`` contiguous sub-vectors -> (block, code,
+    cvec) with code = 0..k-1 in hash order.
+
+    Sampled codebooks instead of Lloyd-iterated ones — the same
+    design decision as ``similarity.ivf_centroids`` (deterministic,
+    SQL-replayable, one TakeOrderedAndProject instead of an iterative
+    k-means job chain); at real scale swap in trained centroids
+    without touching the assignment plan.  k·m_blocks rows — driver
+    metadata, broadcast to the assignment join.
+    """
+    if dim % m_blocks != 0:
+        raise ValueError(f"dim {dim} not divisible by m_blocks {m_blocks}")
+    db = dim // m_blocks
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(_M)) * F.lit(_A) + F.lit(seed), F.lit(_M)
+    )
+    rows = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+            h.alias("_h"),
+        )
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    book = [
+        (b, code, list(r["_v"][b * db : (b + 1) * db]))
+        for code, r in enumerate(rows)
+        for b in range(m_blocks)
+    ]
+    return df.sparkSession.createDataFrame(
+        book, "block int, code int, cvec array<double>"
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    dim: int,
+    m_blocks: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization assignment -> (id, block, code, d2): for
+    each vector and each of its ``m_blocks`` contiguous sub-vectors,
+    the codebook entry with minimal squared L2 distance (distance
+    rounded to ``decimals``; ties broken by code id — replayable).
+
+    The fine-quantization half of IVF-PQ, the standard 10^9+-vector
+    ANN layout: IVF (similarity.py) prunes to ~nprobe/C of the corpus,
+    PQ codes cut the scan payload dim·4 bytes -> m_blocks bytes.
+
+    Scale shape: corpus explodes m_blocks× (m is 4-16, a constant-
+    fanout explode like the SimHash bits), joins the BROADCAST k·m-row
+    codebook on block (never shuffles the corpus), and one
+    (id, block) min_by aggregate with map-side partials picks the
+    code.  No window, no corpus shuffle.
+    """
+    if dim % m_blocks != 0:
+        raise ValueError(f"dim {dim} not divisible by m_blocks {m_blocks}")
+    db = dim // m_blocks
+    book = pq_codebook(df, dim, m_blocks, k, id_col, vec_col, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    slices = F.array(
+        *[F.slice(v, b * db + 1, db) for b in range(m_blocks)]
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(slices).alias("block", "sub")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        decimals,
+    )
+    return (
+        exploded.join(F.broadcast(book), "block")
+        .withColumn("_d2", d2)
+        .groupBy(id_col, "block")
+        .agg(
+            F.expr("min_by(code, struct(_d2, code))").alias("code"),
+            F.min("_d2").alias("d2"),
+        )
+    )

@@ -156,3 +156,33 @@ def negative_samples(
     return cand.join(
         true_set, ["subj", "pred", "neg_obj"], "left_anti"
     ).select("subj", "pred", "obj", "neg_obj", "j")
+
+
+def triple_confidence(
+    scored: DataFrame, score_col: str = "score", decimals: int = 6
+) -> DataFrame:
+    """Per-evidence-row scored triples (subj, pred, obj, score) ->
+    one row per distinct triple with aggregate confidence:
+
+    * ``n_evidence`` — how many independent mentions emitted it;
+    * ``max_score`` — the strongest single evidence;
+    * ``noisy_or`` — 1 - prod(1 - p_i), the standard independent-
+      evidence combiner for KG construction (each mention is an
+      independent chance the triple is true).
+
+    The product runs as ``exp(sum(ln(1 - p)))`` — an algebraic SUM
+    aggregate (map-side partials, order-insensitive up to float
+    rounding, hence the round) instead of a sequential product.
+    Scores are clamped to <= 1 - 1e-12 so a certain (p = 1) evidence
+    row yields noisy_or ~ 1 rather than ln(0).
+
+    Scale: one groupBy on the triple key; Zipf-popular triples (the
+    same fact asserted on millions of pages) are exactly the hot keys
+    partial aggregation absorbs before the exchange.
+    """
+    p = F.least(F.col(score_col).cast("double"), F.lit(1.0 - 1e-12))
+    return scored.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("n_evidence"),
+        F.round(F.max(p), decimals).alias("max_score"),
+        F.round(1.0 - F.exp(F.sum(F.log(1.0 - p))), decimals).alias("noisy_or"),
+    )

@@ -158,3 +158,88 @@ def test_quantize_half_up_rule(spark):
     )
     r = quantize_int8(df).collect()[0]
     assert r["codes"] == [127, 64]
+
+
+# -- skip-gram pairs ----------------------------------------------------------
+
+def test_skipgram_pairs_known_window(spark):
+    from graph_importer_spark.operators.analytics import skipgram_pairs
+
+    # one walk a-b-c-d, window 1: adjacent pairs only, both directions
+    rows = [(0, 0, s, n) for s, n in enumerate(["a", "b", "c", "d"])]
+    walks = spark.createDataFrame(
+        rows, "walk_id long, walk_no int, step int, node string"
+    )
+    got = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(walks, window=1).collect()}
+    want = {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+            ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1}
+    assert got == want
+    with pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)
+
+
+def test_skipgram_counts_accumulate_across_walks(spark):
+    from graph_importer_spark.operators.analytics import skipgram_pairs
+
+    rows = [(0, 0, 0, "x"), (0, 0, 1, "y"), (0, 1, 0, "x"), (0, 1, 1, "y")]
+    walks = spark.createDataFrame(
+        rows, "walk_id long, walk_no int, step int, node string"
+    )
+    got = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    assert got == {("x", "y"): 2, ("y", "x"): 2}
+
+
+# -- triple confidence --------------------------------------------------------
+
+def test_triple_confidence_noisy_or(spark):
+    from graph_importer_spark.triples import triple_confidence
+
+    rows = [
+        ("a", "p", "b", 0.5),
+        ("a", "p", "b", 0.5),
+        ("c", "p", "d", 0.9),
+        ("e", "p", "f", 1.0),   # certain evidence: clamp, not ln(0)
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, score double")
+    got = {(r["subj"], r["obj"]): r for r in triple_confidence(df).collect()}
+    r = got[("a", "b")]
+    assert r["n_evidence"] == 2 and r["max_score"] == 0.5
+    assert r["noisy_or"] == 0.75          # 1 - 0.5*0.5
+    assert got[("c", "d")]["noisy_or"] == 0.9
+    assert got[("e", "f")]["noisy_or"] == 1.0
+
+
+# -- product quantization -----------------------------------------------------
+
+def test_pq_codes_reconstruction(spark):
+    from graph_importer_spark.operators.quantize import pq_codebook, pq_codes
+
+    # 8 vectors of dim 4, 2 blocks x 2 dims, k=8: every vector is in the
+    # codebook, so its own best code has d2 == 0
+    rows = [(i, [float(i), float(i + 1), float(2 * i), 0.5 * i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_codes(df, dim=4, m_blocks=2, k=8)
+    assert out.count() == 16  # 8 vectors x 2 blocks
+    assert out.filter("d2 != 0.0").count() == 0
+    book = pq_codebook(df, dim=4, m_blocks=2, k=8)
+    assert book.count() == 16
+    assert {r["block"] for r in book.collect()} == {0, 1}
+    with pytest.raises(ValueError):
+        pq_codes(df, dim=4, m_blocks=3, k=2)
+
+
+def test_pq_codes_nearest_assignment(spark):
+    from graph_importer_spark.operators.quantize import pq_codes
+
+    # k=1: everything maps to the single codebook entry; d2 is the
+    # squared distance to it per block
+    rows = [(0, [0.0, 0.0]), (1, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["vec_id"], r["block"]): r for r in
+           pq_codes(df, dim=2, m_blocks=1, k=1).collect()}
+    # codebook = vector with smallest id-hash; whichever it is, the
+    # other vector's d2 = 9 + 16 = 25 or 0
+    d2s = sorted(r["d2"] for r in out.values())
+    assert d2s == [0.0, 25.0]
