@@ -4163,6 +4163,45 @@ GROUP BY 1, 2
 """
 
 
+def q_graph_ppmi(spark, sf_dir):
+    """Shifted-PPMI matrix over the skip-gram counts from the SAME
+    deterministic walk corpus as `graph_skipgram`
+    (analytics.ppmi_matrix): the Levy-Goldberg closed form of
+    DeepWalk/SGNS — two marginal rollups + one broadcast 1-row total
+    over the already-aggregated pair table.  The oracle layers the
+    marginal/total joins over the skip-gram CTE."""
+    from graph_importer_spark.operators.analytics import (
+        ppmi_matrix,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    c = T(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 97).alias("src"),
+        ((F.col("c_custkey") * 3 + 1) % 97).alias("dst"),
+    ).distinct()
+    return ppmi_matrix(
+        skipgram_pairs(random_walks(edges, length=4, seed=42, n_walks=2), window=2)
+    )
+
+
+def _oracle_graph_ppmi(shift_k: int = 1) -> str:
+    return f"""
+WITH pairs AS ({_oracle_graph_skipgram()}),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM pairs),
+rmarg AS (SELECT center, CAST(SUM(n) AS DOUBLE) AS rs FROM pairs GROUP BY 1),
+cmarg AS (SELECT context, CAST(SUM(n) AS DOUBLE) AS cs FROM pairs GROUP BY 1)
+SELECT p.center, p.context, p.n,
+       round(greatest(0.0,
+             ln(p.n * tot.N / (rmarg.rs * cmarg.cs)) - ln({shift_k}.0)),
+             6) AS ppmi
+FROM pairs p
+JOIN rmarg USING (center)
+JOIN cmarg USING (context), tot
+"""
+
+
 def q_kg_triple_confidence(spark, sf_dir):
     """Noisy-or evidence aggregation over a deterministic scored
     triple set built from orders (triples.triple_confidence): each
@@ -4534,6 +4573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_blocking": q_er_blocking,
     "emb_quantize": q_emb_quantize,
     "graph_skipgram": q_graph_skipgram,
+    "graph_ppmi": q_graph_ppmi,
     "kg_triple_confidence": q_kg_triple_confidence,
     "emb_pq": q_emb_pq,
     "text_perplexity": q_text_perplexity,
@@ -4753,6 +4793,7 @@ ORACLES: dict[str, str] = {
     "er_blocking": ORACLE_ER_BLOCKING,
     "emb_quantize": ORACLE_EMB_QUANTIZE,
     "graph_skipgram": _oracle_graph_skipgram(),
+    "graph_ppmi": _oracle_graph_ppmi(),
     "kg_triple_confidence": ORACLE_KG_TRIPLE_CONFIDENCE,
     "emb_pq": _oracle_emb_pq(),
     "text_pii": ORACLE_TEXT_PII,

@@ -972,3 +972,43 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count("*").alias("n"))
     )
+
+
+def ppmi_matrix(pairs: DataFrame, shift_k: int = 1) -> DataFrame:
+    """Skip-gram co-occurrence counts (center, context, n) ->
+    (center, context, n, ppmi): the positive pointwise-mutual-
+    information matrix whose factorization is the published closed
+    form of DeepWalk/SGNS embeddings (Levy & Goldberg, NeurIPS'14 —
+    SGNS with k negatives implicitly factorizes PMI - ln k, hence the
+    ``shift_k`` knob; k=1 is plain PPMI).
+
+    ppmi = max(0, ln(n * N / (rowsum(center) * colsum(context))) -
+    ln(shift_k)), rounded to 6 decimals for cross-engine replay.
+
+    Scale shape: the input is ALREADY aggregated (one row per distinct
+    pair — the heavy lifting happened in ``skipgram_pairs``), so this
+    is two further partial-agg rollups (rowsum keyed on center, colsum
+    on context — each |V| rows), joined back by plain equi-joins (the
+    pair table dominates; the marginals re-use its partitioning), plus
+    one broadcast 1-row total.  No windows, no corpus re-scan.
+    """
+    if shift_k < 1:
+        raise ValueError("shift_k must be >= 1")
+    tot = pairs.agg(F.sum("n").cast("double").alias("_tot"))
+    row = pairs.groupBy("center").agg(F.sum("n").cast("double").alias("rs"))
+    col = pairs.groupBy("context").agg(F.sum("n").cast("double").alias("cs"))
+    pmi = (
+        F.log(F.col("n").cast("double") * F.col("_tot") / (F.col("rs") * F.col("cs")))
+        - F.log(F.lit(float(shift_k)))
+    )
+    return (
+        pairs.join(row, "center")
+        .join(col, "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "n",
+            F.round(F.greatest(F.lit(0.0), pmi), 6).alias("ppmi"),
+        )
+    )

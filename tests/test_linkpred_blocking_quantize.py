@@ -243,3 +243,27 @@ def test_pq_codes_nearest_assignment(spark):
     # other vector's d2 = 9 + 16 = 25 or 0
     d2s = sorted(r["d2"] for r in out.values())
     assert d2s == [0.0, 25.0]
+
+
+# -- PPMI ----------------------------------------------------------------------
+
+def test_ppmi_matrix_known_values(spark):
+    from graph_importer_spark.operators.analytics import ppmi_matrix
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 1)],
+        "center string, context string, n long",
+    )
+    got = {(r["center"], r["context"]): r["ppmi"]
+           for r in ppmi_matrix(pairs).collect()}
+    # N=5; rs: a=4, b=1; cs: a=1, b=3, c=1
+    assert got[("a", "b")] == round(math.log(3 * 5 / (4 * 3)), 6)
+    assert got[("a", "c")] == round(math.log(1 * 5 / (4 * 1)), 6)
+    assert got[("b", "a")] == round(math.log(5.0), 6)
+    # shifted PPMI clamps at zero
+    shifted = {(r["center"], r["context"]): r["ppmi"]
+               for r in ppmi_matrix(pairs, shift_k=5).collect()}
+    assert shifted[("a", "b")] == 0.0
+    assert shifted[("b", "a")] == round(math.log(5.0) - math.log(5.0), 6)
+    with pytest.raises(ValueError):
+        ppmi_matrix(pairs, shift_k=0)
