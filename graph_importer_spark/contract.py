@@ -4585,7 +4585,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_clusters": q_dedup_clusters,
     "sim_ann_ivf": q_sim_ann_ivf,
-    "sim_ann_lsh": q_sim_ann_lsh,
     "text_gopher": q_text_gopher,
     "text_dsir": q_text_dsir,
     # cc.py was code-touched this session (connected_components_single,
@@ -4612,12 +4611,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_quota": q_web_domain_quota,
     "text_keywords": q_text_keywords,
     "text_chunks": q_text_chunks,
+    # web_meta is the last never-driver-green entry; it takes the
+    # final window slot over sim_ann_lsh (r3 driver-green), whose
+    # session-3 lsh_band_keys refactor is already driver-covered
+    # in-window by dedup_minhash_lsh / dedup_incremental /
+    # stream_fuzzy_dedup.
     "web_meta": q_web_meta,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # or r2+judge-r3, code untouched.  Displaced by the session-4/5
     # additions (skipgram/confidence/PQ) under rule (a); every tail
     # entry below was re-verified locally this session via the full
     # scripts/check_contract.py sweep before commit:
+    # - sim_ann_lsh: r3 driver-green; displaced to the tail by
+    #   web_meta (see above) — its touched path has three in-window
+    #   proxies and it passes the local full sweep this session
+    "sim_ann_lsh": q_sim_ann_lsh,
     # - sim_cosine_topk: r2-green, judge-r3; similarity.py only had
     #   functions APPENDED (similarity_recall, LSH/IVF variants are
     #   in-window)
