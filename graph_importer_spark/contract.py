@@ -4536,6 +4536,298 @@ WHERE n >= 2
 # have never had a driver-green row go in the first 50; (c) long-stable
 # rows (green in multiple past rounds, code untouched) rotate to the
 # tail so everything gets driver-verified across rounds.
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient on the part co-purchase graph
+    (analytics.clustering_coefficient): triangles from the same
+    degree-ordered compact-forward join as tri_copurchase, then
+    lcc = 2*tri / (deg*(deg-1)) as one more per-vertex equi-join.
+    The oracle extends the triangle CTE with the identical formula."""
+    from graph_importer_spark.operators.analytics import clustering_coefficient
+
+    return clustering_coefficient(_copurchase_edges(spark, sf_dir))
+
+
+ORACLE_GRAPH_CLUSTERING = f"""
+WITH {_COPURCHASE_SQL},
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+o AS MATERIALIZED (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+t AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM o e1 JOIN o e2 ON e2.u = e1.v JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+pv AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+  GROUP BY id)
+SELECT d.id, d.deg, COALESCE(pv.triangles, 0) AS triangles,
+       round(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(pv.triangles, 0) / (d.deg * (d.deg - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN pv ON pv.id = d.id
+"""
+
+
+def _confidence_triples(spark, sf_dir, with_score: bool = False):
+    """The deterministic orders-derived triple set shared by the
+    triple-confidence / predicate-stats entries."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    cols = [
+        F.concat(F.lit("e"), (F.col("o_custkey") % 50).cast("string")).alias("subj"),
+        F.col("o_orderstatus").alias("pred"),
+        F.col("o_orderpriority").alias("obj"),
+    ]
+    if with_score:
+        cols.append(
+            (F.lit(0.05) + F.lit(0.9) * _gen._unit(F.col("o_orderkey"), 42)).alias(
+                "score"
+            )
+        )
+    return o.select(*cols)
+
+
+def q_kg_predicate_stats(spark, sf_dir):
+    """PARIS functionality / inverse-functionality per predicate
+    (triples.predicate_stats) over the same deterministic orders-derived
+    triple set as kg_triple_confidence: dedup the triple key, then one
+    groupBy(pred) with count-distinct subjects/objects.  The oracle
+    replays the dedup + the two ratios."""
+    from graph_importer_spark.triples import predicate_stats
+
+    return predicate_stats(_confidence_triples(spark, sf_dir))
+
+
+ORACLE_KG_PREDICATE_STATS = """
+WITH t AS (
+  SELECT DISTINCT 'e' || CAST(o_custkey % 50 AS VARCHAR) AS subj,
+         o_orderstatus AS pred, o_orderpriority AS obj
+  FROM orders WHERE o_orderkey < 2000)
+SELECT pred, COUNT(*) AS n_facts,
+       COUNT(DISTINCT subj) AS n_subj, COUNT(DISTINCT obj) AS n_obj,
+       round(CAST(COUNT(DISTINCT subj) AS DOUBLE) / COUNT(*), 6) AS functionality,
+       round(CAST(COUNT(DISTINCT obj) AS DOUBLE) / COUNT(*), 6) AS inv_functionality
+FROM t GROUP BY pred
+"""
+
+
+def q_kg_nquads(spark, sf_dir):
+    """Canonical N-Quads serialization (triples.to_nquads) — the
+    vendor-neutral dump next to the Iceberg vertex/edge tables (the
+    reference materializes into ArangoDB collections,
+    edge_list.py:28-34).  The synthetic triple set PLANTS every
+    grammar-forbidden character class (space, quote, angle bracket) so
+    the percent-escape chain is actually exercised; the oracle replays
+    the same replace chain and the line concat."""
+    from graph_importer_spark.triples import to_nquads
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    triples = o.select(
+        F.concat(F.lit("e "), (F.col("o_custkey") % 50).cast("string")).alias("subj"),
+        F.concat(F.lit('has"'), F.col("o_orderstatus")).alias("pred"),
+        F.concat(F.lit("p<"), F.col("o_orderpriority")).alias("obj"),
+        F.concat(F.lit("http://ex.invalid/p 1/"), F.col("o_orderkey")).alias("url"),
+    )
+    return to_nquads(triples, base="http://kg.invalid")
+
+
+def _oracle_kg_nquads(base: str = "http://kg.invalid") -> str:
+    def esc(expr: str) -> str:
+        out = expr
+        for ch, pct in (
+            ("\\", "%5C"), (" ", "%20"), ('"', "%22"), ("<", "%3C"),
+            (">", "%3E"), ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+        ):
+            lit = ch.replace("'", "''")
+            out = f"replace({out}, '{lit}', '{pct}')"
+        return out
+
+    line = (
+        f"'<{base}/entity/' || {esc('subj')} || '> <{base}/prop/' || {esc('pred')}"
+        f" || '> <{base}/entity/' || {esc('obj')} || '> <' || {esc('url')} || '> .'"
+    )
+    return f"""
+WITH t AS (
+  SELECT 'e ' || CAST(o_custkey % 50 AS VARCHAR) AS subj,
+         'has"' || o_orderstatus AS pred,
+         'p<' || o_orderpriority AS obj,
+         'http://ex.invalid/p 1/' || CAST(o_orderkey AS VARCHAR) AS url
+  FROM orders WHERE o_orderkey < 500)
+SELECT subj, pred, obj, url, {line} AS line, md5({line}) AS line_md5
+FROM t
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase per user
+    (operators/funnel.funnel_steps): step i must occur strictly after
+    step i-1 was reached — K chained filter/min-agg/join passes, no
+    per-user history collection, no windows.  Timestamps out as epoch
+    micros (engine-neutral); abandoned steps coalesce to -1 so the
+    frame stays integer-typed for the driver hash."""
+    from graph_importer_spark.operators.funnel import funnel_steps
+
+    ev = T(spark, sf_dir, "events")
+    f = funnel_steps(ev, ["view", "click", "purchase"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return f.select(
+        "user_id",
+        us("step1_ts").alias("t1_us"),
+        F.coalesce(us("step2_ts"), F.lit(-1)).alias("t2_us"),
+        F.coalesce(us("step3_ts"), F.lit(-1)).alias("t3_us"),
+        "steps_reached",
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT s1.user_id, epoch_us(t1) AS t1_us,
+       COALESCE(epoch_us(t2), -1) AS t2_us,
+       COALESCE(epoch_us(t3), -1) AS t3_us,
+       1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+         AS steps_reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+_FS_WEIGHTS = {
+    "same_nation": (0.95, 0.04),
+    "same_segment": (0.9, 0.2),
+    "near_balance": (0.8, 0.1),
+}
+
+
+def q_er_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter record-linkage scoring (operators/linkage.fs_score)
+    over sorted-neighborhood candidate pairs of customers: three field
+    agreements (nation, segment, |acctbal| gap < 500) fold into the
+    log-likelihood-ratio weight; decisions at lower=-2 / upper=2.
+    The oracle replays the ROW_NUMBER pairing and the CASE sum with the
+    identical IEEE log constants inlined."""
+    from graph_importer_spark.operators.blocking import sorted_neighborhood_pairs
+    from graph_importer_spark.operators.linkage import fs_score
+
+    c = T(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(
+        c.select("c_custkey", "c_name"),
+        "c_custkey",
+        "c_name",
+        bucket=F.substring("c_name", 1, 15),
+        window=3,
+    )
+    attrs = c.select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    j = (
+        pairs.join(
+            attrs.select(
+                F.col("c_custkey").alias("a"),
+                F.col("c_nationkey").alias("na"),
+                F.col("c_mktsegment").alias("sa"),
+                F.col("c_acctbal").alias("ba"),
+            ),
+            "a",
+        )
+        .join(
+            attrs.select(
+                F.col("c_custkey").alias("b"),
+                F.col("c_nationkey").alias("nb"),
+                F.col("c_mktsegment").alias("sb"),
+                F.col("c_acctbal").alias("bb"),
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            (F.col("na") == F.col("nb")).alias("same_nation"),
+            (F.col("sa") == F.col("sb")).alias("same_segment"),
+            (F.abs(F.col("ba") - F.col("bb")) < 500.0).alias("near_balance"),
+        )
+    )
+    out = fs_score(j, _FS_WEIGHTS, lower=-2.0, upper=2.0)
+    return out.select(
+        "a",
+        "b",
+        F.col("same_nation").cast("int").alias("same_nation"),
+        F.col("same_segment").cast("int").alias("same_segment"),
+        F.col("near_balance").cast("int").alias("near_balance"),
+        "fs_weight",
+        "fs_decision",
+    )
+
+
+def _oracle_er_fs() -> str:
+    import math
+
+    cases = []
+    for field, (m, u) in sorted(_FS_WEIGHTS.items()):
+        cases.append(
+            f"CASE WHEN {field} THEN CAST({math.log(m / u)!r} AS DOUBLE)"
+            f" ELSE CAST({math.log((1.0 - m) / (1.0 - u))!r} AS DOUBLE) END"
+        )
+    total = " + ".join(cases)
+    return f"""
+WITH r AS (
+  SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+  FROM customer),
+p AS (
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2),
+j AS (
+  SELECT p.a, p.b,
+         ca.c_nationkey = cb.c_nationkey AS same_nation,
+         ca.c_mktsegment = cb.c_mktsegment AS same_segment,
+         abs(ca.c_acctbal - cb.c_acctbal) < 500.0 AS near_balance
+  FROM p JOIN customer ca ON ca.c_custkey = p.a
+         JOIN customer cb ON cb.c_custkey = p.b),
+s AS (SELECT a, b, same_nation, same_segment, near_balance,
+             round({total}, 6) AS fs_weight FROM j)
+SELECT a, b, CAST(same_nation AS INT) AS same_nation,
+       CAST(same_segment AS INT) AS same_segment,
+       CAST(near_balance AS INT) AS near_balance, fs_weight,
+       CASE WHEN fs_weight >= 2.0 THEN 'match'
+            WHEN fs_weight <= -2.0 THEN 'non_match'
+            ELSE 'possible' END AS fs_decision
+FROM s
+"""
+
+
+def q_shard_rendezvous(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment of the
+    documents table onto 8 buckets (operators/layout.rendezvous_shard):
+    shard = argmax_s h(doc_id, s) over the congruential hash family —
+    pure int64 codegen, partition-invariant, and minimal-movement under
+    shard-count changes.  The oracle replays the argmax via
+    arg_max(s, h*8 + s) (lexicographic (h, s) order linearized)."""
+    from graph_importer_spark.operators.layout import rendezvous_shard
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rendezvous_shard(F.col("doc_id"), n_shards=8, seed=42).alias("shard")
+    )
+
+
+ORACLE_SHARD_RENDEZVOUS = f"""
+WITH c AS (
+  SELECT doc_id, ((doc_id % {_M}) + {_M}) % {_M} AS k FROM documents),
+r1 AS (
+  SELECT doc_id, s, ((k + 42 + 131 * s) % {_M} * {_A}) % {_M} AS r
+  FROM c, UNNEST(generate_series(0, 7)) AS u(s)),
+e AS (SELECT doc_id, s, (r * r + r) % {_M} AS h FROM r1)
+SELECT doc_id, arg_max(s, h * 8 + s) AS shard FROM e GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -4582,22 +4874,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_hosts_psl": q_web_hosts_psl,
     "dedup_exact": q_dedup_exact,
     "anti_join_unordered_parts": q_anti_join_unordered_parts,
+    # dedup_semantic stays in-window as the driver gate for the IVF
+    # sqrt(n)-default + hot-list-cap + lazy-persist changes (it
+    # exercises all three; sim_ann_ivf, which shares the centroid
+    # default, rotated to the tail for the session-6 additions below)
     "dedup_semantic": q_dedup_semantic,
-    "dedup_clusters": q_dedup_clusters,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "text_gopher": q_text_gopher,
-    "text_dsir": q_text_dsir,
-    # cc.py was code-touched this session (connected_components_single,
-    # 5c87ffb): cc_star keeps the iterative star path in-window; the
-    # union-find path is in-window via dedup_clusters /
-    # kg_incremental_entities / corpus_hygiene
-    "cc_star": q_cc_star,
-    # session-3 LSH refactor (lsh_band_keys factored out of
-    # lsh_candidate_pairs) puts the touched paths in-window: the new
-    # index/probe row plus the refactored pair row
+    # round-4 session-6 additions: local clustering coefficient,
+    # PARIS predicate stats, N-Quads serialization, funnel analysis,
+    # Fellegi-Sunter linkage scoring, rendezvous sharding.  They take
+    # window precedence (rule (a)); the six displaced rows
+    # (sim_ann_ivf / text_gopher / text_dsir / cc_star /
+    # dedup_minhash_lsh / dedup_clusters) are r3 driver-green, their
+    # touched paths keep in-window proxies (corpus_hygiene composes
+    # quality/near-dup/decontam/PII/DSIR; dedup_incremental +
+    # stream_fuzzy_dedup cover the lsh_band_keys refactor;
+    # kg_incremental_entities covers union-find CC), and all six are
+    # re-verified locally via the full scripts/check_contract.py sweep.
+    "graph_clustering": q_graph_clustering,
+    "kg_predicate_stats": q_kg_predicate_stats,
+    "kg_nquads": q_kg_nquads,
+    "events_funnel": q_events_funnel,
+    "er_fellegi_sunter": q_er_fellegi_sunter,
+    "shard_rendezvous": q_shard_rendezvous,
     "dedup_incremental": q_dedup_incremental,
     "stream_fuzzy_dedup": q_stream_fuzzy_dedup,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     # round-4 session-3 additions: BM25 retrieval, grouped
     # train/holdout split, snapshot diff.  New entries take window
     # precedence (rule (a)); the three displaced rows
@@ -4626,6 +4926,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   web_meta (see above) — its touched path has three in-window
     #   proxies and it passes the local full sweep this session
     "sim_ann_lsh": q_sim_ann_lsh,
+    # - displaced by the session-6 additions (see the window comment
+    #   for the proxy rationale); all r3 driver-green and locally
+    #   full-sweep green this session:
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "text_gopher": q_text_gopher,
+    "text_dsir": q_text_dsir,
+    "cc_star": q_cc_star,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     # - sim_cosine_topk: r2-green, judge-r3; similarity.py only had
     #   functions APPENDED (similarity_recall, LSH/IVF variants are
     #   in-window)
@@ -4790,6 +5099,12 @@ ORACLES: dict[str, str] = {
     "text_keywords": ORACLE_TEXT_KEYWORDS,
     "text_chunks": ORACLE_TEXT_CHUNKS,
     "web_meta": ORACLE_WEB_META,
+    "graph_clustering": ORACLE_GRAPH_CLUSTERING,
+    "kg_predicate_stats": ORACLE_KG_PREDICATE_STATS,
+    "kg_nquads": _oracle_kg_nquads(),
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "er_fellegi_sunter": _oracle_er_fs(),
+    "shard_rendezvous": ORACLE_SHARD_RENDEZVOUS,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     # the stream accumulates exactly the batch probe's links (batch 0
     # has no priors), so the oracle is shared

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graph_importer_spark.operators.generators import _A, _M
+
 
 def quantize(col: Column, lo: Column, hi: Column, bits: int = 8) -> Column:
     """Map ``col`` in [lo, hi] to an integer cell 0..2^bits-1.  The
@@ -103,4 +105,63 @@ def skipping_ratio(
         (
             F.sum((~overlap).cast("long")) / F.count("*")
         ).alias("skip_frac")
+    )
+
+
+def rendezvous_shard(key: Column, n_shards: int, seed: int = 42) -> Column:
+    """Highest-random-weight (rendezvous) shard assignment of an int64
+    key onto ``n_shards`` buckets (Thaler & Ravishankar, IEEE ToN'98):
+    shard = argmax_s h(key, s).  Unlike ``key % n`` or hash-mod,
+    growing the shard count from S to S+1 moves only ~1/(S+1) of the
+    keys — the property that matters when a 100 TB corpus is
+    re-bucketed incrementally instead of rewritten.
+
+    Pure int64 codegen: an array of (hash, shard) structs and one
+    array_max (struct comparison is lexicographic, so ties on the hash
+    break toward the larger shard id deterministically).  The hash is
+    the repo's congruential family (operators/sampling.hash_unit) with
+    a per-shard offset, so assignment is partition-invariant and
+    SQL-replayable.  Cost: O(n_shards) cheap int ops per row, no
+    shuffle to COMPUTE the shard; the actual bucketing write is then
+    ``df.repartition(n_shards, F.col('shard'))`` or a partitioned
+    write — one shuffle the sink needs anyway.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    # Any hash AFFINE in the shard id collapses here: h_s = base + s*d
+    # (mod M) is an arithmetic progression whose argmax is almost
+    # always the largest shard id (observed 71% of keys on one shard).
+    # So the shard is mixed in BEFORE a multiplicative round and a
+    # mid-square round (r*r + r, non-linear) breaks the progression —
+    # all plain int64 arithmetic, replayable in any SQL engine.
+    k = F.pmod(key, F.lit(_M))
+
+    def h(s: int):
+        r = F.pmod(k + F.lit(seed + 131 * s), F.lit(_M)) * F.lit(_A)
+        r = F.pmod(r, F.lit(_M))
+        return F.pmod(r * r + r, F.lit(_M))
+
+    cands = F.array(*[
+        F.struct(h(s).alias("h"), F.lit(s).alias("s")) for s in range(n_shards)
+    ])
+    return F.array_max(cands).getField("s")
+
+
+def shard_balance(df: DataFrame, shard_col: str = "shard") -> DataFrame:
+    """Per-shard row counts plus each shard's share of a perfectly
+    even split (skew = n / (total / n_shards)) — the one-line audit
+    that a layout choice actually balanced the write.  Two tiny
+    aggregates: per-shard counts (map-side partials) and a broadcast
+    1-row total."""
+    counts = df.groupBy(shard_col).agg(F.count("*").alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("_tot"), F.count("*").alias("_nsh")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            shard_col,
+            "n_rows",
+            F.round(F.col("n_rows") * F.col("_nsh") / F.col("_tot"), 6).alias("skew"),
+        )
     )

@@ -186,3 +186,85 @@ def triple_confidence(
         F.round(F.max(p), decimals).alias("max_score"),
         F.round(1.0 - F.exp(F.sum(F.log(1.0 - p))), decimals).alias("noisy_or"),
     )
+
+
+def predicate_stats(triples: DataFrame, decimals: int = 6) -> DataFrame:
+    """Per-predicate schema statistics over (subj, pred, obj) —
+    the PARIS functionality / inverse-functionality measures
+    (Suchanek, Abiteboul, Senellart, VLDB'12) used to decide whether a
+    relation behaves like a function during ontology alignment and to
+    sanity-check extracted KGs (a 'born_in' with functionality 0.2 is
+    an extraction bug):
+
+    * ``n_facts``   — distinct (subj, obj) pairs asserted for the pred;
+    * ``n_subj`` / ``n_obj`` — distinct subjects / objects;
+    * ``functionality``  = n_subj / n_facts  (1.0 = each subject has
+      one object — the relation is a function);
+    * ``inv_functionality`` = n_obj / n_facts.
+
+    Scale: one dedup of the triple key then one groupBy(pred) with
+    count-distinct expanding to two-level partial aggregates; pred is
+    low-cardinality but the first-level group key (pred, subj/obj) is
+    fine-grained, so Zipf-heavy predicates are absorbed map-side before
+    the |preds|-row exchange.
+    """
+    facts = triples.select("subj", "pred", "obj").distinct()
+    return facts.groupBy("pred").agg(
+        F.count("*").alias("n_facts"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.round(F.countDistinct("subj") / F.count("*"), decimals).alias(
+            "functionality"
+        ),
+        F.round(F.countDistinct("obj") / F.count("*"), decimals).alias(
+            "inv_functionality"
+        ),
+    )
+
+
+def _iri_escape(col):
+    """Minimal IRI-safe escaping for synthetic entity/predicate ids:
+    percent-encode the characters the N-Triples grammar forbids inside
+    <...> (space, quote, angle brackets, backslash, pipe, caret,
+    backtick).  A replace chain stays in whole-stage codegen; full
+    RFC 3987 escaping would need a UDF and is out of scope for ids we
+    mint ourselves."""
+    out = col
+    for ch, pct in (
+        ("\\", "%5C"), (" ", "%20"), ('"', "%22"), ("<", "%3C"),
+        (">", "%3E"), ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+    ):
+        out = F.replace(out, F.lit(ch), F.lit(pct))
+    return out
+
+
+def to_nquads(
+    triples: DataFrame, base: str = "http://kg.invalid"
+) -> DataFrame:
+    """Serialize (subj, pred, obj, url) into canonical N-Quads lines —
+    the interchange materialization next to the Iceberg vertex/edge
+    tables (the reference materializes into ArangoDB collections,
+    edge_list.py:28-34; an RDF dump is the vendor-neutral equivalent).
+
+    Line = '<base/s> <base/p> <base/o> <url> .' with grammar-forbidden
+    characters percent-escaped; ``line_md5`` gives a stable per-line
+    fingerprint so dumps diff cheaply.  Pure codegen string expressions
+    (concat + replace) — zero shuffle, scales as a map-only pass; write
+    with ``df.select('line').write.text(...)`` partitioned however the
+    sink wants.
+    """
+    s = _iri_escape(F.col("subj"))
+    p = _iri_escape(F.col("pred"))
+    o = _iri_escape(F.col("obj"))
+    g = _iri_escape(F.col("url"))
+    line = F.concat(
+        F.lit(f"<{base}/entity/"), s,
+        F.lit(f"> <{base}/prop/"), p,
+        F.lit(f"> <{base}/entity/"), o,
+        F.lit("> <"), g, F.lit("> ."),
+    )
+    return triples.select(
+        "subj", "pred", "obj", "url",
+        line.alias("line"),
+        F.md5(F.encode(line, "UTF-8")).alias("line_md5"),
+    )

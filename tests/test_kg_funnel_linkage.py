@@ -1,0 +1,141 @@
+"""Unit tests for clustering coefficient, predicate stats, N-Quads
+serialization, funnel analysis, Fellegi-Sunter scoring, and rendezvous
+sharding."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    from graph_importer_spark.operators.analytics import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 hanging off 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    got = {r["id"]: r for r in clustering_coefficient(edges).collect()}
+    assert got[2]["lcc"] == 1.0 and got[3]["lcc"] == 1.0
+    # vertex 1: deg 3, one closed pair of three -> 2*1/(3*2) = 1/3
+    assert got[1]["deg"] == 3 and got[1]["triangles"] == 1
+    assert got[1]["lcc"] == round(1 / 3, 6)
+    assert got[4]["lcc"] == 0.0 and got[4]["deg"] == 1
+
+
+def test_predicate_stats_functionality(spark):
+    from graph_importer_spark.triples import predicate_stats
+
+    t = spark.createDataFrame(
+        [
+            ("a", "born_in", "x"),
+            ("b", "born_in", "y"),
+            ("a", "born_in", "x"),  # duplicate fact — deduped
+            ("a", "knows", "b"),
+            ("a", "knows", "c"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {r["pred"]: r for r in predicate_stats(t).collect()}
+    assert got["born_in"]["n_facts"] == 2
+    assert got["born_in"]["functionality"] == 1.0  # 2 subj / 2 facts
+    assert got["knows"]["n_facts"] == 2
+    assert got["knows"]["functionality"] == 0.5  # 1 subj / 2 facts
+    assert got["knows"]["inv_functionality"] == 1.0
+
+
+def test_to_nquads_escapes_forbidden_chars(spark):
+    from graph_importer_spark.triples import to_nquads
+
+    t = spark.createDataFrame(
+        [("a b", 'p"q', "o<>", "http://e.x/1 2")],
+        "subj string, pred string, obj string, url string",
+    )
+    row = to_nquads(t, base="http://kg.invalid").collect()[0]
+    assert row["line"] == (
+        "<http://kg.invalid/entity/a%20b> <http://kg.invalid/prop/p%22q>"
+        " <http://kg.invalid/entity/o%3C%3E> <http://e.x/1%202> ."
+    )
+    assert len(row["line_md5"]) == 32
+
+
+def _ts(s):
+    return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+
+def test_funnel_steps_strict_order(spark):
+    from graph_importer_spark.operators.funnel import (
+        funnel_conversion,
+        funnel_steps,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes the funnel in order
+            (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+            # u2: purchase BEFORE the first view does not count
+            (2, "purchase", _ts(1)), (2, "view", _ts(2)), (2, "click", _ts(3)),
+            # u3: click before view -> stuck at step 1
+            (3, "click", _ts(1)), (3, "view", _ts(2)),
+            # u4 never views -> absent
+            (4, "purchase", _ts(1)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = funnel_steps(ev, ["view", "click", "purchase"])
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["steps_reached"] == 3
+    assert got[2]["steps_reached"] == 2 and got[2]["step3_ts"] is None
+    assert got[3]["steps_reached"] == 1 and got[3]["step2_ts"] is None
+    conv = {r["step"]: r for r in funnel_conversion(out, 3).collect()}
+    assert conv[1]["n_users"] == 3 and conv[3]["n_users"] == 1
+    assert conv[2]["conversion"] == round(2 / 3, 6)
+    with pytest.raises(ValueError):
+        funnel_steps(ev, [])
+
+
+def test_fs_score_decisions(spark):
+    from graph_importer_spark.operators.linkage import fs_score
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, True), (3, 4, False, False), (5, 6, True, False)],
+        "a long, b long, f1 boolean, f2 boolean",
+    )
+    w = {"f1": (0.9, 0.1), "f2": (0.8, 0.2)}
+    both = math.log(9) + math.log(4)
+    neither = math.log(0.1 / 0.9) + math.log(0.2 / 0.8)
+    out = {r["a"]: r for r in fs_score(pairs, w, lower=0.0, upper=3.0).collect()}
+    assert out[1]["fs_weight"] == round(both, 6)
+    assert out[1]["fs_decision"] == "match"
+    assert out[3]["fs_weight"] == round(neither, 6)
+    assert out[3]["fs_decision"] == "non_match"
+    assert out[5]["fs_decision"] == "possible"
+    with pytest.raises(ValueError):
+        fs_score(pairs, {"f1": (1.0, 0.1)}).collect()
+
+
+def test_rendezvous_shard_stability_and_movement(spark):
+    from graph_importer_spark.operators.layout import (
+        rendezvous_shard,
+        shard_balance,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    s8 = df.select("id", rendezvous_shard(F.col("id"), 8).alias("s"))
+    rows = s8.collect()
+    assert all(0 <= r["s"] < 8 for r in rows)
+    # every shard is populated and roughly balanced
+    bal = {r["s"]: r for r in shard_balance(s8, "s").collect()}
+    assert set(bal) == set(range(8))
+    assert all(0.5 < r["skew"] < 1.5 for r in bal.values())
+    # growing 8 -> 9 shards: keys either keep their shard or move to
+    # the NEW shard (the rendezvous minimal-movement property)
+    s9 = {r["id"]: r["s9"] for r in df.select(
+        "id", rendezvous_shard(F.col("id"), 9).alias("s9")).collect()}
+    moved = [(r["id"], r["s"], s9[r["id"]]) for r in rows if s9[r["id"]] != r["s"]]
+    assert all(new == 8 for _, _, new in moved)
+    assert 0 < len(moved) < 2000 * 0.25  # ~1/9 expected
+    with pytest.raises(ValueError):
+        rendezvous_shard(F.col("id"), 0)
