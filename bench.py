@@ -105,6 +105,17 @@ HEADLINE = [
     "graph_skipgram",
     "kg_triple_confidence",
     "emb_pq",
+    # round 4, session 6
+    "graph_ppr",
+    "events_rolling",
+    "text_rrf",
+    "graph_ppmi",
+    "graph_clustering",
+    "kg_predicate_stats",
+    "kg_nquads",
+    "events_funnel",
+    "er_fellegi_sunter",
+    "shard_rendezvous",
 ]
 
 

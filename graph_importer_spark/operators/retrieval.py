@@ -29,7 +29,7 @@ idf: ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_importer_spark.operators.textstats import normalize_text
@@ -187,4 +187,47 @@ def tfidf_keywords(
         (F.col("rank0") + 1).alias("rank"),
         F.col("r.t").alias("term"),
         F.col("r.o").alias("score"),
+    )
+
+
+def rrf_fuse(
+    runs: dict[str, DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    k_rrf: int = 60,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval runs (Cormack, Clarke
+    & Buettcher, SIGIR'09): rrf(d) = sum over runs of 1/(k + rank_d),
+    the standard zero-training ensemble of lexical + dense retrievers
+    (or of query variants).  Returns (id, n_runs, rrf) — docs appearing
+    in more runs and at better ranks float up; k=60 is the published
+    default damping.
+
+    Ranks are recomputed from (score desc, id asc) with a row_number
+    window so ties resolve identically everywhere.  The window is
+    GLOBAL but each run is a top-k result list — k rows, not a corpus —
+    so the single-partition sort is a constant-size driver-side-scale
+    step by construction; do NOT feed whole-corpus scored frames in
+    (rank the top-k first).  The fusion itself is one union + one
+    groupBy on the doc id, partial-agg friendly.
+    """
+    if not runs:
+        raise ValueError("runs must be non-empty")
+    parts = []
+    for name in sorted(runs):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(
+            runs[name].select(
+                F.col(id_col), F.row_number().over(w).alias("rnk")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.count("*").alias("n_runs"),
+        F.round(
+            F.sum(1.0 / (F.lit(float(k_rrf)) + F.col("rnk"))), decimals
+        ).alias("rrf"),
     )

@@ -306,3 +306,55 @@ def test_random_walks_deterministic_and_neighbor_closed(spark):
             assert node == wid
         else:
             assert node in adj[m[(wid, wn, step - 1)]]
+
+
+def _ppr_replica(edges, seeds, iters, damping=0.85):
+    """Driver-side replica of the personalized_pagerank recurrence."""
+    verts = sorted({v for e in edges for v in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    res = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    rank = dict(res)
+    for _ in range(iters):
+        dang = sum(rank[v] for v in verts if v not in out)
+        contrib = {v: 0.0 for v in verts}
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += rank[s] / len(ds)
+        rank = {
+            v: (1 - damping) * res[v] + damping * (contrib[v] + dang * res[v])
+            for v in verts
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_replica(spark):
+    from graph_importer_spark.operators.analytics import personalized_pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in
+           personalized_pagerank(df, [1, 5], tol=0.0, max_iter=12).collect()}
+    want = _ppr_replica(edges, {1, 5}, 12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_dangling_restarts_to_seeds(spark):
+    from graph_importer_spark.operators.analytics import personalized_pagerank
+
+    # 1 -> 2, 2 dangling: its mass restarts onto the seed; the
+    # disconnected component 4 -> 3 gets nothing
+    edges = spark.createDataFrame([(1, 2), (4, 3)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in
+           personalized_pagerank(edges, [1], tol=0.0, max_iter=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[3] == 0.0 and got[4] == 0.0
+    assert got[1] > got[2] > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, [])

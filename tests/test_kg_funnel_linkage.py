@@ -139,3 +139,47 @@ def test_rendezvous_shard_stability_and_movement(spark):
     assert 0 < len(moved) < 2000 * 0.25  # ~1/9 expected
     with pytest.raises(ValueError):
         rendezvous_shard(F.col("id"), 0)
+
+
+def test_rolling_zscore_known_values(spark):
+    from graph_importer_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, i, datetime.datetime(2026, 1, 1, 0, 0, i), v)
+            for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 100.0, 10.0])]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in rolling_zscore(
+        df, "user_id", "ts", "event_id", "value", window=5).collect()}
+    # first row: no history
+    assert out[0]["n_prev"] == 0 and out[0]["roll_mean"] is None
+    assert out[0]["roll_std"] is None and out[0]["is_anomaly"] is False
+    # row 4 (value 100): previous 4 are all 10 -> std 0, |100-10| > 0
+    assert out[4]["roll_mean"] == 10.0 and out[4]["roll_std"] == 0.0
+    assert out[4]["is_anomaly"] is True
+    # row 5: history now contains the 100 spike -> high std, 10 is fine
+    assert out[5]["is_anomaly"] is False
+    # row 2: only 2 history rows < min_prev -> never anomalous
+    assert out[2]["n_prev"] == 2 and out[2]["is_anomaly"] is False
+
+
+def test_rrf_fuse_ranks_and_overlap(spark):
+    from graph_importer_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 7.0), (4, 3.0)], "doc long, score double"
+    )
+    got = {r["doc"]: r for r in
+           rrf_fuse({"a": a, "b": b}, "doc", "score", k_rrf=60).collect()}
+    assert got[2]["n_runs"] == 2
+    assert got[2]["rrf"] == round(1 / 62 + 1 / 61, 6)  # rank 2 in a, 1 in b
+    assert got[1]["rrf"] == round(1 / 61, 6)
+    assert got[4]["rrf"] == round(1 / 62, 6)
+    # overlap doc must outrank every single-run doc here
+    assert got[2]["rrf"] > max(got[1]["rrf"], got[3]["rrf"], got[4]["rrf"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse({}, "doc")
