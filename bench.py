@@ -109,6 +109,7 @@ HEADLINE = [
     "graph_ppr",
     "events_rolling",
     "text_rrf",
+    "dedup_prefix_filter",
     "graph_ppmi",
     "graph_clustering",
     "kg_predicate_stats",

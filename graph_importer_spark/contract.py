@@ -4543,6 +4543,42 @@ WHERE n >= 2
 # have never had a driver-green row go in the first 50; (c) long-stable
 # rows (green in multiple past rounds, code untouched) rotate to the
 # tail so everything gets driver-verified across rounds.
+def q_dedup_prefix_filter(spark, sf_dir):
+    """EXACT Jaccard similarity join via prefix filtering
+    (dedup.prefix_filter_pairs, Chaudhuri ICDE'06 / PPJoin WWW'08):
+    candidates must share a token in the rarest-first prefix of length
+    |T| - ceil(t|T|) + 1 — complete for J >= t with NO recall knob,
+    unlike the max_df-capped jaccard blocking.  The oracle replays the
+    df ordering, the prefix slice, and the list-intersect verify."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return _dedup.prefix_filter_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+
+
+ORACLE_DEDUP_PREFIX = f"""
+WITH {_SHINGLE_CTE},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+ordered AS (
+  SELECT doc_id, list(shingle ORDER BY df, shingle) AS toks
+  FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id),
+pref AS (
+  SELECT doc_id,
+         unnest(toks[1 : len(toks) - CAST(ceil(0.2 * len(toks)) AS INT) + 1]) AS tok
+  FROM ordered),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+v AS (
+  SELECT c.id1, c.id2,
+         len(list_intersect(ta.toks, tb.toks)) AS i,
+         len(ta.toks) AS la, len(tb.toks) AS lb
+  FROM cand c JOIN ordered ta ON ta.doc_id = c.id1
+              JOIN ordered tb ON tb.doc_id = c.id2)
+SELECT id1, id2,
+       round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+FROM v WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.2
+"""
+
+
 def q_events_rolling(spark, sf_dir):
     """Per-user rolling z-score anomaly flags over the event stream
     (operators/timeseries.rolling_zscore): mean/std of the previous 5
@@ -5053,8 +5089,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_rendezvous": q_shard_rendezvous,
     "events_rolling": q_events_rolling,
     "text_rrf": q_text_rrf,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_incremental": q_dedup_incremental,
-    "stream_fuzzy_dedup": q_stream_fuzzy_dedup,
     # round-4 session-3 additions: BM25 retrieval, grouped
     # train/holdout split, snapshot diff.  New entries take window
     # precedence (rule (a)); the three displaced rows
@@ -5083,6 +5119,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   exercised by the driver row anyway; the hot-list cap and lazy
     #   persist are pytest-covered and full-sweep green
     "dedup_semantic": q_dedup_semantic,
+    # - stream_fuzzy_dedup (new r4) waits at the tail head for the r5
+    #   window: its LSH index/probe path is in-window via
+    #   dedup_incremental, the foreachBatch mechanics are covered by
+    #   tests/test_streaming.py, and it passes the local full sweep
+    "stream_fuzzy_dedup": q_stream_fuzzy_dedup,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # or r2+judge-r3, code untouched.  Displaced by the session-4/5
     # additions (skipgram/confidence/PQ) under rule (a); every tail
@@ -5273,6 +5314,7 @@ ORACLES: dict[str, str] = {
     "graph_ppr": _oracle_graph_ppr(),
     "events_rolling": ORACLE_EVENTS_ROLLING,
     "text_rrf": _oracle_text_rrf(),
+    "dedup_prefix_filter": ORACLE_DEDUP_PREFIX,
     "kg_predicate_stats": ORACLE_KG_PREDICATE_STATS,
     "kg_nquads": _oracle_kg_nquads(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,

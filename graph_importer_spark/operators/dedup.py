@@ -275,6 +275,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (Chaudhuri,
+    Ganti & Kaushik ICDE'06; the candidate-generation core of PPJoin,
+    Xiao et al. WWW'08): order each doc's shingle set by ascending
+    document frequency (rarest first, ties by shingle) and keep only
+    the first |T| - ceil(t*|T|) + 1 tokens as its PREFIX; any pair with
+    Jaccard >= t must share a prefix token, so the equi-join on prefix
+    tokens is a COMPLETE candidate generator — unlike ``max_df``-capped
+    shingle blocking (ngram_jaccard_pairs), nothing is missed and no
+    tuning knob trades recall.  Candidates are then verified with the
+    exact set Jaccard.  Returns (id1, id2, jaccard >= t, rounded).
+
+    Scale shape: one df aggregate, one df-join + per-doc sort (bounded
+    by doc length, codegen sort_array), prefix explode (each doc
+    contributes ~(1-t)|T| rows), and the candidate equi-join keyed on
+    the RAREST tokens by construction — exactly the keys with the
+    smallest buckets; ubiquitous boilerplate shingles sit at the tail
+    of every prefix order and only enter the join for docs so short
+    (or t so low) that they must.  Verification joins the two bounded
+    per-doc arrays and intersects them JVM-side (array_intersect) —
+    no second corpus-wide shuffle.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    sh = shingles(df, id_col, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s.getField("shingle"),
+            ).alias("toks")
+        )
+    ).localCheckpoint(eager=True)  # used by both the prefix and verify sides
+    plen = (
+        F.size("toks")
+        - F.ceil(F.lit(float(threshold)) * F.size("toks")).cast("int")
+        + 1
+    )
+    pref = ordered.select(
+        "_id", F.explode(F.slice("toks", 1, plen)).alias("tok")
+    )
+    cand = (
+        pref.select(F.col("_id").alias("id1"), "tok")
+        .join(pref.select(F.col("_id").alias("id2"), "tok"), "tok")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    ta = ordered.select(F.col("_id").alias("id1"), F.col("toks").alias("ta"))
+    tb = ordered.select(F.col("_id").alias("id2"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    j = inter.cast("double") / union
+    return (
+        cand.join(ta, "id1")
+        .join(tb, "id2")
+        .filter(j >= threshold)
+        .select("id1", "id2", F.round(j, decimals).alias("jaccard"))
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,

@@ -183,3 +183,33 @@ def test_rrf_fuse_ranks_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rrf_fuse({}, "doc")
+
+
+def test_prefix_filter_matches_exhaustive_jaccard(spark):
+    from graph_importer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = [(0, base)]
+    words = base.split()
+    for i in range(1, 12):
+        w = list(words)
+        w[i % len(w)] = f"tok{i}"
+        if i % 3 == 0:
+            w = w + ["extra", f"pad{i}", "words"]
+        docs.append((i, " ".join(w)))
+    docs.append((20, "completely different content about spark shuffles"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           prefix_filter_pairs(df, "doc_id", "text", k=3, threshold=0.3).collect()}
+    want = {(r["id1"], r["id2"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3).collect()}
+    assert got == want and len(got) > 0
+    # the disjoint doc never pairs
+    assert not any(20 in p for p in got)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prefix_filter_pairs(df, "doc_id", "text", threshold=0.0)
