@@ -110,6 +110,8 @@ HEADLINE = [
     "events_rolling",
     "text_rrf",
     "dedup_prefix_filter",
+    "eval_auc",
+    "eval_pr_at_k",
     "graph_ppmi",
     "graph_clustering",
     "kg_predicate_stats",

@@ -1,0 +1,117 @@
+"""Exact ranking-evaluation metrics over scored, labeled rows.
+
+The missing last mile of the link-prediction / classifier-filter /
+retrieval operators: once a model scores a table, the pipeline should
+grade it WITHOUT collecting scores to the driver (sklearn on a 10^10-row
+score table is not a plan).
+
+ROC AUC here uses the pair-counting identity
+
+    AUC = [ #(pos, neg) pairs with s_pos > s_neg
+            + 0.5 * #(pos, neg) pairs with s_pos = s_neg ] / (P * N)
+
+computed from per-DISTINCT-SCORE positive/negative counts and one
+running sum — never from the O(P*N) pair join and never from a
+full-table sort.  Scores are rounded to ``decimals`` first (ties at
+engine float noise become real ties), which also BOUNDS the distinct-
+score table: at 6 decimals in [0, 1] that is <= 10^6 + 1 rows no matter
+how many input rows there are, so the one ordered window in the rollup
+runs over a provably small frame — the aggregate does the 10^12-row
+work, the window grades the summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_score(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    decimals: int = 6,
+) -> DataFrame:
+    """-> one row (n_pos, n_neg, auc): exact ROC AUC of ``score_col``
+    against binary ``label_col`` (1 = positive), ties counted half per
+    the Mann-Whitney U convention.  AUC rounded to ``decimals``.
+
+    Scale: one hash aggregate on the rounded score (map-side partials
+    absorb hot scores), then a window over the distinct-score summary
+    (bounded by 10^decimals + 1 rows — see module docstring), then one
+    scalar aggregate.
+    """
+    s = F.round(F.col(score_col).cast("double"), decimals)
+    pos = F.col(label_col).cast("int")
+    per_score = scored.groupBy(s.alias("_s")).agg(
+        F.sum(pos).alias("np"),
+        F.sum(1 - pos).alias("nn"),
+    )
+    w = Window.orderBy(F.col("_s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    won = per_score.select(
+        "np",
+        "nn",
+        (F.col("np") * F.coalesce(F.sum("nn").over(w), F.lit(0))).alias("_won"),
+        (F.col("np") * F.col("nn")).alias("_tie"),
+    )
+    return won.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.round(
+            (F.sum("_won") + 0.5 * F.sum("_tie"))
+            / (F.sum("np") * F.sum("nn")),
+            decimals,
+        ).alias("auc"),
+    )
+
+
+def precision_recall_at_k(
+    run: DataFrame,
+    truth: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    k: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query precision@k / recall@k of a ranked ``run`` against a
+    ``truth`` relevance set (query_col, id_col).  Rank = row_number by
+    (score desc, id asc) WITHIN each query — a per-query window over
+    the run's rows for that query (runs are top-k-ish result lists;
+    if a query somehow carries the whole corpus, cut it first).
+
+    One window keyed on the query + one left-semi-style join against
+    truth + one per-query aggregate; the truth row count per query
+    rides the same aggregate via a second join.
+    """
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    topk = run.withColumn("_rnk", F.row_number().over(w)).filter(
+        F.col("_rnk") <= k
+    )
+    hits = topk.join(truth.select(query_col, id_col).distinct(),
+                     [query_col, id_col], "left_semi")
+    n_hits = hits.groupBy(query_col).agg(F.count("*").alias("n_hits"))
+    n_rel = (
+        truth.select(query_col, id_col)
+        .distinct()
+        .groupBy(query_col)
+        .agg(F.count("*").alias("n_rel"))
+    )
+    return (
+        n_rel.join(n_hits, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_rel",
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), decimals)
+            .alias("precision_at_k"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_rel").cast("double"),
+                decimals,
+            ).alias("recall_at_k"),
+        )
+    )

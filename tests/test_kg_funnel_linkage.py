@@ -213,3 +213,44 @@ def test_prefix_filter_matches_exhaustive_jaccard(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         prefix_filter_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+def test_auc_score_known_values(spark):
+    from graph_importer_spark.operators.evalmetrics import auc_score
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "label int, score double")
+        return auc_score(df, "label", "score").collect()[0]
+
+    # perfect separation
+    r = auc_of([(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)])
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+    # perfectly wrong
+    assert auc_of([(0, 0.9), (1, 0.1)])["auc"] == 0.0
+    # all tied -> 0.5
+    assert auc_of([(1, 0.5), (0, 0.5), (1, 0.5)])["auc"] == 0.5
+    # mixed: pos {0.8, 0.4}, neg {0.6, 0.2}
+    # pairs: (.8>.6),(.8>.2),(.4<.6),(.4>.2) -> 3/4
+    assert auc_of([(1, 0.8), (1, 0.4), (0, 0.6), (0, 0.2)])["auc"] == 0.75
+
+
+def test_precision_recall_at_k(spark):
+    from graph_importer_spark.operators.evalmetrics import precision_recall_at_k
+
+    run = spark.createDataFrame(
+        [("q1", d, 10.0 - d) for d in range(1, 7)]
+        + [("q2", d, 10.0 - d) for d in range(1, 3)],
+        "query string, doc long, score double",
+    )
+    truth = spark.createDataFrame(
+        # q1: relevant docs 1, 3, 9 (9 not retrieved); q2: doc 5 only
+        [("q1", 1), ("q1", 3), ("q1", 9), ("q2", 5)],
+        "query string, doc long",
+    )
+    got = {r["query"]: r for r in precision_recall_at_k(
+        run, truth, "query", "doc", "score", k=4).collect()}
+    assert got["q1"]["n_hits"] == 2 and got["q1"]["n_rel"] == 3
+    assert got["q1"]["precision_at_k"] == 0.5
+    assert got["q1"]["recall_at_k"] == round(2 / 3, 6)
+    # q2 retrieved nothing relevant -> zero row still present
+    assert got["q2"]["n_hits"] == 0 and got["q2"]["precision_at_k"] == 0.0
