@@ -109,3 +109,65 @@ def test_linkpred_has_no_nested_loop(spark):
     out = link_prediction_scores(edges, min_common=1)
     assert not P.has_nested_loop_join(out)
     assert P.python_eval_count(out) == 0
+
+
+def test_rendezvous_shard_is_narrow(spark):
+    # shard computation is pure row-local arithmetic: zero exchanges,
+    # no Python eval in the plan
+    from graph_importer_spark.operators.layout import rendezvous_shard
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.select("doc_id", rendezvous_shard(F.col("doc_id"), 8).alias("s"))
+    assert P.exchange_count(df) == 0
+    assert P.python_eval_count(df) == 0
+    (schema,) = P.read_schemas(df)
+    assert "text" not in schema  # projection pruned to the key column
+
+
+def test_nquads_serialization_is_narrow(spark):
+    from graph_importer_spark.triples import to_nquads
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = docs.select(
+        F.col("doc_id").cast("string").alias("subj"),
+        F.lit("p").alias("pred"),
+        F.col("lang").alias("obj"),
+        F.lit("http://x").alias("url"),
+    )
+    df = to_nquads(t)
+    assert P.exchange_count(df) == 0
+    assert P.python_eval_count(df) == 0
+
+
+def test_funnel_step_filters_push_down(spark):
+    from graph_importer_spark.operators.funnel import funnel_steps
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = funnel_steps(ev, ["view", "click", "purchase"])
+    pushed = " ".join(P.pushed_filters(df))
+    # each step's event_type equality reaches a parquet scan
+    for step in ("view", "click", "purchase"):
+        assert step in pushed, pushed
+    schemas = " ".join(P.read_schemas(df))
+    assert "props" not in schemas  # unused wide column pruned
+
+
+def test_rolling_zscore_budgets_one_shuffle(spark):
+    from graph_importer_spark.operators.timeseries import rolling_zscore
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = rolling_zscore(ev, "user_id", "ts", "event_id", "value", window=5)
+    assert P.shuffle_exchange_count(df) == 1  # the user-key window sort
+    assert P.python_eval_count(df) == 0
+
+
+def test_fs_score_adds_no_shuffle(spark):
+    # scoring is pure expression work on top of the pair frame
+    from graph_importer_spark.operators.linkage import fs_score
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, False)], "a long, b long, f1 boolean, f2 boolean"
+    )
+    before = P.exchange_count(pairs)
+    after = P.exchange_count(fs_score(pairs, {"f1": (0.9, 0.1), "f2": (0.8, 0.2)}))
+    assert after == before
