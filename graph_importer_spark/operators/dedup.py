@@ -317,7 +317,11 @@ def prefix_filter_pairs(
                 lambda s: s.getField("shingle"),
             ).alias("toks")
         )
-    ).localCheckpoint(eager=True)  # used by both the prefix and verify sides
+        # lazy: materializes at the first action (once, shared by the
+        # prefix and verify sides) instead of running jobs as a
+        # side effect of building the plan — the semantic_dup_pairs
+        # lesson from the round-3 advice
+    ).localCheckpoint(eager=False)
     plen = (
         F.size("toks")
         - F.ceil(F.lit(float(threshold)) * F.size("toks")).cast("int")
