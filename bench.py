@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_prefix_filter",
     "eval_auc",
     "eval_pr_at_k",
+    "dedup_simhash",
     "graph_ppmi",
     "graph_clustering",
     "kg_predicate_stats",

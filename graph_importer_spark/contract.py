@@ -4543,6 +4543,74 @@ WHERE n >= 2
 # have never had a driver-green row go in the first 50; (c) long-stable
 # rows (green in multiple past rounds, code untouched) rotate to the
 # tail so everything gets driver-verified across rounds.
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs via the Manku WWW'07 pigeonhole block
+    join (dedup.simhash_near_dup_pairs, Hamming <= 5 over 6 blocks of
+    10 bits): clones of every 9th doc are planted with one appended
+    token, landing at Hamming 0-5 for most — and ONE planted clone
+    legitimately exceeds the radius (documented SimHash miss), so the
+    gate checks the threshold, not just clone detection.  The oracle
+    replays the signature votes, the block split, and the xor
+    bit-count verify."""
+    from graph_importer_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" zzqx")).alias("text"),
+    )
+    return simhash_near_dup_pairs(d.unionAll(clones), "doc_id", "text", max_hamming=5)
+
+
+def _oracle_dedup_simhash(max_hamming: int = 5) -> str:
+    """Replay simhash64 over the planted-clone corpus (same positional
+    md5 polynomial as _oracle_text_simhash), then the pigeonhole block
+    equi-join and the xor bit-count verify."""
+    n_blocks = max_hamming + 1
+    width = _ts.SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(md5h, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 300000, text || ' zzqx' FROM documents
+  WHERE doc_id < 200 AND doc_id % 9 = 0),
+d AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  FROM corpus),
+hx AS (SELECT doc_id, md5(tok) AS md5h FROM d),
+h AS (SELECT doc_id, {poly} AS h FROM hx),
+bits AS (
+  SELECT doc_id, b, ((h >> b) & 1) * 2 - 1 AS v
+  FROM h, UNNEST(generate_series(0, {_ts.SIMHASH_BITS - 1})) AS u(b)),
+votes AS (SELECT doc_id, b, SUM(v) AS s FROM bits GROUP BY doc_id, b),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+      AS simhash
+  FROM votes GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, i, (simhash >> (i * {width})) & {mask} AS blk
+  FROM sigs, UNNEST(generate_series(0, {n_blocks - 1})) AS u(i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM blocks a JOIN blocks b ON a.i = b.i AND a.blk = b.blk
+                             AND a.doc_id < b.doc_id)
+SELECT c.id1, c.id2,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand c JOIN sigs sa ON sa.doc_id = c.id1
+            JOIN sigs sb ON sb.doc_id = c.id2
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
 def q_eval_auc(spark, sf_dir):
     """Exact ROC AUC (operators/evalmetrics.auc_score) of a
     deterministic scored+labeled customer set: score = mean of two
@@ -5155,7 +5223,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER blocking, int8 embedding quantization
     "graph_linkpred": q_graph_linkpred,
     "emb_quantize": q_emb_quantize,
-    "graph_skipgram": q_graph_skipgram,
     "graph_ppmi": q_graph_ppmi,
     "kg_triple_confidence": q_kg_triple_confidence,
     "emb_pq": q_emb_pq,
@@ -5192,6 +5259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "eval_auc": q_eval_auc,
     "eval_pr_at_k": q_eval_pr_at_k,
+    "dedup_simhash": q_dedup_simhash,
     "dedup_incremental": q_dedup_incremental,
     # round-4 session-3 additions: BM25 retrieval, grouped
     # train/holdout split, snapshot diff.  New entries take window
@@ -5232,9 +5300,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   operator on a different table; full-sweep green locally
     "er_blocking": q_er_blocking,
     # - graph_walks (new r4) waits for the r5 window: the
-    #   random_walks corpus is in-window via graph_skipgram AND
-    #   graph_ppmi, which both consume it; full-sweep green locally
+    #   random_walks corpus is in-window via graph_ppmi, which
+    #   consumes it; full-sweep green locally
     "graph_walks": q_graph_walks,
+    # - graph_skipgram (new r4) waits for the r5 window: graph_ppmi
+    #   (in-window) nests the FULL skip-gram oracle as its pairs CTE
+    #   and consumes skipgram_pairs' output, so a skip-gram regression
+    #   fails graph_ppmi; full-sweep green locally
+    "graph_skipgram": q_graph_skipgram,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # or r2+judge-r3, code untouched.  Displaced by the session-4/5
     # additions (skipgram/confidence/PQ) under rule (a); every tail
@@ -5428,6 +5501,7 @@ ORACLES: dict[str, str] = {
     "dedup_prefix_filter": ORACLE_DEDUP_PREFIX,
     "eval_auc": ORACLE_EVAL_AUC,
     "eval_pr_at_k": _oracle_eval_pr_at_k(),
+    "dedup_simhash": _oracle_dedup_simhash(),
     "kg_predicate_stats": ORACLE_KG_PREDICATE_STATS,
     "kg_nquads": _oracle_kg_nquads(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,

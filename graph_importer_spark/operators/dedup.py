@@ -350,6 +350,67 @@ def prefix_filter_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= k via the
+    pigeonhole block join (Manku, Jain & Das Sarma, WWW'07 — Google's
+    web-crawl near-dup detector): split the 60-bit signature into k+1
+    equal blocks; any pair within Hamming k must agree EXACTLY on at
+    least one block, so k+1 equi-joins on (block_idx, block_bits) form
+    a COMPLETE candidate generator.  Candidates verify with
+    bit_count(xor) — one int64 instruction pair per candidate.
+    Returns (id1, id2, hamming <= max_hamming).
+
+    Scale shape: signatures are one row per doc (simhash64's vote
+    aggregate does the text-volume work); the candidate join keys on
+    15-bit block values — 2^15 buckets per block index, uniform for
+    hash bits, so no hot keys; candidates ~ n^2/2^width per block only
+    for truly-similar mass.  Everything stays in whole-stage codegen —
+    no UDF, no array ops.
+    """
+    from graph_importer_spark.operators.textstats import SIMHASH_BITS, simhash64
+
+    n_blocks = max_hamming + 1
+    if SIMHASH_BITS % n_blocks != 0:
+        raise ValueError(
+            f"max_hamming+1 must divide {SIMHASH_BITS} (got {n_blocks})"
+        )
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    sigs = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
+    blocks = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i"),
+        "simhash",
+    ).select(
+        "_id",
+        "i",
+        F.expr(f"shiftright(simhash, cast(i * {width} as int)) & {mask}").alias(
+            "blk"
+        ),
+    )
+    cand = (
+        blocks.select(F.col("_id").alias("id1"), "i", "blk")
+        .join(blocks.select(F.col("_id").alias("id2"), "i", "blk"), ["i", "blk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    s1 = sigs.select(F.col(id_col).alias("id1"), F.col("simhash").alias("h1"))
+    s2 = sigs.select(F.col(id_col).alias("id2"), F.col("simhash").alias("h2"))
+    ham = F.bit_count(F.expr("h1 ^ h2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(ham <= max_hamming)
+        .select("id1", "id2", ham.cast("int").alias("hamming"))
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,

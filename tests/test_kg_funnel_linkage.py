@@ -254,3 +254,34 @@ def test_precision_recall_at_k(spark):
     assert got["q1"]["recall_at_k"] == round(2 / 3, 6)
     # q2 retrieved nothing relevant -> zero row still present
     assert got["q2"]["n_hits"] == 0 and got["q2"]["precision_at_k"] == 0.0
+
+
+def test_simhash_pigeonhole_matches_brute_force(spark):
+    from graph_importer_spark.operators.dedup import simhash_near_dup_pairs
+    from graph_importer_spark.operators.textstats import simhash64
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [(0, base), (1, base + " phi"), (2, base + " phi chi"),
+            (3, "totally unrelated words about distributed query engines"),
+            (4, base.replace("gamma", "chi")), (5, base)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {(r["id1"], r["id2"]): r["hamming"] for r in
+           simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=5).collect()}
+    # brute force over all pairs
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash64(df, "doc_id", "text").collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 5:
+                want[(a, b)] = h
+    assert got == want
+    assert (0, 5) in got and got[(0, 5)] == 0  # identical docs
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=6)  # 7 ∤ 60
