@@ -113,6 +113,7 @@ HEADLINE = [
     "eval_auc",
     "eval_pr_at_k",
     "dedup_simhash",
+    "graph_ktruss",
     "graph_ppmi",
     "graph_clustering",
     "kg_predicate_stats",

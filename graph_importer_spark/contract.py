@@ -4543,6 +4543,59 @@ WHERE n >= 2
 # have never had a driver-green row go in the first 50; (c) long-stable
 # rows (green in multiple past rounds, code untouched) rotate to the
 # tail so everything gets driver-verified across rounds.
+def q_graph_ktruss(spark, sf_dir):
+    """4-truss of the part co-purchase graph (analytics.ktruss:
+    iterative edge peel by triangle support, Observation-fused
+    convergence).  The oracle replays a FIXED 6 peel rounds — valid
+    because the synchronous peel is idempotent at its fixpoint (the
+    kcore oracle argument); its per-round triangle enumeration joins
+    canonical a<b<c chains, a different but support-equivalent shape
+    to the degree-ordered Spark join."""
+    from graph_importer_spark.operators.analytics import ktruss
+
+    return ktruss(_copurchase_edges(spark, sf_dir), k=4)
+
+
+def _oracle_ktruss(k: int = 4, iters: int = 6) -> str:
+    assert k >= 3  # k-2 >= 1 so triangle-absent edges drop via inner join
+    ctes = [_COPURCHASE_SQL.lstrip(), "s0 AS MATERIALIZED (SELECT a, b FROM e)"]
+    for r in range(1, iters + 1):
+        p = f"s{r - 1}"
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {p} e1 JOIN {p} e2 ON e2.a = e1.b
+              JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b)"""
+        )
+        ctes.append(
+            f"""sup{r} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS support FROM (
+    SELECT x AS a, y AS b FROM t{r}
+    UNION ALL SELECT y, z FROM t{r}
+    UNION ALL SELECT x, z FROM t{r})
+  GROUP BY a, b)"""
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT a, b FROM sup{r}"
+            f" WHERE support >= {k - 2})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+, tf AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM s{iters} e1 JOIN s{iters} e2 ON e2.a = e1.b
+                   JOIN s{iters} e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT a, b, COUNT(*) AS support FROM (
+  SELECT x AS a, y AS b FROM tf
+  UNION ALL SELECT y, z FROM tf
+  UNION ALL SELECT x, z FROM tf)
+GROUP BY a, b
+"""
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via the Manku WWW'07 pigeonhole block
     join (dedup.simhash_near_dup_pairs, Hamming <= 5 over 6 blocks of
@@ -5215,7 +5268,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mixture": q_sample_mixture,
     "web_blocklist": q_web_blocklist,
     "pack_sequences": q_pack_sequences,
-    "text_vocab": q_text_vocab,
     "kg_incremental_entities": q_kg_incremental_entities,
     "kg_negative_samples": q_kg_negative_samples,
     "graph_khop": q_graph_khop,
@@ -5260,6 +5312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_auc": q_eval_auc,
     "eval_pr_at_k": q_eval_pr_at_k,
     "dedup_simhash": q_dedup_simhash,
+    "graph_ktruss": q_graph_ktruss,
     "dedup_incremental": q_dedup_incremental,
     # round-4 session-3 additions: BM25 retrieval, grouped
     # train/holdout split, snapshot diff.  New entries take window
@@ -5308,6 +5361,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   and consumes skipgram_pairs' output, so a skip-gram regression
     #   fails graph_ppmi; full-sweep green locally
     "graph_skipgram": q_graph_skipgram,
+    # - text_vocab (new r4) waits for the r5 window: its tokenize +
+    #   count path is in-window via text_keywords, its top-k shape via
+    #   sketch_cms_topk; full-sweep green locally
+    "text_vocab": q_text_vocab,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # or r2+judge-r3, code untouched.  Displaced by the session-4/5
     # additions (skipgram/confidence/PQ) under rule (a); every tail
@@ -5502,6 +5559,7 @@ ORACLES: dict[str, str] = {
     "eval_auc": ORACLE_EVAL_AUC,
     "eval_pr_at_k": _oracle_eval_pr_at_k(),
     "dedup_simhash": _oracle_dedup_simhash(),
+    "graph_ktruss": _oracle_ktruss(),
     "kg_predicate_stats": ORACLE_KG_PREDICATE_STATS,
     "kg_nquads": _oracle_kg_nquads(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,

@@ -1142,3 +1142,85 @@ def personalized_pagerank(
         if delta < tol:
             break
     return ranks.select("id", "rank")
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical undirected edge set
+    (a < b): (a, b, support).  Same degree-ordered compact-forward
+    enumeration as triangle_count — each triangle found once, then its
+    three edges emitted and counted.  Edges in no triangle get 0."""
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = und.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")),
+                F.struct(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")),
+                F.struct(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+    return und.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def ktruss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """k-truss of the undirected simple graph (Cohen, NSA TR'08; the
+    standard cohesion refinement of k-core): iteratively remove edges
+    in fewer than k-2 triangles until none remain.  Returns the
+    surviving canonical edges with their support INSIDE the truss
+    (a, b, support).
+
+    Each peel round is one triangle enumeration over the surviving
+    edges (the degree-ordered O(m^1.5) wedge join — the same bound as
+    triangle_count, shrinking every round) plus an Observation-fused
+    fingerprint checkpoint (one action per round, truncated lineage).
+    Rounds are bounded by the peel depth, tiny for web-like graphs.
+    The synchronous peel is idempotent at its fixpoint, so a
+    fixed-iteration SQL replay at any round >= convergence matches
+    exactly — the same oracle argument as kcore.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    cur, prev = _fp(_undirected(edges), ["a", "b"])
+    for _ in range(max_iter):
+        kept = (
+            _edge_support(cur)
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+        )
+        cur, fp = _fp(kept, ["a", "b"])
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"ktruss did not settle within {max_iter} rounds")
+    return _edge_support(cur)

@@ -358,3 +358,26 @@ def test_personalized_pagerank_dangling_restarts_to_seeds(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_ktruss_k4_plus_appendages(spark):
+    from graph_importer_spark.operators.analytics import ktruss
+
+    # K4 on {1,2,3,4}; a triangle {4,5,6} hanging off vertex 4; a
+    # pendant edge 6-7
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (4, 6), (5, 6), (6, 7)], "src long, dst long"
+    )
+    # 4-truss: every edge must sit in >= 2 triangles -> exactly K4
+    got4 = {(r["a"], r["b"]): r["support"] for r in ktruss(edges, 4).collect()}
+    assert set(got4) == set(k4)
+    assert all(s == 2 for s in got4.values())
+    # 3-truss: one triangle per edge suffices -> K4 plus the side triangle
+    got3 = {(r["a"], r["b"]) for r in ktruss(edges, 3).collect()}
+    assert got3 == set(k4) | {(4, 5), (4, 6), (5, 6)}
+    # k=5 empties the graph (no edge is in 3 triangles)
+    assert ktruss(edges, 5).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ktruss(edges, 1)
