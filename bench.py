@@ -114,6 +114,8 @@ HEADLINE = [
     "eval_pr_at_k",
     "dedup_simhash",
     "graph_ktruss",
+    "eval_ndcg",
+    "events_transitions",
     "graph_ppmi",
     "graph_clustering",
     "kg_predicate_stats",

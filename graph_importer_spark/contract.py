@@ -4766,6 +4766,92 @@ FROM base
 """
 
 
+def q_eval_ndcg(spark, sf_dir):
+    """Per-query nDCG@10 (operators/evalmetrics.ndcg_at_k, binary
+    gains) of the two BM25 runs against the all-terms relevance rule —
+    same runs/truth as eval_pr_at_k, grading rank POSITIONS rather
+    than set overlap.  The oracle computes DCG from the re-ranked run
+    and IDCG from the closed form over min(n_rel, k) ideal slots."""
+    from graph_importer_spark.operators import retrieval as _ret
+    from graph_importer_spark.operators.evalmetrics import ndcg_at_k
+    from graph_importer_spark.operators.textstats import normalize_text
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    runs, truths = [], []
+    for name, terms in sorted(_RRF_RUNS.items()):
+        runs.append(
+            _ret.bm25_topk(d, "doc_id", "text", list(terms), k=20, k1=1.5, b=0.75)
+            .withColumn("query", F.lit(name))
+        )
+        cond = None
+        for t in sorted(terms):
+            c = F.array_contains(toks, t)
+            cond = c if cond is None else (cond & c)
+        truths.append(d.filter(cond).select(F.lit(name).alias("query"), "doc_id"))
+    return ndcg_at_k(
+        runs[0].unionByName(runs[1]),
+        truths[0].unionByName(truths[1]),
+        "query",
+        "doc_id",
+        "score",
+        k=10,
+    ).orderBy("query")
+
+
+def _oracle_eval_ndcg(k: int = 10) -> str:
+    parts = []
+    for name, terms in sorted(_RRF_RUNS.items()):
+        conds = " AND ".join(
+            f"list_contains(string_split({_NF_SQL}, ' '), '{t}')"
+            for t in sorted(terms)
+        )
+        parts.append(f"""
+SELECT '{name}' AS query,
+  (SELECT COALESCE(SUM(1.0 / log2(rnk + 1.0)), 0) FROM (
+     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+     FROM ({_oracle_bm25(terms, 20)})) r
+   WHERE r.rnk <= {k}
+     AND r.doc_id IN (SELECT doc_id FROM documents WHERE {conds})) AS dcg,
+  (SELECT SUM(1.0 / log2(i + 1.0)) FROM
+     UNNEST(generate_series(1, LEAST(
+       (SELECT COUNT(*) FROM documents WHERE {conds}), {k}))) AS u(i)) AS idcg""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH base AS ({union})
+SELECT query, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+       round(dcg / idcg, 6) AS ndcg
+FROM base
+"""
+
+
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of per-user event-type
+    sequences (operators/timeseries.transition_counts): one lag window
+    on the user key + one (prev, next) partial-agg count; probabilities
+    divide by a |types|^2-bounded rollup.  The oracle replays the lag
+    window with the identical (ts, event_id) order."""
+    from graph_importer_spark.operators.timeseries import transition_counts
+
+    return transition_counts(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM seq
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, SUM(n) AS t FROM counts GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n,
+       round(CAST(c.n AS DOUBLE) / t.t, 6) AS p
+FROM counts c JOIN tot t USING (prev_type)
+"""
+
+
 def q_dedup_prefix_filter(spark, sf_dir):
     """EXACT Jaccard similarity join via prefix filtering
     (dedup.prefix_filter_pairs, Chaudhuri ICDE'06 / PPJoin WWW'08):
@@ -5365,6 +5451,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   count path is in-window via text_keywords, its top-k shape via
     #   sketch_cms_topk; full-sweep green locally
     "text_vocab": q_text_vocab,
+    # - eval_ndcg (new r4) waits for the r5 window: it shares its
+    #   run/truth construction verbatim with the in-window
+    #   eval_pr_at_k (same BM25 runs, same all-terms relevance rule);
+    #   the DCG math is pytest-covered and full-sweep green locally
+    "eval_ndcg": q_eval_ndcg,
+    # - events_transitions (new r4) waits for the r5 window: its
+    #   (user_id, ts, event_id) window ordering is in-window via
+    #   events_rolling; the lag/count math is pytest-covered and
+    #   full-sweep green locally
+    "events_transitions": q_events_transitions,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # or r2+judge-r3, code untouched.  Displaced by the session-4/5
     # additions (skipgram/confidence/PQ) under rule (a); every tail
@@ -5560,6 +5656,8 @@ ORACLES: dict[str, str] = {
     "eval_pr_at_k": _oracle_eval_pr_at_k(),
     "dedup_simhash": _oracle_dedup_simhash(),
     "graph_ktruss": _oracle_ktruss(),
+    "eval_ndcg": _oracle_eval_ndcg(),
+    "events_transitions": ORACLE_EVENTS_TRANSITIONS,
     "kg_predicate_stats": ORACLE_KG_PREDICATE_STATS,
     "kg_nquads": _oracle_kg_nquads(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,

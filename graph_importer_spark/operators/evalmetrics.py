@@ -115,3 +115,62 @@ def precision_recall_at_k(
             ).alias("recall_at_k"),
         )
     )
+
+
+def ndcg_at_k(
+    run: DataFrame,
+    truth: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    k: int,
+    gain_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query nDCG@k (Jarvelin & Kekalainen, TOIS'02) of a ranked
+    ``run`` against ``truth`` (query_col, id_col[, gain_col]) — binary
+    gains when ``gain_col`` is None.
+
+    DCG uses the standard gain/log2(rank+1) form; the ideal DCG ranks
+    the truth set by gain desc (ties by id) — both windows run over
+    bounded lists (top-k runs; per-query truth sets), the same contract
+    as precision_recall_at_k.  Queries with an empty truth set are
+    absent from the output (nDCG undefined).
+    """
+    g = F.col(gain_col) if gain_col else F.lit(1.0)
+    w_run = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    topk = run.withColumn("_rnk", F.row_number().over(w_run)).filter(
+        F.col("_rnk") <= k
+    )
+    rel = truth.select(
+        query_col, id_col, g.cast("double").alias("_gain")
+    ).distinct()
+    dcg = (
+        topk.join(rel, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.col("_gain") / F.log2(F.col("_rnk") + 1.0)).alias("_dcg")
+        )
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col("_gain").desc(), F.col(id_col).asc()
+    )
+    idcg = (
+        rel.withColumn("_rnk", F.row_number().over(w_ideal))
+        .filter(F.col("_rnk") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(F.col("_gain") / F.log2(F.col("_rnk") + 1.0)).alias("_idcg"))
+    )
+    return (
+        idcg.join(dcg, query_col, "left")
+        .select(
+            query_col,
+            F.round(F.coalesce("_dcg", F.lit(0.0)), decimals).alias("dcg"),
+            F.round("_idcg", decimals).alias("idcg"),
+            F.round(
+                F.coalesce("_dcg", F.lit(0.0)) / F.col("_idcg"), decimals
+            ).alias("ndcg"),
+        )
+    )

@@ -76,3 +76,41 @@ def rolling_zscore(
         ).alias("is_anomaly"),
     )
     return out
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix of the per-key event-type
+    sequences: (prev_type, next_type, n, p) where p is the row-
+    stochastic probability P(next | prev).  The clickstream/session
+    model behind path analysis and next-event prediction.
+
+    One lag window per key (the same single key shuffle as
+    rolling_zscore, ordered by ts then id) + one (prev, next) count
+    aggregate with map-side partials; the probabilities divide by a
+    per-prev rollup of the COUNTS table, which is bounded by
+    |types|^2 rows — corpus-size-independent.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    seq = df.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("_t"))
+    return counts.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("_t"), decimals).alias("p"),
+    )

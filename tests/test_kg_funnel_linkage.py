@@ -285,3 +285,50 @@ def test_simhash_pigeonhole_matches_brute_force(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=6)  # 7 ∤ 60
+
+
+def test_ndcg_at_k_known_values(spark):
+    import math as _m
+    from graph_importer_spark.operators.evalmetrics import ndcg_at_k
+
+    run = spark.createDataFrame(
+        [("q", 1, 5.0), ("q", 2, 4.0), ("q", 3, 3.0)],
+        "query string, doc long, score double",
+    )
+    truth = spark.createDataFrame(
+        [("q", 2), ("q", 3), ("q", 9)], "query string, doc long"
+    )
+    r = ndcg_at_k(run, truth, "query", "doc", "score", k=3).collect()[0]
+    dcg = 1 / _m.log2(3) + 1 / _m.log2(4)          # hits at ranks 2, 3
+    idcg = 1 + 1 / _m.log2(3) + 1 / _m.log2(4)     # 3 relevant, k=3
+    assert r["dcg"] == round(dcg, 6)
+    assert r["idcg"] == round(idcg, 6)
+    assert r["ndcg"] == round(dcg / idcg, 6)
+    # perfect ranking -> ndcg 1.0
+    perfect = spark.createDataFrame(
+        [("q", 2, 9.0), ("q", 3, 8.0), ("q", 9, 7.0)],
+        "query string, doc long, score double",
+    )
+    assert ndcg_at_k(perfect, truth, "query", "doc", "score", k=3) \
+        .collect()[0]["ndcg"] == 1.0
+
+
+def test_transition_counts_probabilities(spark):
+    from graph_importer_spark.operators.timeseries import transition_counts
+
+    rows = [
+        (1, 1, _ts(1), "a"), (1, 2, _ts(2), "b"), (1, 3, _ts(3), "a"),
+        (1, 4, _ts(4), "b"),
+        (2, 5, _ts(1), "a"), (2, 6, _ts(2), "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {(r["prev_type"], r["next_type"]): r for r in
+           transition_counts(df).collect()}
+    # a -> b twice, a -> a once; b -> a once
+    assert got[("a", "b")]["n"] == 2 and got[("a", "a")]["n"] == 1
+    assert got[("a", "b")]["p"] == round(2 / 3, 6)
+    assert got[("b", "a")]["p"] == 1.0
+    # sequences never cross users: no b->a from user 1 to user 2
+    assert sum(r["n"] for r in got.values()) == 4
