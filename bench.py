@@ -116,6 +116,7 @@ HEADLINE = [
     "graph_ktruss",
     "eval_ndcg",
     "events_transitions",
+    "graph_assortativity",
     "graph_ppmi",
     "graph_clustering",
     "kg_predicate_stats",

@@ -4596,6 +4596,36 @@ GROUP BY a, b
     )
 
 
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the part co-purchase graph
+    (analytics.degree_assortativity): Pearson correlation of endpoint
+    degrees over undirected edges — one degree aggregate, two id-keyed
+    joins, one scalar aggregate.  The oracle replays the Newman
+    moment formula."""
+    from graph_importer_spark.operators.analytics import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
+ORACLE_GRAPH_ASSORTATIVITY = f"""
+WITH {_COPURCHASE_SQL},
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+wd AS (
+  SELECT CAST(da.deg AS DOUBLE) AS j, CAST(db.deg AS DOUBLE) AS k
+  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+m AS (
+  SELECT COUNT(*) AS n_edges, AVG(j * k) AS m_jk,
+         AVG((j + k) / 2.0) AS m_sum, AVG((j * j + k * k) / 2.0) AS m_sq
+  FROM wd)
+SELECT n_edges,
+       round((m_jk - m_sum * m_sum)
+             / nullif(m_sq - m_sum * m_sum, 0.0), 6) AS assortativity
+FROM m
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via the Manku WWW'07 pigeonhole block
     join (dedup.simhash_near_dup_pairs, Hamming <= 5 over 6 blocks of
@@ -5461,6 +5491,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   events_rolling; the lag/count math is pytest-covered and
     #   full-sweep green locally
     "events_transitions": q_events_transitions,
+    # - graph_assortativity (new r4) waits for the r5 window: its
+    #   undirected-degree preamble is in-window via graph_clustering
+    #   (same _undirected + degree aggregate on the same graph); the
+    #   moment formula is pytest-covered and full-sweep green locally
+    "graph_assortativity": q_graph_assortativity,
     # ---- tail (entries 51+): long-stable rows, driver-green in r3
     # or r2+judge-r3, code untouched.  Displaced by the session-4/5
     # additions (skipgram/confidence/PQ) under rule (a); every tail
@@ -5658,6 +5693,7 @@ ORACLES: dict[str, str] = {
     "graph_ktruss": _oracle_ktruss(),
     "eval_ndcg": _oracle_eval_ndcg(),
     "events_transitions": ORACLE_EVENTS_TRANSITIONS,
+    "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
     "kg_predicate_stats": ORACLE_KG_PREDICATE_STATS,
     "kg_nquads": _oracle_kg_nquads(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,

@@ -1224,3 +1224,49 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     else:
         raise RuntimeError(f"ktruss did not settle within {max_iter} rounds")
     return _edge_support(cur)
+
+
+def degree_assortativity(edges: DataFrame, decimals: int = 6) -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph
+    (Newman, PRL 2002): the Pearson correlation of endpoint degrees
+    over edges —
+
+        r = [m1_jk - m1_sum^2] / [m1_sq - m1_sum^2]
+
+    with m1_jk = mean(j*k), m1_sum = mean((j+k)/2), m1_sq =
+    mean((j^2+k^2)/2) over undirected edges with endpoint degrees j, k.
+    Positive r = hubs link to hubs (social nets); negative = hubs link
+    to leaves (the web / most KGs).  Returns one row
+    (n_edges, assortativity).
+
+    Scale: one degree aggregate, two id-keyed joins attaching endpoint
+    degrees, one scalar aggregate — no windows, no per-vertex state
+    beyond the degree table.  Each sum is order-insensitive up to float
+    rounding (hence the round).
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = und.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("ja")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("jb")), "b")
+    j, k = F.col("ja").cast("double"), F.col("jb").cast("double")
+    agg = withdeg.agg(
+        F.count("*").alias("m"),
+        F.avg(j * k).alias("m_jk"),
+        F.avg((j + k) / 2.0).alias("m_sum"),
+        F.avg((j * j + k * k) / 2.0).alias("m_sq"),
+    )
+    den = F.col("m_sq") - F.col("m_sum") * F.col("m_sum")
+    # zero degree variance (regular graph) leaves the correlation
+    # undefined: surface NULL instead of tripping ANSI divide-by-zero
+    r = F.when(
+        den != 0.0, (F.col("m_jk") - F.col("m_sum") * F.col("m_sum")) / den
+    )
+    return agg.select(
+        F.col("m").alias("n_edges"), F.round(r, decimals).alias("assortativity")
+    )

@@ -381,3 +381,18 @@ def test_ktruss_k4_plus_appendages(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ktruss(edges, 1)
+
+
+def test_degree_assortativity_known_graphs(spark):
+    from graph_importer_spark.operators.analytics import degree_assortativity
+
+    # star: the hub (deg 4) only touches leaves (deg 1) -> r = -1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 4 and r["assortativity"] == -1.0
+    # two disjoint edges: all degrees equal -> correlation undefined
+    # (0/0) -> NULL, surfaced rather than faked
+    flat = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    assert degree_assortativity(flat).collect()[0]["assortativity"] is None
