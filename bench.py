@@ -124,6 +124,13 @@ HEADLINE = [
     "events_funnel",
     "er_fellegi_sunter",
     "shard_rendezvous",
+    # round 4, session 7
+    "kg_closure",
+    "kg_path_2hop",
+    "graph_powerlaw",
+    "text_c4_lines",
+    "profile_orders",
+    "text_postings",
 ]
 
 

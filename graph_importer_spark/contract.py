@@ -5359,6 +5359,245 @@ SELECT doc_id, arg_max(s, h * 8 + s) AS shard FROM e GROUP BY doc_id
 """
 
 
+def q_kg_closure(spark, sf_dir):
+    """Transitive closure (RDFS subClassOf+-style reasoning) over the
+    custkey-residue FOREST i -> i // 2 (depth ~ log2(200), so path
+    doubling converges in 3 rounds + 1 fixpoint check).  Closure pairs
+    = (node, every ancestor).  The oracle is a recursive CTE."""
+    from graph_importer_spark.operators.analytics import transitive_closure
+
+    c = T(spark, sf_dir, "customer")
+    edges = (
+        c.select((F.col("c_custkey") % 200).alias("src"))
+        .filter(F.col("src") > 0)
+        .select("src", F.expr("CAST(src DIV 2 AS BIGINT)").alias("dst"))
+        .distinct()
+    )
+    return transitive_closure(edges)
+
+
+ORACLE_KG_CLOSURE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT c_custkey % 200 AS src,
+         CAST((c_custkey % 200) // 2 AS BIGINT) AS dst
+  FROM customer WHERE c_custkey % 200 > 0),
+tc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT t.src, e.dst FROM tc t JOIN e ON t.dst = e.src)
+SELECT src, dst FROM tc WHERE src <> dst
+"""
+
+
+def q_kg_path_2hop(spark, sf_dir):
+    """SPARQL chain BGP ?c placed ?o . ?o contains ?p over a synthetic
+    triple table built from orders (triples.chain_pattern) — predicate
+    filters push to the scan, the hop join keys on the shared
+    variable.  The oracle is the literal two-way self-join."""
+    from graph_importer_spark.triples import chain_pattern
+
+    o = T(spark, sf_dir, "orders")
+    placed = o.select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 20).cast("string")).alias("subj"),
+        F.lit("placed").alias("pred"),
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 100).cast("string")).alias("obj"),
+    )
+    contains = o.select(
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 100).cast("string")).alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 37).cast("string")).alias("obj"),
+    )
+    return chain_pattern(placed.unionByName(contains), ["placed", "contains"])
+
+
+ORACLE_KG_PATH_2HOP = """
+WITH t AS (
+  SELECT 'c' || CAST(o_custkey % 20 AS VARCHAR) AS subj, 'placed' AS pred,
+         'o' || CAST(o_orderkey % 100 AS VARCHAR) AS obj FROM orders
+  UNION ALL
+  SELECT 'o' || CAST(o_orderkey % 100 AS VARCHAR), 'contains',
+         'p' || CAST(o_orderkey % 37 AS VARCHAR) FROM orders)
+SELECT DISTINCT a.subj AS v0, a.obj AS v1, b.obj AS v2
+FROM t a JOIN t b ON a.obj = b.subj
+WHERE a.pred = 'placed' AND b.pred = 'contains'
+"""
+
+
+def q_graph_powerlaw(spark, sf_dir):
+    """Clauset-Shalizi-Newman power-law MLE over the undirected degree
+    distribution of the orders residue graph (analytics.
+    degree_powerlaw) — the 'is this graph web-shaped?' diagnostic.
+    The oracle replays the closed-form alpha = 1 + n / sum(ln(d/0.5))
+    exactly."""
+    from graph_importer_spark.operators.analytics import degree_powerlaw
+
+    o = T(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 400).alias("src"),
+        (F.col("o_custkey") % 60).alias("dst"),
+    )
+    return degree_powerlaw(edges)
+
+
+ORACLE_GRAPH_POWERLAW = """
+WITH e AS (
+  SELECT DISTINCT least(o_orderkey % 400, o_custkey % 60) AS a,
+         greatest(o_orderkey % 400, o_custkey % 60) AS b
+  FROM orders WHERE o_orderkey % 400 <> o_custkey % 60),
+d AS (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id)
+SELECT COUNT(*) AS n_nodes, MAX(deg) AS max_deg,
+       round(1.0 + COUNT(*) / SUM(ln(deg / 0.5)), 6) AS alpha
+FROM d WHERE deg >= 1
+"""
+
+
+def q_text_c4_lines(spark, sf_dir):
+    """C4 line/page cleaning rules (Raffel 2020 §2.2) over synthetic
+    multi-line pages: 10 documents per page (doc_id % 50), each line's
+    tail varies by doc_id % 3 (terminal '.', a 'javascript' marker, or
+    no terminal punct) plus a planted short boilerplate footer — so
+    kept/dropped hits every rule.  Oracle replays the page assembly
+    (string_agg ORDER BY doc_id) and the line predicates, including
+    the kept-lines md5."""
+    from graph_importer_spark.operators.textstats import c4_line_filter
+
+    d = T(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("."))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" javascript embedded."))
+        .otherwise(F.lit(""))
+    )
+    lines = d.select(
+        (F.col("doc_id") % 50).alias("page_id"),
+        F.col("doc_id"),
+        F.concat(F.col("text"), tail).alias("line"),
+    )
+    pages = lines.groupBy("page_id").agg(
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+            F.lit("\nall rights reserved."),
+        ).alias("text")
+    )
+    return c4_line_filter(pages, "page_id", "text")
+
+
+ORACLE_TEXT_C4_LINES = r"""
+WITH l AS (
+  SELECT doc_id % 50 AS page_id, doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '.'
+                      WHEN doc_id % 3 = 1 THEN ' javascript embedded.'
+                      ELSE '' END AS line
+  FROM documents),
+p AS (
+  SELECT page_id,
+         string_agg(line, chr(10) ORDER BY doc_id)
+           || chr(10) || 'all rights reserved.' AS text
+  FROM l GROUP BY page_id),
+ls AS (SELECT page_id, text, string_split(text, chr(10)) AS arr FROM p),
+ln AS (
+  SELECT page_id, text, i AS pos, arr[i] AS lnx,
+         regexp_matches(arr[i], '[.!?"]\s*$')
+           AND length(trim(arr[i])) > 0
+           AND len(string_split_regex(trim(arr[i]), '\s+')) >= 5
+           AND NOT contains(lower(arr[i]), 'javascript') AS kept
+  FROM ls, UNNEST(generate_series(1, len(arr))) u(i)),
+k AS (
+  SELECT page_id,
+         COUNT(*) AS n_lines,
+         COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS n_kept,
+         md5(COALESCE(string_agg(lnx, chr(10) ORDER BY pos)
+                        FILTER (WHERE kept), '')) AS clean_md5,
+         MAX(lower(text)) AS low
+  FROM ln GROUP BY page_id)
+SELECT page_id, CAST(n_lines AS INT) AS n_lines, CAST(n_kept AS INT) AS n_kept,
+       n_kept >= 3 AND NOT contains(low, 'lorem ipsum')
+         AND NOT contains(low, '{') AS c4_keep,
+       clean_md5
+FROM k
+"""
+
+
+def q_profile_orders(spark, sf_dir):
+    """Column profiling (operators/profiling.profile_table) over three
+    orders-derived columns, one with planted NULLs (orderkey % 7) —
+    null fraction, exact distinct, string min/max, deterministic top
+    value (ties toward the larger value string).  The oracle replays
+    each column's roll-up and unions the rows."""
+    from graph_importer_spark.operators.profiling import profile_table
+
+    o = T(spark, sf_dir, "orders")
+    frame = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey") % 50).alias(
+            "cust_bucket"
+        ),
+    )
+    return profile_table(frame)
+
+
+def _oracle_profile_orders() -> str:
+    cols = {
+        "o_orderstatus": "o_orderstatus",
+        "o_orderpriority": "o_orderpriority",
+        "cust_bucket": "CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey % 50 END",
+    }
+    parts = []
+    for name, expr in cols.items():
+        parts.append(
+            f"""
+SELECT '{name}' AS "column", SUM(cnt) AS n_rows,
+       COALESCE(SUM(cnt) FILTER (WHERE value IS NULL), 0) AS n_null,
+       round(COALESCE(SUM(cnt) FILTER (WHERE value IS NULL), 0) * 1.0
+             / SUM(cnt), 6) AS null_frac,
+       COUNT(*) FILTER (WHERE value IS NOT NULL) AS n_distinct,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       arg_max(value, printf('%012d', cnt) || '|' || value)
+         FILTER (WHERE value IS NOT NULL) AS top_value,
+       MAX(cnt) FILTER (WHERE value IS NOT NULL) AS top_count
+FROM (SELECT CAST({expr} AS VARCHAR) AS value, COUNT(*) AS cnt
+      FROM orders GROUP BY 1)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_PROFILE_ORDERS = _oracle_profile_orders()
+
+
+def q_text_postings(spark, sf_dir):
+    """Materialized inverted index over documents (retrieval.
+    build_postings, min_df = 2): per term df, total tf, and the
+    doc-ordered 'doc:tf' posting list — the at-rest form behind
+    bm25_topk.  Oracle: string_agg ORDER BY doc."""
+    from graph_importer_spark.operators.retrieval import build_postings
+
+    d = T(spark, sf_dir, "documents")
+    return build_postings(d, "doc_id", "text", min_df=2)
+
+
+ORACLE_TEXT_POSTINGS = rf"""
+WITH tf AS (
+  SELECT term, doc_id AS doc, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split({_NF_SQL}, ' ')) AS term
+    FROM documents)
+  WHERE term <> '' GROUP BY term, doc)
+SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf,
+       string_agg(CAST(doc AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ' ' ORDER BY doc) AS postings
+FROM tf GROUP BY term HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -5448,6 +5687,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window by dedup_minhash_lsh / dedup_incremental /
     # stream_fuzzy_dedup.
     "web_meta": q_web_meta,
+    # ---- tail (51+): verified by the local full sweep + judge re-check ----
+    # round-4 session-7 additions queue at the tail head for the r5
+    # window behind the earlier never-driver-green session-2..6 rows
+    # (FIFO among new entries; the window holds 50):
+    "kg_closure": q_kg_closure,
+    "kg_path_2hop": q_kg_path_2hop,
+    "graph_powerlaw": q_graph_powerlaw,
+    "text_c4_lines": q_text_c4_lines,
+    "profile_orders": q_profile_orders,
+    "text_postings": q_text_postings,
     # - text_bm25 (new r4) waits at the tail head for the r5 window:
     #   its scoring path is nested TWICE inside the in-window text_rrf
     #   oracle (two parameterized BM25 replays), and it passes the
@@ -5612,6 +5861,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kg_closure": ORACLE_KG_CLOSURE,
+    "kg_path_2hop": ORACLE_KG_PATH_2HOP,
+    "graph_powerlaw": ORACLE_GRAPH_POWERLAW,
+    "text_c4_lines": ORACLE_TEXT_C4_LINES,
+    "profile_orders": ORACLE_PROFILE_ORDERS,
+    "text_postings": ORACLE_TEXT_POSTINGS,
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
     "sketch_cms_topk": _oracle_sketch_cms(),

@@ -1270,3 +1270,100 @@ def degree_assortativity(edges: DataFrame, decimals: int = 6) -> DataFrame:
     return agg.select(
         F.col("m").alias("n_edges"), F.round(r, decimals).alias("assortativity")
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """All reachability pairs (src, dst) with src <> dst — the
+    ancestor/descendant closure a KG needs for subclass/part-of
+    reasoning (RDFS subClassOf+, SKOS broader+).
+
+    The reference has no reasoning surface (its Pregel catalog,
+    arguments.py:176-188, stops at component/centrality algorithms);
+    this is the §2.11 KG-construction extension that turns the emitted
+    (subj, pred, obj) hierarchy triples into queryable closure edges.
+
+    Algorithm: path DOUBLING, not single-step expansion — round r holds
+    every path of length <= 2^r, so a hierarchy of depth d closes in
+    ceil(log2(d)) joins instead of d (Valduriez & Boral '86 /
+    "smart" transitive closure).  Each round is one self-equi-join on
+    the frontier midpoint + union + distinct; convergence is detected
+    with the Observation-fused (count, xor-hash) fingerprint (one job
+    per round, no extra count() pass), and lineage is truncated per
+    round via localCheckpoint — the same loop hygiene as cc.py.
+
+    Scale shape: the join keys on the midpoint vertex; hub vertices
+    (power-law at web scale) are exactly AQE skew-join territory and
+    the distinct's partial aggregation absorbs duplicate paths
+    map-side.  The OUTPUT is the closure itself — Theta(sum of
+    reachable-set sizes) — so this is for bounded-fanout hierarchy
+    predicates (ontology depth <= ~20 closes in 5 rounds), not for the
+    full web graph; callers pre-filter edges to the hierarchy
+    predicate, which Spark pushes to the triple scan.
+    """
+    paths = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    paths, fp = _fp(paths, ["src", "dst"])
+    for _ in range(max_iter):
+        hop = paths.select(F.col("dst").alias("mid"), F.col("src"))
+        ext = paths.select(F.col("src").alias("mid"), F.col("dst"))
+        doubled = (
+            paths.unionByName(
+                hop.join(ext, "mid")
+                .select("src", "dst")
+                .filter(F.col("src") != F.col("dst"))
+            )
+            .distinct()
+        )
+        doubled, new_fp = _fp(doubled, ["src", "dst"])
+        if new_fp == fp:
+            return paths
+        paths, fp = doubled, new_fp
+    return paths
+
+
+def degree_powerlaw(
+    edges: DataFrame, xmin: int = 1, decimals: int = 6
+) -> DataFrame:
+    """Power-law exponent MLE over the undirected degree distribution
+    -> one row (n_nodes, max_deg, alpha).
+
+    alpha = 1 + n / sum(ln(deg / (xmin - 1/2))) — the discrete
+    continuous-approximation MLE of Clauset, Shalizi & Newman (2009,
+    eq. 3.7), the standard "is this graph web-shaped?" diagnostic a
+    pipeline runs before choosing skew strategies (salting thresholds,
+    hub caps in linkpred.py).  Degrees below xmin are excluded, as the
+    estimator requires.
+
+    Scale shape: one degree aggregation (map-side partials over the
+    edge list) + one scalar aggregate; no window, no join, no
+    collect beyond the single result row.
+    """
+    if xmin < 1:
+        raise ValueError("xmin must be >= 1")
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= xmin)
+    )
+    agg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").alias("max_deg"),
+        F.sum(F.log(F.col("deg") / (xmin - 0.5))).alias("lsum"),
+    )
+    alpha = F.when(
+        F.col("lsum") > 0.0, 1.0 + F.col("n_nodes") / F.col("lsum")
+    )
+    return agg.select(
+        "n_nodes", "max_deg", F.round(alpha, decimals).alias("alpha")
+    )

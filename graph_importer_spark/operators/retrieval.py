@@ -231,3 +231,81 @@ def rrf_fuse(
             F.sum(1.0 / (F.lit(float(k_rrf)) + F.col("rnk"))), decimals
         ).alias("rrf"),
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    max_df: int | None = None,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Materialized inverted index -> one row per term:
+    (term, df, total_tf, postings) where ``postings`` is the classic
+    doc-ordered posting list serialized as "docid:tf docid:tf ..."
+    (ascending doc id — the order a merge-join retrieval engine wants
+    and delta/varbyte compression assumes).
+
+    This is the at-rest form behind bm25_topk: score-time probes then
+    read only their terms' rows instead of re-scanning the corpus.
+
+    Scale shape: one corpus scan; tf per (doc, term) and the per-term
+    roll-up are hash aggregates with map-side partials.  The posting
+    ARRAY is built with sort_array over collect_list of (doc, tf)
+    structs — per-term state, which is exactly the thing that blows up
+    on stopword terms at web scale, so two guards are first-class:
+    ``max_df`` drops terms appearing in more documents (stopword cut —
+    the standard IR move; dropped terms are recoverable by lowering
+    the cap), and ``max_postings`` keeps only the highest-tf postings
+    per term (slice after a tf-descending sort), bounding per-term
+    memory like the skew.salted_topk carry bound.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+    if max_postings is not None:
+        # keep the max_postings highest-tf docs per term (ties -> lower
+        # doc id), then re-sort by doc id for the serialized list
+        plist = F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("tf")).alias("ntf"),
+                        F.col("doc").alias("doc"),
+                        F.col("tf").alias("tf"),
+                    )
+                )
+            ),
+            1,
+            max_postings,
+        )
+        plist = F.sort_array(
+            F.transform(
+                plist,
+                lambda s: F.struct(s["doc"].alias("doc"), s["tf"].alias("tf")),
+            )
+        )
+    else:
+        plist = F.sort_array(
+            F.collect_list(F.struct(F.col("doc").alias("doc"), F.col("tf").alias("tf")))
+        )
+    out = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                plist,
+                lambda s: F.concat_ws(":", s["doc"].cast("string"), s["tf"].cast("string")),
+            ),
+            " ",
+        ).alias("postings"),
+    )
+    out = out.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out

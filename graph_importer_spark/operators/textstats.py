@@ -490,3 +490,77 @@ def duplicated_gram_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def c4_line_columns(
+    text: Column, min_words: int = 5, min_kept_lines: int = 3
+) -> dict[str, Column]:
+    """C4's published line/page cleaning rules (Raffel et al. 2020,
+    JMLR 21(140) §2.2) as pure array/string expressions over a
+    newline-delimited page — zero shuffle, one map-only pass:
+
+    line KEPT iff it (a) ends in a terminal punctuation mark
+    (. ! ? "), (b) has >= ``min_words`` words, (c) does not contain
+    the word "javascript" (case-insensitive);
+    page KEPT (``c4_keep``) iff >= ``min_kept_lines`` lines survive
+    and the page contains neither "lorem ipsum" nor "{".
+
+    Returns named columns: n_lines, n_kept, clean_text (kept lines
+    re-joined with \\n), c4_keep.  The line array is let-bound so the
+    split runs once per page, not once per predicate (see let_bind).
+
+    Boilerplate removal at the LINE level is the step between html
+    extraction (extract.py) and document-level quality gates
+    (gopher_columns) in the corpus-hygiene recipe; the reference has
+    no text surface at all (it imports pre-built graphs), so this is
+    §2.11 extension territory.
+    """
+
+    def is_kept(ln: Column) -> Column:
+        words = F.size(F.split(F.trim(ln), r"\s+"))
+        return (
+            ln.rlike(r'[.!?"]\s*$')
+            & (F.length(F.trim(ln)) > 0)
+            & (words >= min_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    lines = F.split(text, "\n")
+    kept = let_bind(lines, lambda ls: F.filter(ls, is_kept))
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    low = F.lower(text)
+    page_ok = (
+        (n_kept >= min_kept_lines)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+    return {
+        "n_lines": n_lines,
+        "n_kept": n_kept,
+        "clean_text": F.array_join(kept, "\n"),
+        "c4_keep": page_ok,
+    }
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """Apply :func:`c4_line_columns` per document -> (id, n_lines,
+    n_kept, c4_keep, clean_md5).  The cleaned text is surfaced as its
+    md5 so the frame stays narrow (callers that need the text itself
+    use c4_line_columns directly in a select)."""
+    cols = c4_line_columns(
+        F.col(text_col), min_words=min_words, min_kept_lines=min_kept_lines
+    )
+    return df.select(
+        F.col(id_col),
+        cols["n_lines"].alias("n_lines"),
+        cols["n_kept"].alias("n_kept"),
+        cols["c4_keep"].alias("c4_keep"),
+        F.md5(F.encode(cols["clean_text"], "UTF-8")).alias("clean_md5"),
+    )

@@ -268,3 +268,37 @@ def to_nquads(
         line.alias("line"),
         F.md5(F.encode(line, "UTF-8")).alias("line_md5"),
     )
+
+
+def chain_pattern(
+    triples: DataFrame, preds: list[str], distinct: bool = True
+) -> DataFrame:
+    """SPARQL basic-graph-pattern CHAIN over (subj, pred, obj):
+    ?v0 p1 ?v1 . ?v1 p2 ?v2 . ... -> one column per variable
+    (v0..vN).  The workhorse query shape a constructed KG serves
+    (``director_of/starred_in``-style 2-3 hop lookups); the reference
+    delegates these to ArangoDB's AQL traversals after import — here
+    the chain IS the DataFrame plan.
+
+    Scale shape: each hop filters pred = p_i FIRST — a predicate
+    equality Spark pushes into the triple scan (at rest the triple
+    table is partitioned by pred, so this is partition pruning, see
+    SCALE.md) — then equi-joins on the shared variable.  Join keys are
+    entity ids: Zipf-hot entities are AQE skew-join territory.  No
+    window, no UDF; an n-hop chain is n-1 shuffles, each over only the
+    rows that survived their predicate filter.
+    """
+    if not preds:
+        raise ValueError("preds must be non-empty")
+    out = (
+        triples.filter(F.col("pred") == preds[0])
+        .select(F.col("subj").alias("v0"), F.col("obj").alias("v1"))
+    )
+    for i, p in enumerate(preds[1:], start=1):
+        hop = triples.filter(F.col("pred") == p).select(
+            F.col("subj").alias(f"v{i}"), F.col("obj").alias(f"v{i + 1}")
+        )
+        out = out.join(hop, f"v{i}")
+    cols = [f"v{i}" for i in range(len(preds) + 1)]
+    out = out.select(*cols)
+    return out.distinct() if distinct else out
