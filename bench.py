@@ -131,6 +131,8 @@ HEADLINE = [
     "text_c4_lines",
     "profile_orders",
     "text_postings",
+    "text_bpe",
+    "kg_entity_summary",
 ]
 
 

@@ -5556,8 +5556,8 @@ def _oracle_profile_orders() -> str:
     for name, expr in cols.items():
         parts.append(
             f"""
-SELECT '{name}' AS "column", SUM(cnt) AS n_rows,
-       COALESCE(SUM(cnt) FILTER (WHERE value IS NULL), 0) AS n_null,
+SELECT '{name}' AS "column", CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cnt) FILTER (WHERE value IS NULL), 0) AS BIGINT) AS n_null,
        round(COALESCE(SUM(cnt) FILTER (WHERE value IS NULL), 0) * 1.0
              / SUM(cnt), 6) AS null_frac,
        COUNT(*) FILTER (WHERE value IS NOT NULL) AS n_distinct,
@@ -5591,10 +5591,161 @@ WITH tf AS (
     SELECT doc_id, UNNEST(string_split({_NF_SQL}, ' ')) AS term
     FROM documents)
   WHERE term <> '' GROUP BY term, doc)
-SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf,
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
        string_agg(CAST(doc AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                   ' ' ORDER BY doc) AS postings
 FROM tf GROUP BY term HAVING COUNT(*) >= 2
+"""
+
+
+def q_text_bpe(spark, sf_dir):
+    """BPE vocabulary learning (Sennrich ACL'16) — first 4 merges over
+    the documents corpus (operators/bpe.bpe_learn): word-count scan,
+    then per-merge pair-count argmax (ties to the smaller pair) and a
+    greedy left-to-right replace.  The oracle unrolls all 4 merge
+    rounds as chained CTEs replaying the identical count/argmax/
+    replace formulas."""
+    from graph_importer_spark.operators.bpe import bpe_learn
+
+    d = T(spark, sf_dir, "documents")
+    return bpe_learn(d, "text", n_merges=4)
+
+
+def _oracle_text_bpe(n_merges: int = 4) -> str:
+    parts = [
+        f"""words AS (
+  SELECT tok AS word, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(string_split({_NF_SQL}, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+w0 AS (
+  SELECT cnt, ' ' || string_agg(word[i], ' ' ORDER BY i) || ' ' AS s
+  FROM words, UNNEST(generate_series(1, length(word))) u(i)
+  GROUP BY word, cnt)"""
+    ]
+    finals = []
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair, SUM(cnt) AS n
+  FROM (SELECT cnt, string_split(trim(s), ' ') AS t FROM w{k - 1}),
+       UNNEST(generate_series(1, len(t) - 1)) u(i)
+  GROUP BY 1),
+m{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1),
+w{k} AS (
+  SELECT cnt, replace(s, ' ' || pair || ' ',
+                      ' ' || replace(pair, ' ', '') || ' ') AS s
+  FROM w{k - 1}, m{k})"""
+        )
+        finals.append(
+            f"""SELECT {k} AS step, string_split(pair, ' ')[1] AS "left",
+       string_split(pair, ' ')[2] AS "right",
+       replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n FROM m{k}"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+ORACLE_TEXT_BPE = _oracle_text_bpe()
+
+
+def q_stream_join(spark, sf_dir):
+    """stream_interval_join executed AS A STREAM: view->click
+    attribution within 1 h on the same user, both sides file streams
+    over the events parquet (availableNow, append-mode memory sink).
+    Watermark is set past the corpus's 30-day span so no row is
+    late-dropped under multi-batch replay; the oracle is the batch
+    self-join with the identical range predicate."""
+    import uuid as _uuid
+
+    from graph_importer_spark import streaming as _stream
+
+    schema = T(spark, sf_dir, "events").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    views = src.filter(F.col("event_type") == "view")
+    clicks = src.filter(F.col("event_type") == "click")
+    out = _stream.stream_interval_join(
+        views,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_id="event_id",
+        horizon_seconds=3600,
+        watermark="35 days",
+    )
+    name = "sj_" + _uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_JOIN = """
+SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECONDS
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+"""
+
+
+def q_kg_entity_summary(spark, sf_dir):
+    """Entity-card top-3 facts per subject ranked by predicate rarity
+    (triples.entity_summary; ranking routes through the two-phase
+    salted top-k — no subj-partitioned window).  Triple table =
+    orders-derived facts through three predicates with different
+    frequencies.  The oracle replays score + QUALIFY row_number."""
+    from graph_importer_spark.triples import entity_summary
+
+    o = T(spark, sf_dir, "orders")
+    placed = o.select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 20).cast("string")).alias("subj"),
+        F.lit("placed").alias("pred"),
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 100).cast("string")).alias("obj"),
+    )
+    contains = o.select(
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 100).cast("string")).alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 37).cast("string")).alias("obj"),
+    )
+    status = o.select(
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 100).cast("string")).alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+    )
+    t = placed.unionByName(contains).unionByName(status)
+    return entity_summary(t, k=3)
+
+
+ORACLE_KG_ENTITY_SUMMARY = """
+WITH t AS (
+  SELECT 'c' || CAST(o_custkey % 20 AS VARCHAR) AS subj, 'placed' AS pred,
+         'o' || CAST(o_orderkey % 100 AS VARCHAR) AS obj FROM orders
+  UNION ALL
+  SELECT 'o' || CAST(o_orderkey % 100 AS VARCHAR), 'contains',
+         'p' || CAST(o_orderkey % 37 AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o' || CAST(o_orderkey % 100 AS VARCHAR), 'status',
+         o_orderstatus FROM orders),
+facts AS (SELECT DISTINCT subj, pred, obj FROM t),
+p AS (SELECT pred, COUNT(*) AS pn FROM facts GROUP BY pred),
+n AS (SELECT COUNT(*) AS tn FROM facts),
+s AS (
+  SELECT subj, pred, obj, round(ln(tn * 1.0 / pn), 6) AS score,
+         pred || '|' || obj AS tb
+  FROM facts JOIN p USING (pred) CROSS JOIN n)
+SELECT subj, pred, obj, score FROM s
+QUALIFY row_number() OVER (PARTITION BY subj ORDER BY score DESC, tb) <= 3
 """
 
 
@@ -5697,6 +5848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_c4_lines": q_text_c4_lines,
     "profile_orders": q_profile_orders,
     "text_postings": q_text_postings,
+    "text_bpe": q_text_bpe,
+    "stream_interval_join": q_stream_join,
+    "kg_entity_summary": q_kg_entity_summary,
     # - text_bm25 (new r4) waits at the tail head for the r5 window:
     #   its scoring path is nested TWICE inside the in-window text_rrf
     #   oracle (two parameterized BM25 replays), and it passes the
@@ -5867,6 +6021,9 @@ ORACLES: dict[str, str] = {
     "text_c4_lines": ORACLE_TEXT_C4_LINES,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "text_postings": ORACLE_TEXT_POSTINGS,
+    "text_bpe": ORACLE_TEXT_BPE,
+    "stream_interval_join": ORACLE_STREAM_JOIN,
+    "kg_entity_summary": ORACLE_KG_ENTITY_SUMMARY,
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
     "sketch_cms_topk": _oracle_sketch_cms(),

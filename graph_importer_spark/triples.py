@@ -302,3 +302,43 @@ def chain_pattern(
     cols = [f"v{i}" for i in range(len(preds) + 1)]
     out = out.select(*cols)
     return out.distinct() if distinct else out
+
+
+def entity_summary(triples: DataFrame, k: int = 5, decimals: int = 6) -> DataFrame:
+    """Top-k facts per subject entity, ranked by predicate
+    informativeness — the entity-card query a constructed KG serves on
+    every lookup (RELIN/FACES-style ranking, simplified to the
+    predicate-rarity term): score(fact) = ln(N_facts / n_pred), so
+    facts asserted through RARE predicates outrank boilerplate ones.
+
+    -> (subj, pred, obj, score), exactly k rows per subject (fewer if
+    the entity has fewer facts); ties break on (pred, obj) so the row
+    set is deterministic and oracle-replayable.
+
+    Scale shape: predicate stats are a |preds|-row broadcast; the only
+    per-entity state is the top-k itself — ranking routes through
+    skew.salted_topk (two-phase bucketed top-k), so a hub entity with
+    10^7 facts never sorts its full fact set inside one task, the
+    exact trap a subj-partitioned window would hit.
+    """
+    facts = triples.select("subj", "pred", "obj").distinct()
+    pstats = facts.groupBy("pred").agg(F.count("*").alias("pn"))
+    total = facts.agg(F.count("*").alias("tn"))
+    scored = (
+        facts.join(F.broadcast(pstats), "pred")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.round(F.log(F.col("tn") / F.col("pn")), decimals).alias("score"),
+            F.concat_ws("|", "pred", "obj").alias("tb"),
+        )
+    )
+    from graph_importer_spark.operators.skew import salted_topk
+
+    top = salted_topk(
+        scored, key="subj", order_col="score", tiebreak="tb", k=k,
+        payload=["pred", "obj"],
+    )
+    return top.select("subj", "pred", "obj", F.col("score"))

@@ -171,3 +171,71 @@ def test_fs_score_adds_no_shuffle(spark):
     before = P.exchange_count(pairs)
     after = P.exchange_count(fs_score(pairs, {"f1": (0.9, 0.1), "f2": (0.8, 0.2)}))
     assert after == before
+
+
+def test_c4_line_filter_is_narrow(spark):
+    from graph_importer_spark.operators.textstats import c4_line_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = c4_line_filter(docs, "doc_id", "text")
+    assert P.exchange_count(df) == 0
+    assert P.python_eval_count(df) == 0
+
+
+def test_chain_pattern_pred_filters_push_down(spark):
+    from graph_importer_spark.triples import chain_pattern
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = docs.select(
+        F.col("doc_id").cast("string").alias("subj"),
+        F.col("lang").alias("pred"),
+        F.col("source").alias("obj"),
+    )
+    df = chain_pattern(t, ["en", "de"])
+    pushed = " ".join(P.pushed_filters(df))
+    assert "en" in pushed and "de" in pushed, pushed
+    assert P.python_eval_count(df) == 0
+
+
+def test_profile_table_two_shuffles_any_width(spark):
+    # the unpivot shape: exchanges stay at 2 whether 2 or 5 columns
+    from graph_importer_spark.operators.profiling import profile_table
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    narrow = profile_table(o, ["o_orderstatus", "o_custkey"])
+    wide = profile_table(
+        o,
+        ["o_orderstatus", "o_custkey", "o_orderpriority", "o_orderkey",
+         "o_totalprice"],
+    )
+    assert P.shuffle_exchange_count(narrow) == 2
+    assert P.shuffle_exchange_count(wide) == 2
+    assert P.python_eval_count(wide) == 0
+
+
+def test_postings_builder_budget(spark):
+    from graph_importer_spark.operators.retrieval import build_postings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = build_postings(docs, "doc_id", "text", min_df=2)
+    # (term, doc) tf agg + per-term rollup: two shuffles, no window
+    assert P.shuffle_exchange_count(df) == 2
+    assert "Window" not in P.physical_plan(df)
+    assert P.python_eval_count(df) == 0
+    schemas = " ".join(P.read_schemas(df))
+    assert "lang" not in schemas  # unused columns pruned
+
+
+def test_entity_summary_no_window(spark):
+    from graph_importer_spark.triples import entity_summary
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = docs.select(
+        F.col("source").alias("subj"),
+        F.col("lang").alias("pred"),
+        F.col("doc_id").cast("string").alias("obj"),
+    )
+    df = entity_summary(t, k=2)
+    # the hub-safe contract: no per-subject window sort anywhere
+    assert "Window" not in P.physical_plan(df)
+    assert P.python_eval_count(df) == 0
