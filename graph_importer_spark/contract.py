@@ -4731,7 +4731,7 @@ won AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w,
          np * nn AS t
   FROM per_score)
-SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg,
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
        round((SUM(w) + 0.5 * SUM(t)) / (SUM(np) * SUM(nn)), 6) AS auc
 FROM won
 """
