@@ -133,6 +133,10 @@ HEADLINE = [
     "text_postings",
     "text_bpe",
     "kg_entity_summary",
+    "emb_kmeans",
+    "sketch_hll",
+    "graph_anf",
+    "graph_bipartite",
 ]
 
 

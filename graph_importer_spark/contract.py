@@ -5749,6 +5749,219 @@ QUALIFY row_number() OVER (PARTITION BY subj ORDER BY score DESC, tb) <= 3
 """
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Trained IVF coarse quantizer: 2 Lloyd iterations from the
+    deterministic hash-sampled init, k = 4, over the embeddings table
+    (similarity.kmeans_train) — assignment replays the ivf_assign rule
+    (6dp cosine, centroid-id tie-break), update is the rounded
+    per-(cluster, dim) mean, empty clusters keep their centroid.
+    Output is the exploded (centroid_id, pos, val) dim rows; the
+    oracle unrolls both iterations."""
+    from graph_importer_spark.operators.similarity import (
+        kmeans_centroid_dims,
+        kmeans_train,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, "vec_id", "embedding", k=4, iters=2)
+    return kmeans_centroid_dims(cents)
+
+
+def _oracle_emb_kmeans(k: int = 4, iters: int = 2, seed: int = 42) -> str:
+    cos = (
+        "round({d} / ({na} * {nb}), 6)".format(
+            d=_DOT.format(a="{a}", b="{b}"),
+            na=_NORM.format(v="{a}"),
+            nb=_NORM.format(v="{b}"),
+        )
+    )
+    parts = [
+        "c AS (SELECT vec_id AS neighbor_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings)",
+        f"""c0 AS (
+  SELECT neighbor_id AS centroid_id, cv AS pv FROM c
+  ORDER BY ((neighbor_id % {_sim._M}) * {_sim._A} + {seed}) % {_sim._M}, neighbor_id
+  LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT neighbor_id, cv, centroid_id AS list_id FROM (
+    SELECT c.neighbor_id, c.cv, p.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY {cos.format(a='c.cv', b='p.pv')} DESC, p.centroid_id ASC) AS rn
+    FROM c, c{i - 1} p) WHERE rn = 1),
+m{i} AS (
+  SELECT list_id AS centroid_id, j - 1 AS pos, round(AVG(cv[j]), 6) AS m
+  FROM a{i}, UNNEST(generate_series(1, len(cv))) u(j)
+  GROUP BY 1, 2),
+c{i} AS (
+  SELECT p.centroid_id, COALESCE(mm.newv, p.pv) AS pv
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT centroid_id, list(m ORDER BY pos) AS newv FROM m{i} GROUP BY 1
+  ) mm USING (centroid_id))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT centroid_id, CAST(j - 1 AS INT) AS pos, pv[j] AS val
+FROM c{iters}, UNNEST(generate_series(1, len(pv))) u(j)"""
+    )
+
+
+ORACLE_EMB_KMEANS = _oracle_emb_kmeans()
+
+
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct users per event_type (sketches.hll_build +
+    hll_estimate, p = 6): registers are MAX aggregates of the repo's
+    replayable 40-bit hash, the estimator is the published alpha_m
+    formula with linear-counting small-range correction.  The oracle
+    replays registers AND estimate exactly."""
+    from graph_importer_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = T(spark, sf_dir, "events")
+    built = hll_build(ev, ["event_type"], "user_id", p=6)
+    return hll_estimate(built, ["event_type"], p=6).withColumnRenamed(
+        "approx_distinct", "approx_users"
+    )
+
+
+def _oracle_sketch_hll(p: int = 6, seed: int = 9) -> str:
+    from graph_importer_spark.operators.sketches import _hll_alpha
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    k1 = f"(((user_id % {_gen._M}) + {_gen._M}) % {_gen._M})"
+    k2 = f"(((user_id % {_gen._M2}) + {_gen._M2}) % {_gen._M2})"
+    h1 = f"(({k1} * {_gen._A} + {seed}) % {_gen._M})"
+    h2 = f"(({k2} * {_gen._A2} + {seed + 71}) % {_gen._M2})"
+    hraw = f"({h1} * {_gen._M2} + {h2})"
+    h = (
+        f"GREATEST(xor(xor({hraw}, {hraw} >> 13), {hraw} >> 27),"
+        " CAST(1 AS BIGINT))"
+    )
+    w = f"(({h}) >> {p})"
+    rho = (
+        f"CASE WHEN {w} = 0 THEN {41 - p} "
+        f"ELSE bit_count((({w}) & -({w})) - 1) + 1 END"
+    )
+    return f"""
+WITH r AS (
+  SELECT event_type, ({h}) & {m - 1} AS bucket, MAX({rho}) AS register
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         SUM(pow(2.0, -register)) + ({m} - COUNT(*)) AS suminv,
+         {m} - COUNT(*) AS zeros
+  FROM r GROUP BY event_type)
+SELECT event_type,
+  round(CASE WHEN {alpha * m * m} / suminv <= {2.5 * m} AND zeros > 0
+             THEN {float(m)} * ln({float(m)} / zeros)
+             ELSE {alpha * m * m} / suminv END, 4) AS approx_users
+FROM s
+"""
+
+
+ORACLE_SKETCH_HLL = _oracle_sketch_hll()
+
+
+def q_graph_anf(spark, sf_dir):
+    """ANF / neighborhood function (Palmer KDD'02) over the functional
+    custkey-residue graph x -> 7x+1 mod 300: per hop 0..3, the
+    FM-sketched count of reachable ordered pairs (analytics.
+    neighborhood_function, 8 registers).  The oracle replays every
+    register bit and the estimator sum."""
+    from graph_importer_spark.operators.analytics import neighborhood_function
+
+    c = T(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 300).alias("src"),
+        ((F.col("c_custkey") % 300) * 7 + 1).alias("d0"),
+    ).select("src", (F.col("d0") % 300).alias("dst"))
+    return neighborhood_function(edges, max_hops=3, registers=8)
+
+
+def _oracle_graph_anf(
+    max_hops: int = 3, registers: int = 8, seed: int = 9
+) -> str:
+    def mask(key: str, r: int) -> str:
+        k1 = f"((({key} % {_gen._M}) + {_gen._M}) % {_gen._M})"
+        k2 = f"((({key} % {_gen._M2}) + {_gen._M2}) % {_gen._M2})"
+        h1 = f"(({k1} * {_gen._A} + {r * 131 + seed}) % {_gen._M})"
+        h2 = f"(({k2} * {_gen._A2} + {r * 131 + seed + 71}) % {_gen._M2})"
+        hraw = f"({h1} * {_gen._M2} + {h2})"
+        h = (
+            f"GREATEST(xor(xor({hraw}, {hraw} >> 13), {hraw} >> 27),"
+            " CAST(1 AS BIGINT))"
+        )
+        return (
+            f"(CAST(1 AS BIGINT) <<"
+            f" LEAST(bit_count((({h}) & -({h})) - 1), 40))"
+        )
+
+    rs = range(registers)
+    parts = [
+        """e AS (
+  SELECT DISTINCT c_custkey % 300 AS src,
+         ((c_custkey % 300) * 7 + 1) % 300 AS dst
+  FROM customer WHERE c_custkey % 300 <> ((c_custkey % 300) * 7 + 1) % 300)""",
+        "v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "m0 AS (SELECT id, "
+        + ", ".join(f"{mask('id', r)} AS m{r}" for r in rs)
+        + " FROM v)",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""g{i} AS (
+  SELECT e.src AS id, {", ".join(f"bit_or(p.m{r}) AS g{r}" for r in rs)}
+  FROM e JOIN m{i - 1} p ON e.dst = p.id GROUP BY e.src),
+m{i} AS (
+  SELECT v.id, {", ".join(f"v.m{r} | COALESCE(g.g{r}, 0) AS m{r}" for r in rs)}
+  FROM m{i - 1} v LEFT JOIN g{i} g USING (id))"""
+        )
+    zsum = " + ".join(
+        f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS DOUBLE)" for r in rs
+    )
+    est = f"pow(2.0, ({zsum}) / {registers}.0) / 0.77351"
+    finals = [
+        f"SELECT {i} AS hop, round(SUM({est}), 4) AS approx_pairs FROM m{i}"
+        for i in range(0, max_hops + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+ORACLE_GRAPH_ANF = _oracle_graph_anf()
+
+
+def q_graph_bipartite(spark, sf_dir):
+    """Weighted one-mode projection (analytics.bipartite_project):
+    customers co-occurring in orderkey-residue buckets, right-degree
+    cap 40, min co-occurrence weight 2.  Oracle = the literal capped
+    self-join."""
+    from graph_importer_spark.operators.analytics import bipartite_project
+
+    o = T(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 2000).alias("dst"),
+    )
+    return bipartite_project(edges, max_right_degree=40, min_weight=2)
+
+
+ORACLE_GRAPH_BIPARTITE = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 400 AS l, o_orderkey % 2000 AS r FROM orders),
+ok AS (SELECT r FROM e GROUP BY r HAVING COUNT(*) <= 40)
+SELECT x.l AS a, y.l AS b, COUNT(*) AS weight
+FROM (SELECT * FROM e JOIN ok USING (r)) x
+JOIN (SELECT * FROM e JOIN ok USING (r)) y USING (r)
+WHERE x.l < y.l
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -5851,6 +6064,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe": q_text_bpe,
     "stream_interval_join": q_stream_join,
     "kg_entity_summary": q_kg_entity_summary,
+    "emb_kmeans": q_emb_kmeans,
+    "sketch_hll": q_sketch_hll,
+    "graph_anf": q_graph_anf,
+    "graph_bipartite": q_graph_bipartite,
     # - text_bm25 (new r4) waits at the tail head for the r5 window:
     #   its scoring path is nested TWICE inside the in-window text_rrf
     #   oracle (two parameterized BM25 replays), and it passes the
@@ -6024,6 +6241,10 @@ ORACLES: dict[str, str] = {
     "text_bpe": ORACLE_TEXT_BPE,
     "stream_interval_join": ORACLE_STREAM_JOIN,
     "kg_entity_summary": ORACLE_KG_ENTITY_SUMMARY,
+    "emb_kmeans": ORACLE_EMB_KMEANS,
+    "sketch_hll": ORACLE_SKETCH_HLL,
+    "graph_anf": ORACLE_GRAPH_ANF,
+    "graph_bipartite": ORACLE_GRAPH_BIPARTITE,
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
     "sketch_cms_topk": _oracle_sketch_cms(),

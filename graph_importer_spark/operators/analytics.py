@@ -1367,3 +1367,149 @@ def degree_powerlaw(
     return agg.select(
         "n_nodes", "max_deg", F.round(alpha, decimals).alias("alpha")
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_hops: int = 3,
+    registers: int = 8,
+    seed: int = 9,
+    decimals: int = 4,
+) -> DataFrame:
+    """ANF — the Approximate Neighborhood Function (Palmer, Gibbons,
+    Faloutsos, KDD'02): for each hop h, the approximate number of
+    ordered (u, v) pairs with directed distance(u -> v) <= h, via
+    per-node Flajolet-Martin bitmask union -> (hop, approx_pairs).
+
+    N(h) is THE scalable way to read a web graph's shape: effective
+    diameter = smallest h with N(h) >= 0.9 * N(h_max); exact
+    all-pairs BFS is O(n*m) and dead at 10^12 edges, while ANF is
+    ``max_hops`` rounds of one join + one bit_or aggregate.  The same
+    sketch drives effective_closeness (Kang's HADI) per node; this is
+    the graph-level aggregate.
+
+    Mechanics: every vertex starts with FM masks of its own id
+    (sketches._mask — the repo's replayable congruential+xor-shift
+    hash); each round every vertex bit_or-unions its out-neighbors'
+    masks into its own, so after h rounds a vertex's masks sketch its
+    <= h-hop reachable set; N(h) = sum over vertices of the FM
+    estimate.  bit_or is associative/commutative/idempotent —
+    map-side partials absorb hub fan-in, and re-walked paths cost
+    nothing (idempotence), which is WHY ANF beats frontier BFS here:
+    no visited-set anti-join needed.  One localCheckpoint per round
+    (Pregel loop discipline).
+    """
+    from graph_importer_spark.operators.sketches import PHI, _mask
+
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = _vertices_of(e)
+    mcols = [f"m{r}" for r in range(registers)]
+    masks = verts.select(
+        "id", *[_mask("id", r, seed).alias(c) for r, c in enumerate(mcols)]
+    ).localCheckpoint(eager=True)
+
+    def estimate(frame: DataFrame, hop: int) -> DataFrame:
+        z = [
+            F.expr(f"CAST(bit_count(((~{c}) & ({c} + 1)) - 1) AS DOUBLE)")
+            for c in mcols
+        ]
+        zsum = z[0]
+        for x in z[1:]:
+            zsum = zsum + x
+        est = F.pow(F.lit(2.0), zsum / F.lit(float(registers))) / F.lit(PHI)
+        return frame.agg(
+            F.round(F.sum(est), decimals).alias("approx_pairs")
+        ).select(F.lit(hop).alias("hop"), "approx_pairs")
+
+    out = estimate(masks, 0)
+    for hop in range(1, max_hops + 1):
+        gathered = (
+            e.join(masks.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.bit_or(c).alias(c) for c in mcols])
+        )
+        g = gathered.select(
+            "id", *[F.col(c).alias(f"g{c}") for c in mcols]
+        )
+        masks = (
+            masks.join(g, "id", "left")
+            .select(
+                "id",
+                *[
+                    (
+                        F.col(c).bitwiseOR(
+                            F.coalesce(F.col(f"g{c}"), F.lit(0))
+                        )
+                    ).alias(c)
+                    for c in mcols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(estimate(masks, hop))
+    return out
+
+
+def effective_diameter(nf: DataFrame, quantile: float = 0.9):
+    """Smallest hop h with N(h) >= quantile * N(max hop), from a
+    neighborhood_function frame — one tiny driver-side reduction
+    (the frame has max_hops+1 rows)."""
+    rows = sorted(
+        ((r["hop"], r["approx_pairs"]) for r in nf.collect())
+    )
+    total = rows[-1][1]
+    for hop, pairs in rows:
+        if pairs >= quantile * total:
+            return hop
+    return rows[-1][0]
+
+
+def bipartite_project(
+    edges: DataFrame,
+    left: str = "src",
+    right: str = "dst",
+    max_right_degree: int | None = None,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph -> (a, b,
+    weight) with a < b and weight = number of shared right-side
+    neighbors (co-purchase / co-click / co-mention construction — the
+    step that turns a page-entity or user-item graph into the entity
+    graph the Pregel catalog runs on).
+
+    Scale shape: one self-equi-join keyed on the RIGHT vertex — a hot
+    right vertex (a page every entity appears on) contributes deg^2
+    pairs, so ``max_right_degree`` is a first-class cap (the linkpred
+    hub-cap argument: a right node shared by everyone carries ~zero
+    association signal; dropped nodes are named by the cap, not
+    silently sampled).  The (a, b) count aggregate is partial-agg
+    absorbed; ``min_weight`` prunes the long tail before it leaves the
+    exchange.
+    """
+    e = (
+        edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+        .filter(F.col("l").isNotNull() & F.col("r").isNotNull())
+        .distinct()
+    )
+    if max_right_degree is not None:
+        ok = (
+            e.groupBy("r")
+            .agg(F.count("*").alias("rdeg"))
+            .filter(F.col("rdeg") <= max_right_degree)
+            .select("r")
+        )
+        e = e.join(ok, "r", "left_semi")
+    a = e.select(F.col("l").alias("a"), "r")
+    b = e.select(F.col("l").alias("b"), "r")
+    return (
+        a.join(b, "r")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

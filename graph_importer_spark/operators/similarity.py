@@ -320,3 +320,82 @@ def pair_recall(found: DataFrame, truth: DataFrame) -> float:
         found.select("id1", "id2").join(t, ["id1", "id2"], "left_semi").count()
     )
     return hits / denom
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Lloyd k-means refinement of the deterministic ``ivf_centroids``
+    init -> trained centroids (centroid_id, pv array<double>, pn).
+
+    This upgrades the IVF family from hash-sampled to TRAINED coarse
+    quantizers (the `ivf_centroids` docstring's "swap in trained
+    centroids" path) while keeping every step oracle-replayable:
+
+    * assignment uses the exact ``ivf_assign`` rule (cosine rounded to
+      ``decimals``, ties to the smaller centroid id);
+    * the update is a per-(cluster, dimension) MEAN — posexplode +
+      partial-agg, so a hot cluster's vectors are averaged map-side,
+      never collected — rounded to ``decimals`` so the next round's
+      distances are a pure function of rounded values;
+    * empty clusters keep their previous centroid (no resampling —
+      determinism over textbook-variant rescue heuristics).
+
+    Scale shape per iteration: one corpus scan (broadcast-centroid
+    assignment, algebraic max_by — no window) + one (cluster, dim)
+    aggregate of bounded output (k x dim rows) + a k-row centroid
+    rebuild; the corpus never shuffles.  Driver loop of ``iters``
+    rounds with per-round localCheckpoint, same discipline as the
+    Pregel catalog.
+    """
+    normed = with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+    cents = ivf_centroids(normed, k, seed)
+    # pv to double so iteration-0 (corpus floats) and iteration-n
+    # (rounded double means) flow through one code path
+    cents = cents.select(
+        "centroid_id",
+        F.transform("pv", lambda x: x.cast("double")).alias("pv"),
+        "pn",
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = ivf_assign(normed, cents)
+        means = (
+            assigned.select("list_id", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg("val"), decimals).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("newv")
+            )
+        )
+        cents = (
+            cents.join(
+                means.withColumnRenamed("list_id", "centroid_id"),
+                "centroid_id",
+                "left",
+            )
+            .select(
+                "centroid_id",
+                F.coalesce("newv", "pv").alias("pv"),
+            )
+            .select("centroid_id", "pv", norm(F.col("pv")).alias("pn"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_centroid_dims(cents: DataFrame) -> DataFrame:
+    """Trained centroids exploded to (centroid_id, pos, val) rows —
+    the narrow, scalar form oracles and catalogs store."""
+    return cents.select(
+        "centroid_id", F.posexplode("pv").alias("pos", "val")
+    )

@@ -369,3 +369,97 @@ def hist_quantiles(
     return packed.select(
         *group_cols, F.explode(F.array(*out_rows)).alias("r")
     ).select(*group_cols, "r.q", "r.est")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: the industry-standard cardinality sketch, replayable
+# ---------------------------------------------------------------------------
+
+def _hraw_sql(key_col: str, seed: int) -> str:
+    """The repo's standard replayable 40-bit hash (two congruential
+    rounds over coprime primes + xor-shift finalizer — see _mask), as
+    a raw value instead of an FM bitmask."""
+    k1 = f"((({key_col} % {_M}) + {_M}) % {_M})"
+    k2 = f"((({key_col} % {_M2}) + {_M2}) % {_M2})"
+    h1 = f"(({k1} * {_A} + {seed}) % {_M})"
+    h2 = f"(({k2} * {_A2} + {seed + 71}) % {_M2})"
+    hraw = f"({h1} * {_M2} + {h2})"
+    return (
+        f"GREATEST({hraw} ^ shiftright({hraw}, 13) ^ shiftright({hraw}, 27),"
+        " CAST(1 AS BIGINT))"
+    )
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 6, seed: int = 9
+) -> DataFrame:
+    """HyperLogLog registers per group -> (group..., bucket, register).
+
+    bucket = low p hash bits; register = MAX over keys of rho (position
+    of the lowest set bit of the remaining hash, 1-based; the
+    trailing-zero variant — identically distributed to Flajolet's
+    leading-zero form under a uniform hash and cheaper in int64 ops).
+
+    The aggregate is MAX: associative/commutative/idempotent =>
+    map-side partials, mergeable across partitions/days/segments by
+    re-MAXing — store the <= 2^p rows per group, union later.  Every
+    register is a pure int64 function of the keys (the repo's
+    congruential+xor-shift hash), so DuckDB replays the sketch
+    bit-for-bit, unlike approx_count_distinct's opaque HLL++ binary.
+    """
+    m = 1 << p
+    h = _hraw_sql(key_col, seed)
+    maxrho = 41 - p
+    w = f"shiftright({h}, {p})"
+    rho = (
+        f"CASE WHEN {w} = 0 THEN {maxrho} "
+        f"ELSE bit_count((({w}) & -({w})) - 1) + 1 END"
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.expr(f"({h}) & {m - 1}").alias("bucket"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(
+    built: DataFrame, group_cols: list[str], p: int = 6, decimals: int = 4
+) -> DataFrame:
+    """Registers -> (group..., approx_distinct) via the published HLL
+    estimator: raw = alpha_m * m^2 / sum_j 2^-M_j (absent buckets
+    contribute 2^0 = 1), with the small-range linear-counting
+    correction (raw <= 2.5m and empty buckets exist ->
+    m * ln(m / zeros)).  The 2^-M_j sum is EXACT in doubles (binary
+    fractions), so the estimate is deterministic, not merely
+    round-stable."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = built.groupBy(*group_cols).agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("register")))
+            + (F.lit(m) - F.count("*"))
+        ).alias("suminv"),
+        (F.lit(m) - F.count("*")).alias("zeros"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("suminv")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, decimals).alias("approx_distinct")
+    )
