@@ -137,6 +137,9 @@ HEADLINE = [
     "sketch_hll",
     "graph_anf",
     "graph_bipartite",
+    "er_golden_record",
+    "cdc_apply",
+    "events_resample",
 ]
 
 

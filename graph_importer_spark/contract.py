@@ -5962,6 +5962,150 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+def q_er_golden_record(spark, sf_dir):
+    """Survivorship merge (linkage.golden_record): customers clustered
+    by custkey % 40 collapse to one golden row — max acctbal, min
+    name, MODE mktsegment (ties to the larger string, the profiling
+    convention).  Oracle replays base aggregates + the mode pass."""
+    from graph_importer_spark.operators.linkage import golden_record
+
+    c = T(spark, sf_dir, "customer")
+    g = c.select(
+        (F.col("c_custkey") % 40).alias("cluster"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return golden_record(
+        g,
+        "cluster",
+        {"c_acctbal": "max", "c_name": "min", "c_mktsegment": "mode"},
+    )
+
+
+ORACLE_ER_GOLDEN = """
+WITH g AS (
+  SELECT c_custkey % 40 AS cluster, c_name, c_acctbal, c_mktsegment
+  FROM customer),
+base AS (
+  SELECT cluster, COUNT(*) AS n_members, MAX(c_acctbal) AS c_acctbal,
+         MIN(c_name) AS c_name
+  FROM g GROUP BY cluster),
+cnt AS (
+  SELECT cluster, c_mktsegment AS value, COUNT(*) AS cnt FROM g
+  WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT cluster,
+         arg_max(value, printf('%012d', cnt) || '|' || value) AS c_mktsegment
+  FROM cnt GROUP BY cluster)
+SELECT b.cluster, b.n_members, b.c_acctbal, b.c_name, m.c_mktsegment
+FROM base b LEFT JOIN m USING (cluster)
+"""
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC MERGE (scd2.apply_cdc): a synthesized change log over the
+    customer snapshot — two competing updates per %10==0 key (v2 must
+    win), deletes for %10==1, inserts of brand-new keys — applied with
+    last-writer-wins.  Oracle replays via QUALIFY max-version pick +
+    full-outer merge."""
+    from graph_importer_spark.operators.scd2 import apply_cdc
+
+    c = T(spark, sf_dir, "customer")
+    snap = c.select("c_custkey", "c_name", "c_acctbal")
+    base = c.select("c_custkey", "c_name", "c_acctbal")
+    u1 = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("u1_"), "c_name").alias("c_name"),
+        (F.col("c_acctbal") + 1).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("version"),
+    )
+    u2 = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("u2_"), "c_name").alias("c_name"),
+        (F.col("c_acctbal") + 2).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("version"),
+    )
+    d = base.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit("D").alias("op"),
+        F.lit(1).alias("version"),
+    )
+    ins = base.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), "c_name").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("version"),
+    )
+    changes = u1.unionByName(u2).unionByName(d).unionByName(ins)
+    return apply_cdc(snap, changes, "c_custkey")
+
+
+ORACLE_CDC_APPLY = """
+WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+ch AS (
+  SELECT c_custkey, 'u1_' || c_name AS c_name, c_acctbal + 1 AS c_acctbal,
+         'U' AS op, 1 AS version FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'u2_' || c_name, c_acctbal + 2, 'U', 2
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, NULL, 'D', 1 FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, 0.0, 'I', 1
+  FROM customer WHERE c_custkey % 10 = 2),
+latest AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1)
+SELECT c_custkey,
+       CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE s.c_name END AS c_name,
+       CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE s.c_acctbal END AS c_acctbal
+FROM snap s FULL JOIN latest l USING (c_custkey)
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
+def q_events_resample(spark, sf_dir):
+    """Regular 6-hour grid with forward fill per user
+    (timeseries.resample_ffill, event_id tiebreak for same-second
+    observations).  Oracle replays the grid explode + IGNORE NULLS
+    window carry."""
+    from graph_importer_spark.operators.timeseries import resample_ffill
+
+    ev = T(spark, sf_dir, "events")
+    return resample_ffill(
+        ev, "user_id", "ts", "value", step_seconds=21600, tiebreak_col="event_id"
+    )
+
+
+ORACLE_EVENTS_RESAMPLE = """
+WITH obs AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v,
+         0 AS is_grid, event_id AS tb
+  FROM events),
+spans AS (
+  SELECT k, (min(t) // 21600) * 21600 AS t0, (max(t) // 21600) * 21600 AS t1
+  FROM obs GROUP BY k),
+grid AS (
+  SELECT k, t, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+         CAST(-1 AS BIGINT) AS tb
+  FROM spans, UNNEST(generate_series(t0, t1, 21600)) u(t)),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+f AS (
+  SELECT k, t, is_grid,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY t, is_grid, tb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM u)
+SELECT k AS user_id, t AS grid_ts, value FROM f WHERE is_grid = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -6068,6 +6212,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll": q_sketch_hll,
     "graph_anf": q_graph_anf,
     "graph_bipartite": q_graph_bipartite,
+    "er_golden_record": q_er_golden_record,
+    "cdc_apply": q_cdc_apply,
+    "events_resample": q_events_resample,
     # - text_bm25 (new r4) waits at the tail head for the r5 window:
     #   its scoring path is nested TWICE inside the in-window text_rrf
     #   oracle (two parameterized BM25 replays), and it passes the
@@ -6245,6 +6392,9 @@ ORACLES: dict[str, str] = {
     "sketch_hll": ORACLE_SKETCH_HLL,
     "graph_anf": ORACLE_GRAPH_ANF,
     "graph_bipartite": ORACLE_GRAPH_BIPARTITE,
+    "er_golden_record": ORACLE_ER_GOLDEN,
+    "cdc_apply": ORACLE_CDC_APPLY,
+    "events_resample": ORACLE_EVENTS_RESAMPLE,
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
     "sketch_cms_topk": _oracle_sketch_cms(),

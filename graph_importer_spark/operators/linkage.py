@@ -54,3 +54,88 @@ def fs_score(
         .otherwise(F.lit("possible"))
     )
     return pairs.withColumn("fs_weight", w).withColumn("fs_decision", decision)
+
+
+def golden_record(
+    df,
+    cluster_col: str,
+    rules: dict[str, str],
+    ts_col: str | None = None,
+) -> "DataFrame":
+    """Survivorship: collapse each duplicate CLUSTER (the output of
+    dedup.dup_clusters / ER matching) into one golden record — the
+    merge step that finishes entity resolution.
+
+    ``rules`` maps column -> one of:
+      * ``latest``  — value of the member with the greatest ``ts_col``
+        among non-null values (requires ts_col; ties -> greater value);
+      * ``mode``    — most frequent non-null value (ties -> greater
+        value string, same convention as profiling.profile_table);
+      * ``min`` / ``max`` — plain extrema.
+
+    -> one row per cluster: (cluster, n_members, <ruled columns>).
+
+    Scale shape: latest/min/max are algebraic aggregates in ONE
+    cluster-keyed groupBy (map-side partials — a pathological
+    million-member cluster never collects its rows anywhere).  The
+    mode columns share ONE extra unpivot -> (cluster, col, value)
+    count -> max_by pass (two bounded shuffles TOTAL regardless of how
+    many columns use mode — the profiling shape), pivoted back by
+    conditional aggregation, broadcast-joined onto the base (one row
+    per cluster on both sides).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("n_members")]
+    mode_cols = [c for c, r in rules.items() if r == "mode"]
+    for c, r in rules.items():
+        if r == "latest":
+            if ts_col is None:
+                raise ValueError("rule 'latest' requires ts_col")
+            aggs.append(
+                F.max_by(
+                    c,
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(F.col(ts_col), F.col(c)),
+                    ),
+                ).alias(c)
+            )
+        elif r == "min":
+            aggs.append(F.min(c).alias(c))
+        elif r == "max":
+            aggs.append(F.max(c).alias(c))
+        elif r == "mode":
+            pass  # handled in the shared unpivot below
+        else:
+            raise ValueError(f"unknown rule {r!r} for column {c!r}")
+    base = df.groupBy(cluster_col).agg(*aggs)
+    if not mode_cols:
+        return base
+    pairs = df.select(
+        F.col(cluster_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in mode_cols
+                ]
+            )
+        ).alias("p"),
+    ).select(cluster_col, "p.col", "p.value").filter(F.col("value").isNotNull())
+    counted = pairs.groupBy(cluster_col, "col", "value").agg(
+        F.count("*").alias("cnt")
+    )
+    tops = counted.groupBy(cluster_col, "col").agg(
+        F.max_by("value", F.struct("cnt", "value")).alias("top")
+    )
+    modes = tops.groupBy(cluster_col).agg(
+        *[
+            F.max(F.when(F.col("col") == c, F.col("top"))).alias(c)
+            for c in mode_cols
+        ]
+    )
+    return base.join(modes, cluster_col, "left")

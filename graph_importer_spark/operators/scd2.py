@@ -113,3 +113,53 @@ def scd2_asof(
         (F.col("valid_from") <= ts)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
     )
+
+
+def apply_cdc(
+    snapshot,
+    changes,
+    key: str,
+    version_col: str = "version",
+    op_col: str = "op",
+):
+    """Apply a change-data-capture log to a snapshot — the lakehouse
+    MERGE (upsert + delete) as a deterministic batch operator:
+
+    * ``changes`` rows carry ``op`` in {'I', 'U', 'D'} and a strictly
+      ordered ``version``; per key, the HIGHEST version wins
+      (last-writer-wins, max_by — no window);
+    * a winning 'D' removes the key; 'I'/'U' replace the row;
+    * keys untouched by the log pass through unchanged.
+
+    -> the new snapshot with the snapshot's columns.
+
+    Scale shape: one key-keyed max_by over the changes (partials
+    absorb hot keys — a key rewritten millions of times per day
+    collapses map-side), then ONE full-outer key join against the
+    snapshot.  With both sides written bucketed by key (tables.py)
+    the join exchange is elided — the nightly CDC apply becomes
+    shuffle-free, which is the difference between minutes and hours
+    at 10^12 rows.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [c for c in snapshot.columns if c != key]
+    payload = [c for c in changes.columns if c not in (key, version_col)]
+    latest = (
+        changes.groupBy(key)
+        .agg(F.max_by(F.struct(*payload), version_col).alias("_r"))
+        .select(key, "_r.*")
+    )
+    snap = snapshot.select(key, *[F.col(c).alias(f"_s_{c}") for c in cols])
+    merged = snap.join(latest, key, "full")
+    keep = F.col(op_col).isNull() | (F.col(op_col) != "D")
+    out = merged.filter(keep).select(
+        key,
+        *[
+            F.when(F.col(op_col).isNotNull(), F.col(c))
+            .otherwise(F.col(f"_s_{c}"))
+            .alias(c)
+            for c in cols
+        ],
+    )
+    return out

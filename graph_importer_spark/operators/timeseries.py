@@ -114,3 +114,79 @@ def transition_counts(
         "n",
         F.round(F.col("n") / F.col("_t"), decimals).alias("p"),
     )
+
+
+def resample_ffill(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_col: str | None = None,
+):
+    """Resample an irregular per-key series onto a regular epoch grid
+    with forward fill -> (key, grid_ts, value): for every key, one row
+    per ``step_seconds`` tick from its first observation's bucket to
+    its last, carrying the latest observation at-or-before the tick —
+    the feature-engineering normal form (regular tensors from ragged
+    event logs).
+
+    Mechanics: the key's [min, max] epoch range is one aggregate;
+    ``sequence()`` explodes the grid (fan-out = span/step, a documented
+    cost the caller controls via step_seconds); grid ticks union with
+    the observations and ONE key-ordered window carries
+    last(value, ignoreNulls) forward; grid rows are kept, observation
+    rows dropped.  Observations at the same second as a tick sort
+    BEFORE it (is_grid flag in the ordering), so a tick reflects
+    everything <= its timestamp.
+
+    Scale shape: one key shuffle shared by the window; per-key state is
+    the key's own rows + its grid — keys are user/series-grained.  A
+    single pathological key spanning years at 1 s steps is a fan-out
+    problem the step parameter owns; there is no corpus-wide sort.
+    """
+    from pyspark.sql import functions as F
+
+    # deterministic ordering among same-second observations: without a
+    # tiebreak, which of two equal-timestamp values carries forward is
+    # a partition race (ts truncates to epoch seconds)
+    tb = (
+        F.col(tiebreak_col).cast("long")
+        if tiebreak_col is not None
+        else F.lit(0)
+    )
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        F.unix_timestamp(ts_col).alias("t"),
+        F.col(value_col).alias("v"),
+        F.lit(0).alias("is_grid"),
+        tb.alias("tb"),
+    )
+    spans = obs.groupBy("k").agg(
+        (F.floor(F.min("t") / step_seconds) * step_seconds).alias("t0"),
+        (F.floor(F.max("t") / step_seconds) * step_seconds).alias("t1"),
+    )
+    grid = spans.select(
+        "k",
+        F.explode(
+            F.sequence("t0", "t1", F.lit(step_seconds))
+        ).alias("t"),
+        F.lit(None).cast(obs.schema["v"].dataType).alias("v"),
+        F.lit(1).alias("is_grid"),
+        F.lit(-1).cast("long").alias("tb"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_grid", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = obs.unionByName(grid).select(
+        "k", "t", "is_grid", F.last("v", ignorenulls=True).over(w).alias("value")
+    )
+    return filled.filter(F.col("is_grid") == 1).select(
+        F.col("k").alias(key_col),
+        F.col("t").alias("grid_ts"),
+        "value",
+    )
