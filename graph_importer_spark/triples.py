@@ -283,25 +283,34 @@ def chain_pattern(
     Scale shape: each hop filters pred = p_i FIRST — a predicate
     equality Spark pushes into the triple scan (at rest the triple
     table is partitioned by pred, so this is partition pruning, see
-    SCALE.md) — then equi-joins on the shared variable.  Join keys are
-    entity ids: Zipf-hot entities are AQE skew-join territory.  No
-    window, no UDF; an n-hop chain is n-1 shuffles, each over only the
-    rows that survived their predicate filter.
+    SCALE.md) — then equi-joins on the shared variable.  With
+    ``distinct`` (the default), each hop DEDUPS to its distinct
+    (subj, obj) fact pairs BEFORE joining: extraction emits one row
+    per EVIDENCE (the same fact asserted on millions of pages), and
+    joining evidence rows on a shared entity multiplies
+    evidence_a x evidence_b per entity — measured 77 s vs ~1 s at
+    sf0.1 on a 100-value join key.  Fact-level dedup bounds every
+    intermediate by the distinct fact count and makes the final rows
+    unique by construction (no terminal distinct needed).  Join keys
+    are entity ids: Zipf-hot entities are AQE skew-join territory.
+    No window, no UDF; an n-hop chain is n-1 shuffles over per-
+    predicate fact sets.  ``distinct=False`` keeps evidence
+    multiplicity for callers that weight paths by support.
     """
     if not preds:
         raise ValueError("preds must be non-empty")
-    out = (
-        triples.filter(F.col("pred") == preds[0])
-        .select(F.col("subj").alias("v0"), F.col("obj").alias("v1"))
-    )
-    for i, p in enumerate(preds[1:], start=1):
-        hop = triples.filter(F.col("pred") == p).select(
+
+    def hop_of(p: str, i: int) -> DataFrame:
+        h = triples.filter(F.col("pred") == p).select(
             F.col("subj").alias(f"v{i}"), F.col("obj").alias(f"v{i + 1}")
         )
-        out = out.join(hop, f"v{i}")
+        return h.distinct() if distinct else h
+
+    out = hop_of(preds[0], 0)
+    for i, p in enumerate(preds[1:], start=1):
+        out = out.join(hop_of(p, i), f"v{i}")
     cols = [f"v{i}" for i in range(len(preds) + 1)]
-    out = out.select(*cols)
-    return out.distinct() if distinct else out
+    return out.select(*cols)
 
 
 def entity_summary(triples: DataFrame, k: int = 5, decimals: int = 6) -> DataFrame:

@@ -239,3 +239,54 @@ def test_entity_summary_no_window(spark):
     # the hub-safe contract: no per-subject window sort anywhere
     assert "Window" not in P.physical_plan(df)
     assert P.python_eval_count(df) == 0
+
+
+def test_hll_build_one_shuffle(spark):
+    from graph_importer_spark.operators.sketches import hll_build
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = hll_build(ev, ["event_type"], "user_id", p=6)
+    assert P.shuffle_exchange_count(df) == 1
+    assert P.python_eval_count(df) == 0
+    schemas = " ".join(P.read_schemas(df))
+    assert "props" not in schemas  # pruned to (event_type, user_id)
+
+
+def test_cdc_apply_budget(spark):
+    from graph_importer_spark.operators.scd2 import apply_cdc
+    from pyspark.sql import functions as F2
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    snap = c.select("c_custkey", "c_name")
+    ch = c.select(
+        "c_custkey", "c_name",
+        F2.lit("U").alias("op"), F2.lit(1).alias("version"),
+    )
+    df = apply_cdc(snap, ch, "c_custkey")
+    # max_by agg + full-outer join; no window anywhere
+    assert "Window" not in P.physical_plan(df)
+    assert P.python_eval_count(df) == 0
+
+
+def test_golden_record_no_window(spark):
+    from graph_importer_spark.operators.linkage import golden_record
+    from pyspark.sql import functions as F2
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    g = c.select((F2.col("c_custkey") % 10).alias("cluster"), "c_name",
+                 "c_mktsegment")
+    df = golden_record(g, "cluster", {"c_name": "min", "c_mktsegment": "mode"})
+    assert "Window" not in P.physical_plan(df)
+    assert P.python_eval_count(df) == 0
+
+
+def test_bipartite_project_no_nested_loop(spark):
+    from graph_importer_spark.operators.analytics import bipartite_project
+    from pyspark.sql import functions as F2
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    e = o.select((F2.col("o_custkey") % 40).alias("src"),
+                 (F2.col("o_orderkey") % 200).alias("dst"))
+    df = bipartite_project(e, max_right_degree=50)
+    assert not P.has_nested_loop_join(df)
+    assert P.python_eval_count(df) == 0
