@@ -140,6 +140,7 @@ HEADLINE = [
     "er_golden_record",
     "cdc_apply",
     "events_resample",
+    "er_edit_pairs",
 ]
 
 

@@ -6106,6 +6106,28 @@ SELECT k AS user_id, t AS grid_ts, value FROM f WHERE is_grid = 1
 """
 
 
+def q_er_edit_pairs(spark, sf_dir):
+    """Complete edit-distance-1 similarity self-join over 400 customer
+    names (dedup.edit_distance_pairs, PassJoin k=1 segment blocking).
+    The oracle is the BRUTE all-pairs levenshtein join — matching it
+    proves the blocking found every qualifying pair, not a recall
+    sample."""
+    from graph_importer_spark.operators.dedup import edit_distance_pairs
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return edit_distance_pairs(c, "c_custkey", "c_name", k=1)
+
+
+ORACLE_ER_EDIT_PAIRS = """
+WITH s AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  WHERE c_custkey < 400 AND length(c_name) >= 2)
+SELECT a.id AS id1, b.id AS id2, levenshtein(a.name, b.name) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -6215,6 +6237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_golden_record": q_er_golden_record,
     "cdc_apply": q_cdc_apply,
     "events_resample": q_events_resample,
+    "er_edit_pairs": q_er_edit_pairs,
     # - text_bm25 (new r4) waits at the tail head for the r5 window:
     #   its scoring path is nested TWICE inside the in-window text_rrf
     #   oracle (two parameterized BM25 replays), and it passes the
@@ -6395,6 +6418,7 @@ ORACLES: dict[str, str] = {
     "er_golden_record": ORACLE_ER_GOLDEN,
     "cdc_apply": ORACLE_CDC_APPLY,
     "events_resample": ORACLE_EVENTS_RESAMPLE,
+    "er_edit_pairs": ORACLE_ER_EDIT_PAIRS,
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
     "sketch_cms_topk": _oracle_sketch_cms(),

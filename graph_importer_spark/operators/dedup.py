@@ -685,3 +685,98 @@ def duplicate_line_removal(
             ).alias("clean_text"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, s_col: str, k: int = 1
+) -> DataFrame:
+    """COMPLETE edit-distance-<=1 similarity self-join -> (id1, id2,
+    dist) with id1 < id2 — the fuzzy-match primitive under entity
+    resolution (typo'd names, OCR'd titles).
+
+    Blocking is PassJoin-style (Li, Deng, Wang, Feng — ICDE'11 /
+    VLDB'12 partition scheme), specialized to k = 1: split each source
+    string into 2 segments; if ed(s, t) <= 1 then t CONTAINS one of
+    s's segments at a start position within +-1 of its position in s.
+    The probe side therefore enumerates, for each candidate source
+    length L in [len(t)-1, len(t)+1], the substrings of t at the
+    (clipped) +-1 windows of both segment positions — a bounded
+    <= ~15-key explode per string, joined on (L, segment_idx, start
+    bucket is implicit in the enumerated substring).  This is a
+    COMPLETE candidate generator (no recall knob): the oracle proves
+    it by comparing against the brute all-pairs levenshtein join.
+
+    Verify is one ``levenshtein`` call per candidate (JVM codegen).
+    Scale shape: segment keys are near-uniform (substring content);
+    the verify never sees more than the candidates sharing an exact
+    segment — the same bucket-join argument as MinHash bands, but
+    with a completeness proof instead of a recall trade.
+    """
+    if k != 1:
+        raise ValueError("edit_distance_pairs implements k=1 only")
+    s = F.col("s")
+    base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
+        s.isNotNull() & (F.length(s) >= 2)
+    )
+    # index side: the 2 segments at their canonical positions
+    idx = base.select(
+        "id",
+        "s",
+        F.length("s").alias("len"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("seg_idx"),
+                    F.expr("substring(s, 1, CAST(length(s) / 2 AS INT))").alias(
+                        "seg"
+                    ),
+                ),
+                F.struct(
+                    F.lit(2).alias("seg_idx"),
+                    F.expr(
+                        "substring(s, CAST(length(s) / 2 AS INT) + 1,"
+                        " length(s))"
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("p"),
+    ).select("id", "s", F.col("len").alias("src_len"), "p.seg_idx", "p.seg")
+    # probe side: substrings of t at the +-1 windows for every
+    # candidate source length
+    probe = base.select(
+        F.col("id").alias("tid"),
+        F.col("s").alias("t"),
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(length(s) - 1, length(s) + 1),
+                  L -> concat(
+                    transform(sequence(1, 2),
+                      st -> struct(L AS src_len, 1 AS seg_idx,
+                                   substring(s, st, CAST(L / 2 AS INT)) AS seg)),
+                    transform(sequence(CAST(L / 2 AS INT), CAST(L / 2 AS INT) + 2),
+                      st -> struct(L AS src_len, 2 AS seg_idx,
+                                   substring(s, st, L - CAST(L / 2 AS INT)) AS seg))
+                  )))
+                """
+            )
+        ).alias("q"),
+    ).select("tid", "t", "q.src_len", "q.seg_idx", "q.seg")
+    cand = (
+        idx.join(probe, ["src_len", "seg_idx", "seg"])
+        .filter(F.col("id") != F.col("tid"))
+        .select(
+            F.least("id", "tid").alias("id1"),
+            F.greatest("id", "tid").alias("id2"),
+            "s",
+            "t",
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id1", "id2", F.levenshtein("s", "t").alias("dist")
+        )
+        .filter(F.col("dist") <= k)
+        .distinct()
+    )

@@ -125,3 +125,49 @@ def test_resample_ffill_same_second_tiebreak(spark):
         df2, "k", "ts", "v", step_seconds=60, tiebreak_col="eid").collect()}
     base = int(_t(0).timestamp())
     assert got2[base + 60] == 2.0  # eid 9 beat eid 7 within second 10
+
+
+# -- edit-distance pairs --------------------------------------------------------
+
+def _brute_pairs(names):
+    import itertools
+
+    def ed(a, b):
+        # classic DP levenshtein
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    return {
+        (i, j, ed(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if ed(a, b) <= 1 and len(a) >= 2 and len(b) >= 2
+    }
+
+
+def test_edit_pairs_complete_vs_brute(spark):
+    from graph_importer_spark.operators.dedup import edit_distance_pairs
+
+    # substitutions, insertions, deletions, boundary edits, odd/even
+    names = [
+        "alpha", "alpho", "alpha1", "alph", "beta", "betta", "bet",
+        "gamma", "gamm", "gamma", "xy", "xz", "x",
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, s string")
+    got = {(r.id1, r.id2, r.dist)
+           for r in edit_distance_pairs(df, "id", "s").collect()}
+    assert got == _brute_pairs(names)
+
+
+def test_edit_pairs_k_guard(spark):
+    from graph_importer_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "ab")], "id long, s string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        edit_distance_pairs(df, "id", "s", k=2)
