@@ -6128,6 +6128,282 @@ WHERE levenshtein(a.name, b.name) <= 1
 """
 
 
+# ---- round-4 session-8 additions ----
+
+
+def q_graph_sage_sample(spark, sf_dir):
+    """GraphSAGE 2-layer neighbor sampling (fanouts [3, 2]) over the
+    customer->order->customer-residue graph, sources = custkeys < 5.
+    Neighbor choice is the keyed md5 coin, so the oracle replays the
+    exact sample with row_number over the same md5 rank."""
+    from graph_importer_spark.operators.analytics import neighbor_sample
+
+    o = T(spark, sf_dir, "orders")
+    fwd = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + 1000000).alias("dst"),
+    )
+    back = o.select(
+        (F.col("o_orderkey") + 1000000).alias("src"),
+        (F.col("o_custkey") % 100).alias("dst"),
+    )
+    edges = fwd.unionByName(back)
+    sources = o.select(F.col("o_custkey").alias("id")).filter(
+        F.col("id") < 5
+    ).distinct()
+    return neighbor_sample(edges, sources, fanouts=[3, 2], seed=42)
+
+
+ORACLE_GRAPH_SAGE_SAMPLE = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT o_custkey AS src, o_orderkey + 1000000 AS dst FROM orders
+    UNION ALL
+    SELECT o_orderkey + 1000000, o_custkey % 100 FROM orders)),
+f0 AS (SELECT DISTINCT o_custkey AS src FROM orders WHERE o_custkey < 5),
+l1r AS (
+  SELECT e.src, e.dst,
+         row_number() OVER (PARTITION BY e.src ORDER BY
+           md5('42|1|' || CAST(e.src AS VARCHAR) || '|'
+               || CAST(e.dst AS VARCHAR)) DESC, e.dst ASC) AS rn
+  FROM f0 JOIN e USING (src)),
+l1 AS (SELECT src, dst FROM l1r WHERE rn <= 3),
+f1 AS (SELECT DISTINCT dst AS src FROM l1),
+l2r AS (
+  SELECT e.src, e.dst,
+         row_number() OVER (PARTITION BY e.src ORDER BY
+           md5('42|2|' || CAST(e.src AS VARCHAR) || '|'
+               || CAST(e.dst AS VARCHAR)) DESC, e.dst ASC) AS rn
+  FROM f1 JOIN e USING (src)),
+l2 AS (SELECT src, dst FROM l2r WHERE rn <= 2)
+SELECT CAST(1 AS INT) AS layer, src, dst FROM l1
+UNION ALL
+SELECT CAST(2 AS INT) AS layer, src, dst FROM l2
+"""
+
+
+# Deterministic encoding damage planted on every third document: the
+# same literal is embedded in the Spark query and the SQL oracle.
+_MOJI_SNIPPET = (
+    " CafÃ© â€œnaÃ¯veâ€™"
+    " â€“ Â end"
+)
+
+
+def q_text_mojibake(spark, sf_dir):
+    """Mojibake detection + repair (textstats.mojibake_stats) over
+    documents with deterministic UTF-8-as-cp1252 damage appended to
+    every third doc.  Hit counting is the length-delta trick and the
+    repair is chained replace — both replay exactly in SQL."""
+    from graph_importer_spark.operators.textstats import mojibake_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_MOJI_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mojibake_stats(d, "doc_id", "text")
+
+
+def _oracle_text_mojibake() -> str:
+    from graph_importer_spark.operators.textstats import MOJIBAKE_TABLE
+
+    hits = " + ".join(
+        f"CAST((length(t) - length(replace(t, '{bad}', ''))) / {len(bad)} AS INT)"
+        for bad, _ in MOJIBAKE_TABLE
+    )
+    fixed = "t"
+    for bad, good in MOJIBAKE_TABLE:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{_MOJI_SNIPPET}'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       {hits} AS mojibake_hits,
+       ({hits}) > 0 AS is_mojibake,
+       md5({fixed}) AS fixed_md5
+FROM d
+"""
+
+
+def q_kg_fusion(spark, sf_dir):
+    """Knowledge fusion / truth discovery: conflicting (subj, pred)
+    claims from 5 synthetic sources (orders rows re-keyed) resolved by
+    weighted source voting (triples.fact_fusion) — highest total
+    source weight wins, deterministic obj tiebreak.  The oracle
+    replays the vote with a window argmax."""
+    from graph_importer_spark.triples import fact_fusion
+
+    o = T(spark, sf_dir, "orders")
+    claims = o.select(
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "source"
+        ),
+        F.concat(F.lit("c"), (F.col("o_custkey") % 100).cast("string")).alias(
+            "subj"
+        ),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+    )
+    weights = spark.range(5).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("source"),
+        (F.lit(1.0) + (F.col("id") % 3) * F.lit(0.5)).alias("weight"),
+    )
+    return fact_fusion(claims, weights)
+
+
+ORACLE_KG_FUSION = """
+WITH w AS (
+  SELECT 's' || CAST(i AS VARCHAR) AS source,
+         CAST(1.0 + (i % 3) * 0.5 AS DOUBLE) AS weight
+  FROM range(5) t(i)),
+claims AS (
+  SELECT DISTINCT 's' || CAST(o_orderkey % 5 AS VARCHAR) AS source,
+         'c' || CAST(o_custkey % 100 AS VARCHAR) AS subj,
+         'status' AS pred, o_orderstatus AS obj
+  FROM orders),
+votes AS (
+  SELECT subj, pred, obj, ROUND(SUM(weight), 6) AS total_weight,
+         COUNT(DISTINCT source) AS n_sources
+  FROM claims JOIN w USING (source) GROUP BY 1, 2, 3),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY subj, pred
+             ORDER BY total_weight DESC, obj DESC) AS rn
+  FROM votes)
+SELECT subj, pred, obj, total_weight, n_sources FROM r WHERE rn = 1
+"""
+
+
+def q_text_curriculum(spark, sf_dir):
+    """Curriculum data ordering: documents ranked by a deterministic
+    score within 7 synthetic domains, cut into 3 equal-count training
+    phases (sampling.curriculum_order).  The oracle replays the
+    row_number and the floor((rank-1)*phases/count) phase cut."""
+    from graph_importer_spark.operators.sampling import curriculum_order
+
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("doc_id") % 7).alias("domain"),
+        F.col("doc_id"),
+        (F.length("text") % 997).alias("score"),
+    )
+    return curriculum_order(scored, "domain", "score", "doc_id", phases=3)
+
+
+ORACLE_TEXT_CURRICULUM = """
+WITH s AS (
+  SELECT doc_id % 7 AS domain, doc_id,
+         CAST(length(text) % 997 AS INT) AS score
+  FROM documents),
+r AS (
+  SELECT domain, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY domain
+              ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+         COUNT(*) OVER (PARTITION BY domain) AS cnt
+  FROM s)
+SELECT domain, doc_id, score, rank,
+       CAST(FLOOR((rank - 1) * 3 / cnt) AS INT) AS phase
+FROM r
+"""
+
+
+def q_kg_types(spark, sf_dir):
+    """RDFS type-inference materialization (analytics.ontology_types):
+    customer instances typed against the nation -> region -> place ->
+    thing class chain; every entity carries its full inherited type
+    set.  The oracle is the recursive-CTE closure joined to the
+    instance table."""
+    from graph_importer_spark.operators.analytics import ontology_types
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    n = T(spark, sf_dir, "nation")
+    inst = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("entity"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("cls"),
+    )
+    sub1 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("sub"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("sup"),
+    )
+    sub2 = (
+        n.select(
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias(
+                "sub"
+            ),
+            F.lit("place").alias("sup"),
+        ).distinct()
+    )
+    sub3 = spark.range(1).select(
+        F.lit("place").alias("sub"), F.lit("thing").alias("sup")
+    )
+    return ontology_types(inst, sub1.unionByName(sub2).unionByName(sub3))
+
+
+ORACLE_KG_TYPES = """
+WITH RECURSIVE sc AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS sub,
+         'r' || CAST(n_regionkey AS VARCHAR) AS sup FROM nation
+  UNION
+  SELECT DISTINCT 'r' || CAST(n_regionkey AS VARCHAR), 'place' FROM nation
+  UNION
+  SELECT 'place', 'thing'),
+tc AS (
+  SELECT sub, sup FROM sc
+  UNION
+  SELECT t.sub, s.sup FROM tc t JOIN sc s ON t.sup = s.sub),
+inst AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS entity,
+         'n' || CAST(c_nationkey AS VARCHAR) AS cls
+  FROM customer WHERE c_custkey < 200)
+SELECT DISTINCT entity, type FROM (
+  SELECT entity, cls AS type FROM inst
+  UNION ALL
+  SELECT i.entity, t.sup FROM inst i JOIN tc t ON i.cls = t.sub)
+"""
+
+
+def q_text_contrastive(spark, sf_dir):
+    """Adjacent-chunk positive pairs for contrastive embedding
+    training (packing.contrastive_pairs, 12-token disjoint chunks,
+    docs < 150).  The oracle replays the chunker's stride arithmetic
+    and the (id, chunk_id+1) successor self-join."""
+    from graph_importer_spark.operators.packing import contrastive_pairs
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return contrastive_pairs(d, "doc_id", "text", chunk_tokens=12, overlap=0)
+
+
+ORACLE_TEXT_CONTRASTIVE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 150),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+c AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, 1 + CAST(ceil(greatest(n - 12, 0) / 12.0) AS INT)))
+           AS chunk_id
+  FROM b),
+s AS (
+  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         list_slice(toks, chunk_id * 12 + 1, chunk_id * 12 + 12) AS sl
+  FROM c),
+ch AS (
+  SELECT doc_id, chunk_id, array_to_string(sl, ' ') AS chunk
+  FROM s WHERE len(sl) > 0)
+SELECT a.doc_id, a.chunk_id, a.chunk AS anchor, p.chunk AS positive
+FROM ch a JOIN ch p
+  ON a.doc_id = p.doc_id AND p.chunk_id = a.chunk_id + 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -6238,6 +6514,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply": q_cdc_apply,
     "events_resample": q_events_resample,
     "er_edit_pairs": q_er_edit_pairs,
+    # round-4 session-8 additions (FIFO behind the session-7 block;
+    # all queue at the tail for the r5 window, verified this round by
+    # the local full sweep): GraphSAGE neighbor sampling, mojibake
+    # repair, knowledge fusion, curriculum ordering, RDFS type
+    # inference, contrastive chunk pairs
+    "graph_sage_sample": q_graph_sage_sample,
+    "text_mojibake": q_text_mojibake,
+    "kg_fusion": q_kg_fusion,
+    "text_curriculum": q_text_curriculum,
+    "kg_types": q_kg_types,
+    "text_contrastive": q_text_contrastive,
     # - text_bm25 (new r4) waits at the tail head for the r5 window:
     #   its scoring path is nested TWICE inside the in-window text_rrf
     #   oracle (two parameterized BM25 replays), and it passes the
@@ -6419,6 +6706,12 @@ ORACLES: dict[str, str] = {
     "cdc_apply": ORACLE_CDC_APPLY,
     "events_resample": ORACLE_EVENTS_RESAMPLE,
     "er_edit_pairs": ORACLE_ER_EDIT_PAIRS,
+    "graph_sage_sample": ORACLE_GRAPH_SAGE_SAMPLE,
+    "text_mojibake": _oracle_text_mojibake(),
+    "kg_fusion": ORACLE_KG_FUSION,
+    "text_curriculum": ORACLE_TEXT_CURRICULUM,
+    "kg_types": ORACLE_KG_TYPES,
+    "text_contrastive": ORACLE_TEXT_CONTRASTIVE,
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
     "sketch_cms_topk": _oracle_sketch_cms(),

@@ -1513,3 +1513,117 @@ def bipartite_project(
         .agg(F.count("*").alias("weight"))
         .filter(F.col("weight") >= min_weight)
     )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    sources: DataFrame,
+    fanouts: list[int],
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+    buckets: int = 32,
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling: starting from
+    ``sources``, sample at most ``fanouts[l]`` neighbors per frontier
+    node at layer ``l`` -> sampled edge list ``(layer, src, dst)``
+    (layer is 1-based; layer l edges leave the layer-(l-1) frontier).
+
+    This is the mini-batch subgraph loader of GNN training (Hamilton
+    et al., NeurIPS'17): at 10^12-edge scale the training job never
+    materializes full neighborhoods — it samples a bounded-fanout
+    subgraph per batch, and the sampler IS the data pipeline.  The
+    reference stops at whole-graph Pregel analytics (start_Pregel.py,
+    arguments.py:176-188); this is the §2.11 training-data extension
+    of its graph surface.
+
+    Determinism: neighbor choice ranks ``md5(seed|layer|src|dst)`` —
+    a keyed coin, not Spark randomness — so the sample is stable
+    across retries/partitionings and SQL-replayable (the oracle ranks
+    the same md5).  Per-frontier-node top-f runs through the two-phase
+    salted top-k (operators/skew.py): hub nodes (power-law degree at
+    web scale) never sort their full adjacency in one task, and the
+    final shuffle carries <= buckets*f candidate structs per node.
+
+    Scale shape per layer: frontier semi-join against the edge table
+    (AQE skew-split on the hub side) -> salted top-f -> next frontier
+    is the distinct sampled dst set.  len(fanouts) layers = that many
+    bounded rounds; the output is Theta(sum_l prod_{i<=l} f_i) per
+    source — the point of fanout sampling.
+    """
+    from graph_importer_spark.operators.skew import salted_topk
+
+    if any(f <= 0 for f in fanouts):
+        raise ValueError("fanouts must be positive")
+    frontier = sources.select(
+        F.col(sources.columns[0]).alias("src")
+    ).distinct()
+    out = None
+    for layer, f in enumerate(fanouts, start=1):
+        adj = frontier.join(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            "src",
+            "inner",
+        ).distinct()
+        coin = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(seed)),
+                F.lit(str(layer)),
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+            )
+        )
+        ranked = adj.withColumn("_coin", coin)
+        picked = salted_topk(
+            ranked, "src", "_coin", "dst", k=f, buckets=buckets
+        ).select(
+            F.lit(layer).alias("layer"), F.col("src"), F.col("dst")
+        )
+        picked = picked.localCheckpoint(eager=False)
+        out = picked if out is None else out.unionByName(picked)
+        frontier = picked.select(F.col("dst").alias("src")).distinct()
+    return out
+
+
+def ontology_types(
+    instance_of: DataFrame,
+    subclass_of: DataFrame,
+    entity: str = "entity",
+    cls: str = "cls",
+    sub: str = "sub",
+    sup: str = "sup",
+    max_depth: int = 20,
+) -> DataFrame:
+    """RDFS-style type inference: materialize every type an entity
+    holds through the subclass hierarchy — ``(entity, type)`` =
+    direct types UNION instance_of ∘ subClassOf+ (rdfs9/rdfs11
+    entailment over a class DAG).
+
+    KG construction emits instance triples against leaf classes;
+    query-time reasoning is too expensive at 10^12 triples, so
+    production KGs materialize the closure once (the standard
+    forward-chaining cut).  The class hierarchy is tiny relative to
+    the instance set, so the expensive part — closure — runs on the
+    small side first (:func:`transitive_closure`, log-depth path
+    doubling), and the instance table is touched by exactly ONE
+    broadcast-able equi-join on the leaf class; instance rows never
+    re-shuffle per hierarchy level.
+
+    Returns distinct ``(entity, type)``; hub classes (everything is an
+    "entity") inflate the output, not the shuffle — the join's build
+    side is the closure, keyed by subclass.
+    """
+    closure = transitive_closure(
+        subclass_of.select(F.col(sub).alias("src"), F.col(sup).alias("dst")),
+        max_iter=max_depth,
+    )
+    direct = instance_of.select(
+        F.col(entity).alias("entity"), F.col(cls).alias("type")
+    )
+    inherited = instance_of.join(
+        F.broadcast(closure),
+        instance_of[cls] == closure["src"],
+        "inner",
+    ).select(F.col(entity).alias("entity"), F.col("dst").alias("type"))
+    return direct.unionByName(inherited).distinct()

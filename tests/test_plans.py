@@ -290,3 +290,61 @@ def test_bipartite_project_no_nested_loop(spark):
     df = bipartite_project(e, max_right_degree=50)
     assert not P.has_nested_loop_join(df)
     assert P.python_eval_count(df) == 0
+
+
+# ---- session-8 operators ----
+
+
+def test_neighbor_sample_no_window_no_python(spark):
+    from graph_importer_spark.operators.analytics import neighbor_sample
+    from pyspark.sql import functions as F2
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    e = o.select(F2.col("o_custkey").alias("src"),
+                 F2.col("o_orderkey").alias("dst"))
+    src = o.select(F2.col("o_custkey").alias("id")).limit(5)
+    df = neighbor_sample(e, src, fanouts=[3, 2])
+    # per-node top-f goes through the two-phase salted top-k: no
+    # window sort over a hub's full adjacency, no Python in the plan
+    assert "Window" not in P.physical_plan(df)
+    assert P.python_eval_count(df) == 0
+    assert not P.has_nested_loop_join(df)
+
+
+def test_mojibake_zero_shuffle_codegen(spark):
+    from graph_importer_spark.operators.textstats import mojibake_stats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = mojibake_stats(d, "doc_id", "text")
+    assert P.exchange_count(df) == 0
+    assert P.python_eval_count(df) == 0
+    (schema,) = P.read_schemas(df)
+    assert "embedding" not in schema  # column pruning holds
+
+
+def test_fact_fusion_no_window_broadcast_weights(spark):
+    from graph_importer_spark.triples import fact_fusion
+    from pyspark.sql import functions as F2
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    claims = o.select(
+        F2.lit("s1").alias("source"),
+        F2.col("o_custkey").cast("string").alias("subj"),
+        F2.lit("p").alias("pred"),
+        F2.col("o_orderstatus").alias("obj"),
+    )
+    w = spark.createDataFrame([("s1", 1.0)], "source string, weight double")
+    df = fact_fusion(claims, w)
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert P.python_eval_count(df) == 0
+
+
+def test_contrastive_pairs_single_join_no_python(spark):
+    from graph_importer_spark.operators.packing import contrastive_pairs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = contrastive_pairs(d, "doc_id", "text", chunk_tokens=32)
+    assert P.python_eval_count(df) == 0
+    assert not P.has_nested_loop_join(df)
