@@ -6404,6 +6404,210 @@ FROM ch a JOIN ch p
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-9: epoch mixing, FIM split, URL-level dedup, triple
+# provenance, SPARQL star+OPTIONAL
+# ---------------------------------------------------------------------------
+
+def q_sample_epochs(spark, sf_dir):
+    """Per-source epoch repetition (sampling.epoch_repeat): en 2.5
+    epochs, zh 1.0, es 0.25, de 1.75, fr absent (dropped) — the GPT-3
+    Table-2.2 mixing primitive.  Every copy is replayed by the oracle:
+    floor(w) guaranteed copies plus a congruential-coin extra."""
+    from graph_importer_spark.operators.sampling import epoch_repeat
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = spark.createDataFrame(
+        [("en", 2.5), ("zh", 1.0), ("es", 0.25), ("de", 1.75)],
+        "lang string, epochs double",
+    )
+    return epoch_repeat(d, "doc_id", "lang", w)
+
+
+ORACLE_SAMPLE_EPOCHS = r"""
+WITH w(lang, epochs) AS (
+  VALUES ('en', 2.5), ('zh', 1.0), ('es', 0.25), ('de', 1.75)),
+j AS (
+  SELECT d.doc_id, d.lang,
+         CAST(FLOOR(epochs) AS INT)
+         + CASE WHEN CAST(((doc_id % 1000003) * 2654435761 + 42) % 1000003
+                         AS DOUBLE) / 1000003.0 < epochs - FLOOR(epochs)
+                THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN w USING (lang)),
+e AS (
+  SELECT doc_id, lang, UNNEST(range(1, copies + 1)) AS copy_no
+  FROM j WHERE copies >= 1)
+SELECT doc_id, lang, CAST(copy_no AS INT) AS copy_no FROM e
+"""
+
+
+def q_pack_fim(spark, sf_dir):
+    """Fill-in-the-middle split (packing.fim_split) over docs < 200:
+    two congruential coins pick the (prefix, middle, suffix) cut
+    points per document; the oracle replays the token slices."""
+    from graph_importer_spark.operators.packing import fim_split
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return fim_split(d, "doc_id", "text")
+
+
+ORACLE_PACK_FIM = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 200),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST((((doc_id + 42) % 1000003) * 2654435761 + 1) % 1000003 AS DOUBLE)
+           / 1000003.0 AS u1,
+         CAST(((((doc_id + 42) * 7919) % 1000003) * 2654435761 + 2) % 1000003
+              AS DOUBLE) / 1000003.0 AS u2
+  FROM d),
+c AS (
+  SELECT doc_id, toks, n, u2,
+         CAST(FLOOR(u1 * (n + 1)) AS INT) AS a
+  FROM b),
+e AS (
+  SELECT doc_id, toks, n, a,
+         a + CAST(FLOOR(u2 * (n - a + 1)) AS INT) AS bp
+  FROM c)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       COALESCE(array_to_string(list_slice(toks, 1, a), ' '), '') AS prefix,
+       COALESCE(array_to_string(list_slice(toks, a + 1, bp), ' '), '') AS middle,
+       COALESCE(array_to_string(list_slice(toks, bp + 1, n), ' '), '') AS suffix
+FROM e
+"""
+
+
+def q_kg_provenance(spark, sf_dir):
+    """Per-fact provenance rollup (triples.provenance, k=3): facts are
+    (part, supplied_by|handled_by, supp) asserted by order-sources;
+    the oracle replays the distinct-count and the sorted k-sample."""
+    from graph_importer_spark.triples import provenance
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 400)
+    t = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("subj"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("supplied_by"))
+        .otherwise(F.lit("handled_by"))
+        .alias("pred"),
+        F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string")).alias("obj"),
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias(
+            "source"
+        ),
+    )
+    return provenance(t, k=3)
+
+
+ORACLE_KG_PROVENANCE = r"""
+WITH t AS (
+  SELECT 'part:' || CAST(l_partkey AS VARCHAR) AS subj,
+         CASE WHEN l_linenumber % 2 = 0 THEN 'supplied_by'
+              ELSE 'handled_by' END AS pred,
+         'supp:' || CAST(l_suppkey AS VARCHAR) AS obj,
+         'order:' || CAST(l_orderkey AS VARCHAR) AS source
+  FROM lineitem WHERE l_partkey < 400)
+SELECT subj, pred, obj,
+       COUNT(DISTINCT source) AS n_sources,
+       array_to_string(
+         list_slice(list_sort(list(DISTINCT source)), 1, 3), ',') AS sources
+FROM t GROUP BY subj, pred, obj
+"""
+
+
+def q_kg_star_optional(spark, sf_dir):
+    """SPARQL star BGP with OPTIONAL (triples.star_pattern): every
+    customer-subject binds required nation+segment columns; name is
+    OPTIONAL (asserted only for custkey % 3 = 0 — NULL elsewhere)."""
+    from graph_importer_spark.triples import star_pattern
+
+    c = T(spark, sf_dir, "customer")
+    subj = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    nat = c.select(
+        subj.alias("subj"),
+        F.lit("nation").alias("pred"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    seg = c.select(
+        subj.alias("subj"), F.lit("segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    )
+    nm = c.filter(F.col("c_custkey") % 3 == 0).select(
+        subj.alias("subj"), F.lit("name").alias("pred"),
+        F.col("c_name").alias("obj"),
+    )
+    t = nat.unionByName(seg).unionByName(nm)
+    return star_pattern(t, "cust", required=["nation", "segment"], optional=["name"])
+
+
+ORACLE_KG_STAR_OPTIONAL = r"""
+WITH t AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subj, 'nation' AS pred,
+         'nation:' || CAST(c_nationkey AS VARCHAR) AS obj FROM customer
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'segment', c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'name', c_name
+  FROM customer WHERE c_custkey % 3 = 0),
+n AS (SELECT DISTINCT subj, obj AS nation FROM t WHERE pred = 'nation'),
+s AS (SELECT DISTINCT subj, obj AS segment FROM t WHERE pred = 'segment'),
+p AS (SELECT DISTINCT subj, obj AS name FROM t WHERE pred = 'name')
+SELECT n.subj AS cust, n.nation, s.segment, p.name
+FROM n JOIN s ON n.subj = s.subj LEFT JOIN p ON n.subj = p.subj
+"""
+
+
+def q_web_url_dedup(spark, sf_dir):
+    """Canonical-URL exact dedup (urls.url_dedup): the web_hosts messy
+    URL synth (case/port/tracking/fragment variants) collapses to one
+    kept doc per canonical form — highest n_chars, ties to smallest
+    doc_id."""
+    from graph_importer_spark.operators.urls import url_dedup
+
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), s(i % 41),
+        F.when(i % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit(":443/p/"), s(i % 10),
+        F.lit("?id="), s(i % 5),
+        F.lit("&utm_source=x&fbclid="), s(i), F.lit("#sec"),
+    )
+    pages = d.select("doc_id", url.alias("url"), "n_chars")
+    return url_dedup(pages, "url", "doc_id", "n_chars")
+
+
+ORACLE_WEB_URL_DEDUP = rf"""
+WITH u0 AS (SELECT doc_id, n_chars, {_WEB_URL_SQL} AS u FROM documents),
+s0 AS (SELECT doc_id, n_chars, regexp_replace(u,
+        '^([A-Za-z][A-Za-z0-9+.-]*://)[^/?#@]*@', '\1', 'g') AS u FROM u0),
+s1 AS (SELECT doc_id, n_chars, regexp_replace(u, '#.*', '', 'g') AS u FROM s0),
+s2 AS (SELECT doc_id, n_chars, regexp_replace(u,
+        '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&]*', '\1', 'g')
+        AS u FROM s1),
+s3 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace(regexp_replace(u,
+        '\?[?&]+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS u FROM s2),
+s4 AS (SELECT doc_id, n_chars,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        || regexp_replace(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', '', 'g')
+        AS curl FROM s3),
+s5 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace(curl,
+        '^(http://[^/?#]*):80([/?]|$)', '\1\2', 'g'),
+        '^(https://[^/?#]*):443([/?]|$)', '\1\2', 'g') AS curl FROM s4),
+r AS (
+  SELECT curl AS canonical_url, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY curl) AS n_dups,
+         ROW_NUMBER() OVER (PARTITION BY curl
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM s5)
+SELECT canonical_url, n_dups, doc_id, n_chars FROM r WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -6525,6 +6729,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_curriculum": q_text_curriculum,
     "kg_types": q_kg_types,
     "text_contrastive": q_text_contrastive,
+    # round-4 session-9 additions (FIFO behind the session-8 block;
+    # all queue at the tail for the r5 window, verified this round by
+    # the local full sweep): epoch-weight dataset mixing, FIM split,
+    # canonical-URL dedup, per-fact provenance, star BGP + OPTIONAL
+    "sample_epochs": q_sample_epochs,
+    "pack_fim": q_pack_fim,
+    "web_url_dedup": q_web_url_dedup,
+    "kg_provenance": q_kg_provenance,
+    "kg_star_optional": q_kg_star_optional,
     # - text_bm25 (new r4) waits at the tail head for the r5 window:
     #   its scoring path is nested TWICE inside the in-window text_rrf
     #   oracle (two parameterized BM25 replays), and it passes the
@@ -6712,6 +6925,11 @@ ORACLES: dict[str, str] = {
     "text_curriculum": ORACLE_TEXT_CURRICULUM,
     "kg_types": ORACLE_KG_TYPES,
     "text_contrastive": ORACLE_TEXT_CONTRASTIVE,
+    "sample_epochs": ORACLE_SAMPLE_EPOCHS,
+    "pack_fim": ORACLE_PACK_FIM,
+    "web_url_dedup": ORACLE_WEB_URL_DEDUP,
+    "kg_provenance": ORACLE_KG_PROVENANCE,
+    "kg_star_optional": ORACLE_KG_STAR_OPTIONAL,
     "kg_flagship": ORACLE_KG_FLAGSHIP,
     "kg_extract": ORACLE_KG_EXTRACT,
     "sketch_cms_topk": _oracle_sketch_cms(),

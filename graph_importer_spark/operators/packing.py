@@ -196,3 +196,66 @@ def contrastive_pairs(
         F.col("chunk").alias("positive"),
     )
     return left.join(right, [id_col, "chunk_id"], "inner")
+
+
+def fim_split(
+    df,
+    id_col: str,
+    text_col: str,
+    seed: int = 42,
+):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    split each document's token sequence at two deterministic points
+    into (prefix, middle, suffix) so the loader can emit the
+    PSM/SPM-reordered sequence.  The split points are pure functions
+    of the document id (two :func:`~graph_importer_spark.operators.
+    sampling.hash_unit` coins), not Spark randomness: the corpus
+    transform is partition-invariant, resumable, and SQL-replayable.
+
+    With n tokens: a = floor(u1 * (n+1)) in [0, n], b = a +
+    floor(u2 * (n-a+1)) in [a, n]; prefix = tokens[:a], middle =
+    tokens[a:b], suffix = tokens[b:].  Returns
+    (id, n_tokens, prefix, middle, suffix) as space-joined strings
+    (empty string for an empty segment).
+
+    The two coins fold the seed into the HASH KEY (id + seed), not the
+    congruential offset — an offset-only seed shifts every coin by
+    seed/M, so nearby seeds would give identical cuts; and the second
+    coin re-scales the key by a distinct prime so (u1, u2) are not a
+    fixed rotation of each other.  Requires id + seed below ~1.1e15
+    (the 7919 re-scale must not overflow int64).
+
+    Scale shape: zero shuffle — split/slice/join array expressions in
+    whole-stage codegen; the token array is let-bound once per row
+    (the CollapseProject discipline of chunk_text)."""
+    from graph_importer_spark.operators.sampling import hash_unit
+
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    bound = df.select(
+        F.col(id_col), F.explode(F.array(toks)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    k = F.col(id_col) + F.lit(seed)
+    u1 = hash_unit(k, 1)
+    u2 = hash_unit(k * F.lit(7919), 2)
+    a = F.floor(u1 * (n + F.lit(1)).cast("double")).cast("int")
+    b = a + F.floor(
+        u2 * (n - a + F.lit(1)).cast("double")
+    ).cast("int")
+    return bound.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.array_join(F.slice(F.col("_toks"), 1, a), " ").alias("prefix"),
+        F.array_join(
+            F.when(b - a > 0, F.slice(F.col("_toks"), a + 1, b - a))
+            .otherwise(F.array().cast("array<string>")),
+            " ",
+        ).alias("middle"),
+        F.array_join(
+            F.when(n - b > 0, F.slice(F.col("_toks"), b + 1, n - b))
+            .otherwise(F.array().cast("array<string>")),
+            " ",
+        ).alias("suffix"),
+    )

@@ -330,3 +330,45 @@ def curriculum_order(
             (F.col("rank") - 1) * phases / F.count("*").over(wc)
         ).cast("int"),
     )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: DataFrame,
+    weight_col: str = "epochs",
+    seed: int = 42,
+) -> DataFrame:
+    """Dataset repetition by per-group epoch weights — the mixing
+    primitive of multi-source LLM pretraining ("Wikipedia 3.4 epochs,
+    CommonCrawl 0.44" in GPT-3's Table 2.2): every row is emitted
+    floor(w) times plus one more with probability frac(w), where the
+    extra-copy coin is the deterministic :func:`hash_unit` of the row
+    id — so expected copies per group = w exactly, membership is
+    partition-invariant, and the oracle replays every copy.
+
+    -> input columns + ``copy_no`` (1-based).  Groups missing from
+    ``weights`` are dropped (weight 0); w < 1 is plain deterministic
+    downsampling.
+
+    Scale shape: ``weights`` is a tiny broadcast dim (one row per
+    corpus source); the fan-out is a codegen
+    ``explode(sequence(1, n))`` — no shuffle, no state.  At 10^12
+    rows the writer inherits the input partitioning; repetition never
+    concentrates a partition because copies stay with their source
+    row.
+    """
+    w = F.col(weight_col)
+    base = F.floor(w).cast("int")
+    extra = (hash_unit(F.col(id_col), seed) < (w - F.floor(w))).cast("int")
+    n = (base + extra).alias("_copies")
+    out_cols = df.columns
+    j = df.join(F.broadcast(weights), group_col, "inner").select(*out_cols, n)
+    return (
+        j.filter(F.col("_copies") >= 1)
+        .withColumn(
+            "copy_no", F.explode(F.sequence(F.lit(1), F.col("_copies")))
+        )
+        .drop("_copies")
+    )

@@ -390,3 +390,49 @@ def extract_meta(df, html_col: str = "html", url_col: str = "url"):
         canon.alias("canonical_url"),
         robots.contains("noindex").alias("noindex"),
     )
+
+
+def url_dedup(
+    df,
+    url_col: str,
+    id_col: str,
+    quality_col: str,
+):
+    """Canonical-URL exact dedup: normalize each row's URL
+    (:func:`normalize_url` — scheme/case/default-port/fragment/
+    tracking-param stripping) and keep ONE document per canonical
+    form — the highest ``quality_col``, ties broken by SMALLEST id (a
+    total order; dedup must be deterministic to be resumable).  The
+    standard crawl-level pass that runs BEFORE text dedup: the same
+    page fetched via http/https/utm-tagged variants collapses here
+    for free, no shingling needed.
+
+    -> (canonical_url, n_dups, <id_col>, <quality_col>) of the kept
+    document per canonical URL.
+
+    Scale shape: ONE aggregate keyed on the canonical URL — max_by
+    over a (quality, -id)-ordered struct, partial-agg absorbed (the
+    hot key IS the duplicated page, exactly what combines map-side);
+    no window, no self-join.
+    """
+    canon = normalize_url(F.col(url_col))
+    row = F.struct(F.col(id_col).alias("id"), F.col(quality_col).alias("q"))
+    # requires a NUMERIC id: the smallest-id tiebreak rides max_by's
+    # ordering struct as (quality, -id)
+    order = F.struct(
+        F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+    )
+    return (
+        df.select(canon.alias("canonical_url"), row.alias("_r"), order.alias("_o"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.max_by("_r", "_o").alias("_keep"),
+        )
+        .select(
+            "canonical_url",
+            "n_dups",
+            F.col("_keep.id").alias(id_col),
+            F.col("_keep.q").alias(quality_col),
+        )
+    )

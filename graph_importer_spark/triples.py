@@ -408,3 +408,82 @@ def fact_fusion(
             F.col("_r.n_sources").cast("long").alias("n_sources"),
         )
     )
+
+
+def provenance(
+    triples: DataFrame,
+    k: int = 3,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    source: str = "source",
+) -> DataFrame:
+    """Per-fact provenance rollup: every emitted (subj, pred, obj)
+    carries how many distinct sources assert it and the first ``k``
+    source ids (sorted, comma-joined) — the audit trail a production
+    KG publishes next to each triple (and the evidence count
+    :func:`triple_confidence` and :func:`fact_fusion` score from).
+
+    -> (subj, pred, obj, n_sources, sources).
+
+    Scale shape: ONE fact-keyed aggregate; the count is partial-agg
+    absorbed.  The sample list uses collect_set, whose per-key state
+    is the DISTINCT source set — bounded by the source universe
+    (hosts), not by row count; a celebrity fact asserted by millions
+    of pages on the same few thousand hosts carries thousands of
+    entries, not millions.  If sources are per-URL rather than
+    per-host, pre-project to the host (urls.host_of) before calling —
+    the k-sample is a display field, not an analytical surface.
+    """
+    return triples.groupBy(subj, pred, obj).agg(
+        F.countDistinct(source).alias("n_sources"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set(source)), 1, k), ","
+        ).alias("sources"),
+    )
+
+
+def star_pattern(
+    triples: DataFrame,
+    subject_var: str,
+    required: list[str],
+    optional: list[str] | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """SPARQL star-shaped BGP with OPTIONAL clauses: bind every
+    subject that has ALL ``required`` predicates, carrying each
+    predicate's object as a column; ``optional`` predicates LEFT-join
+    (SPARQL OPTIONAL semantics — unbound becomes NULL, the row
+    survives).  The entity-card / infobox query shape, complementary
+    to :func:`chain_pattern` (paths).
+
+    Multiplicity follows SPARQL: each hop joins DISTINCT facts, so a
+    subject with two objects for a required predicate yields two rows
+    (the cartesian of its bindings).
+
+    -> (subject_var, <one column per predicate, named by predicate>).
+
+    Scale shape: per-predicate filters push to the (pred-partitioned)
+    triple scan BEFORE any join; n predicates = n-1 subject-keyed
+    equi-joins.  Celebrity subjects are AQE skew-join territory; the
+    left-deep join order puts required (selective) predicates first
+    so OPTIONAL nulls never inflate intermediate results.
+    """
+    if not required:
+        raise ValueError("star_pattern needs at least one required predicate")
+
+    def _hop(p: str) -> DataFrame:
+        return (
+            triples.filter(F.col(pred) == p)
+            .select(F.col(subj).alias(subject_var), F.col(obj).alias(p))
+            .distinct()
+        )
+
+    out = _hop(required[0])
+    for p in required[1:]:
+        out = out.join(_hop(p), subject_var, "inner")
+    for p in optional or []:
+        out = out.join(_hop(p), subject_var, "left")
+    return out
