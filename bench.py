@@ -141,6 +141,26 @@ HEADLINE = [
     "cdc_apply",
     "events_resample",
     "er_edit_pairs",
+    # round 4, session 8
+    "graph_sage_sample",
+    "text_mojibake",
+    "kg_fusion",
+    "text_curriculum",
+    "kg_types",
+    "text_contrastive",
+    # round 4, session 9
+    "sample_epochs",
+    "pack_fim",
+    "web_url_dedup",
+    "kg_provenance",
+    "kg_star_optional",
+    # round 4, session 10
+    "kg_constraints",
+    "graph_modularity",
+    "er_meta_blocking",
+    "sim_cosine_join",
+    "layout_compaction",
+    "split_leakage",
 ]
 
 

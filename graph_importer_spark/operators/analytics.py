@@ -1627,3 +1627,87 @@ def ontology_types(
         "inner",
     ).select(F.col(entity).alias("entity"), F.col("dst").alias("type"))
     return direct.unionByName(inherited).distinct()
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    decimals: int = 6,
+) -> DataFrame:
+    """Newman-Girvan modularity of a community assignment over the
+    undirected simple graph (Newman & Girvan, PRE 2004):
+
+        Q = sum_c [ e_c / m  -  (deg_c / (2m))^2 ]
+
+    where m is the undirected edge count, e_c the number of intra-
+    community edges of c, and deg_c the summed degree of c's members.
+    This is the quality score community detectors optimize — pair it
+    with :func:`label_propagation` / SLPA output to score the detected
+    partition, or with any external assignment.
+
+    ``assign`` is (id, community); nodes missing from ``assign`` are
+    dropped from the score (their edges don't count toward m), so feed
+    a total assignment for the textbook Q.
+
+    -> per-community rows (community, n_nodes, intra_edges, deg_sum,
+    q_contrib) — sum q_contrib for the scalar Q.  Per-community rows
+    are returned instead of the bare scalar because the per-community
+    decomposition is what you act on (which communities are cohesive).
+
+    Scale shape: one degree aggregate, two id-keyed equi-joins
+    attaching endpoint communities (the assignment table is
+    vertex-cardinality; Spark broadcasts it when small, AQE otherwise),
+    then ONE community-keyed aggregate.  m and 2m ride along as a
+    broadcast scalar (cross join with a 1-row total — the plan Spark
+    turns into BroadcastNestedLoopJoin on a single row).  No windows.
+    """
+    und = _undirected(edges)
+    a = assign.select(F.col("id").alias("_i"), F.col("community").alias("_c"))
+    lab = (
+        und.join(a.withColumnRenamed("_i", "a").withColumnRenamed("_c", "ca"), "a")
+        .join(a.withColumnRenamed("_i", "b").withColumnRenamed("_c", "cb"), "b")
+    )
+    m_total = lab.agg(F.count("*").alias("_m"))
+
+    deg = (
+        lab.select(F.col("ca").alias("community"))
+        .unionByName(lab.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").alias("deg_sum"))
+    )
+    intra = (
+        lab.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .distinct()
+        .join(a.withColumnRenamed("_i", "id"), "id")
+        .groupBy(F.col("_c").alias("community"))
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        nodes.join(deg, "community", "left")
+        .join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_total))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            F.coalesce("deg_sum", F.lit(0)).alias("deg_sum"),
+            F.round(
+                F.coalesce(F.col("intra_edges"), F.lit(0)) / F.col("_m")
+                - (
+                    F.coalesce(F.col("deg_sum"), F.lit(0))
+                    / (F.lit(2.0) * F.col("_m"))
+                )
+                * (
+                    F.coalesce(F.col("deg_sum"), F.lit(0))
+                    / (F.lit(2.0) * F.col("_m"))
+                ),
+                decimals,
+            ).alias("q_contrib"),
+        )
+    )

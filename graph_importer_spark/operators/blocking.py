@@ -81,3 +81,75 @@ def sorted_neighborhood_pairs(
     return probes.join(
         ranked.select(F.col(id_col).alias("b"), "rank"), "rank"
     ).select("a", "b", "dist")
+
+
+def token_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """Token blocking (the ER baseline blocker): every lowercased
+    alphanumeric token of ``text_col`` is a block key; a record joins
+    every block its tokens name.  -> (token, id).
+
+    ``max_block`` drops boilerplate blocks (stopword-like tokens shared
+    by a large fraction of the corpus) — the standard block-purging
+    step; at web scale the top tokens are Zipf-heavy and would
+    otherwise drive the pair join quadratic.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.regexp_replace(text_col, r"[^A-Za-z0-9]+", " ")), r"\s+")
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    if max_block is None:
+        return toks
+    sizes = toks.groupBy("token").agg(F.count("*").alias("_n"))
+    return (
+        toks.join(sizes.filter(F.col("_n") <= max_block), "token")
+        .drop("_n")
+    )
+
+
+def meta_blocking_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """Meta-blocking with weighted edge pruning (Papadakis et al.,
+    TKDE 2013): build the block graph from token blocking, weight every
+    candidate pair by CBS (Common Blocks Scheme = number of shared
+    blocks), and keep the pairs whose weight strictly exceeds the mean
+    edge weight — discarding the long tail of coincidental single-token
+    collisions that dominates token blocking's candidate set.
+
+    -> (a, b, w) with a < b, w = shared-block count > global mean.
+
+    Scale shape: block-keyed self-join (capped by ``max_block`` so no
+    block goes quadratic), pair-keyed count aggregate (map-side
+    partials — the pair key is fine-grained), and the mean is ONE
+    scalar aggregate broadcast back as a 1-row cross join.  This is
+    the published algorithm's MapReduce shape (Efthymiou et al.,
+    "Parallel meta-blocking", Big Data 2015): no windows, no
+    driver-side pair loops.
+    """
+    blocks = token_blocks(df, id_col, text_col, max_block)
+    x = blocks.select("token", F.col("id").alias("a"))
+    y = blocks.select("token", F.col("id").alias("b"))
+    pairs = (
+        x.join(y, "token")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    mean_w = pairs.agg(F.avg("w").alias("_mean"))
+    return (
+        pairs.crossJoin(F.broadcast(mean_w))
+        .filter(F.col("w") > F.col("_mean"))
+        .drop("_mean")
+    )

@@ -28,7 +28,7 @@ bit-for-bit in SQL in any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_importer_spark.operators.generators import _A, _M
@@ -164,4 +164,69 @@ def shard_balance(df: DataFrame, shard_col: str = "shard") -> DataFrame:
             "n_rows",
             F.round(F.col("n_rows") * F.col("_nsh") / F.col("_tot"), 6).alias("skew"),
         )
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str,
+    size_col: str,
+    target_bytes: int,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Small-file compaction planner: assign files (in ``id_col``
+    order) to contiguous compaction groups of ~``target_bytes`` each —
+    the bin assignment an Iceberg/Delta OPTIMIZE job computes before
+    rewriting (binpack strategy; contiguity preserves any sort-order
+    clustering the table already has).
+
+    Group of a file = floor(exclusive_prefix_sum(size) / target): a
+    file starts the group its first byte falls in, so every group's
+    payload is (target, target + max_file_size) — the first-fit-by-
+    sorted-order bound.
+
+    -> per-group rows (group_id, n_files, total_bytes, first_id,
+    last_id) ordered by the metadata the rewrite job needs.
+
+    Scale shape: the prefix sum is the two-phase distributed form (same
+    pattern as blocking.global_rank): per-bucket subtotal -> driver
+    prefix offsets (one row per bucket — metadata) -> broadcast back ->
+    within-bucket window (parallel, partitioned BY BUCKET).  ``bucket``
+    must be an order-preserving coarsening of ``id_col``; default
+    buckets on the id's leading 2 hex/char prefix.  No single-partition
+    window, no global sort.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    b = files.withColumn(
+        "_bkt",
+        bucket if bucket is not None else F.substring(F.col(id_col).cast("string"), 1, 2),
+    )
+    sub = b.groupBy("_bkt").agg(F.sum(size_col).alias("_n"))
+    rows = sorted(sub.collect(), key=lambda r: r["_bkt"])
+    offsets, acc = [], 0
+    for r in rows:  # driver metadata: one row per bucket
+        offsets.append((r["_bkt"], acc))
+        acc += r["_n"]
+    off = files.sparkSession.createDataFrame(offsets, ["_bkt", "_off"])
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        b.join(F.broadcast(off), "_bkt")
+        .withColumn(
+            "_start",
+            F.sum(size_col).over(w) + F.col("_off") - F.col(size_col),
+        )
+        .withColumn(
+            "group_id", F.floor(F.col("_start") / F.lit(target_bytes))
+        )
+    )
+    return assigned.groupBy("group_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum(size_col).alias("total_bytes"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
     )

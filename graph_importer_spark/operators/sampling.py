@@ -372,3 +372,50 @@ def epoch_repeat(
         )
         .drop("_copies")
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    k: int = 3,
+) -> DataFrame:
+    """Train/eval leakage audit: exact-duplicate texts whose copies
+    landed in DIFFERENT splits.  The final gate after splitting — a
+    grouped split (group_split) prevents leakage through the group key,
+    but byte-identical content replicated ACROSS groups (mirrored
+    pages, syndicated articles) still crosses the boundary; this finds
+    every such fingerprint so the caller can drop or re-home it
+    (Brown et al. 2020 §4 report exactly this class of train-test
+    contamination).
+
+    -> (fingerprint, n_splits >= 2, splits, n_docs, sample_ids):
+    ``splits`` is the sorted distinct split list (comma-joined),
+    ``sample_ids`` the first ``k`` offending ids.
+
+    Scale shape: ONE fingerprint-keyed aggregate (md5 of the dedup
+    normal form — uniform key, map-side partial count_distinct); the
+    collect_set states are bounded by the split universe (tiny) and
+    the k-slice.  Zero joins.
+    """
+    from graph_importer_spark.operators.textstats import fingerprint
+
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(split_col).alias("_sp"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.countDistinct("_sp").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("_sp")), ",").alias("splits"),
+            F.countDistinct("_id").alias("n_docs"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set(F.col("_id").cast("string"))), 1, k),
+                ",",
+            ).alias("sample_ids"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )

@@ -399,3 +399,142 @@ def kmeans_centroid_dims(cents: DataFrame) -> DataFrame:
     return cents.select(
         "centroid_id", F.posexplode("pv").alias("pos", "val")
     )
+
+
+def cosine_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT cosine similarity join over TF-IDF document vectors via
+    symmetric prefix filtering (Bayardo, Ma & Srikant, WWW'07 "Scaling
+    up all pairs similarity search"; Chaudhuri et al. ICDE'06) — the
+    sparse-vector complement of the set-Jaccard prefix_filter_pairs
+    and the lexical complement of the embedding ANN family.
+
+    Weights: w = tf * ln(1 + N/df) over dedup-normal-form whitespace
+    tokens, L2-normalized per doc.  Tokens take the canonical global
+    order (ascending df, ties by token).  A doc INDEXES its token at
+    position i iff the L2 norm of its suffix from i is >= t; if unit
+    vectors x, y have cos >= t, their FIRST common token in canonical
+    order is indexed by BOTH (were it unindexed in x, every common
+    token would sit in a suffix of x with norm < t, so
+    cos <= ||x_suffix|| * ||y|| < t) — the index-index equi-join is a
+    COMPLETE candidate generator; candidates verify with the exact dot
+    product.  Returns (id1, id2, cosine >= t, rounded).
+
+    Determinism: per-doc norms and the verification dot fold
+    LEFT-TO-RIGHT over the canonically sorted token array
+    (F.aggregate), so every emitted double is a fixed-order sum —
+    partition-invariant and replayable bit-for-bit by a SQL engine
+    folding the same order (the repo's oracle convention).  Zero terms
+    for tokens absent from the partner doc add exactly 0.0 and leave
+    the fold unchanged.
+
+    Scale shape: tf/df are keyed aggregates (map-side partial) over
+    integer counts (order-insensitive); the per-doc token array is
+    bounded by doc length; the suffix gate is a PER-DOC running window
+    (fine-grained partition key); the candidate join keys on the
+    rarest tokens by construction (rare-first canonical order pushes
+    high-df boilerplate into the norm-gated tail); verification dots
+    each candidate against a bounded token->weight map JVM-side — no
+    second corpus-wide shuffle.  N rides along as a broadcast 1-row
+    total.
+    """
+    from graph_importer_spark.operators.textstats import normalize_text
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("docfreq"))
+    ndocs = df.select(F.countDistinct(id_col).alias("_n"))
+    # per-doc array in canonical order (df asc, token asc) — ints only,
+    # so the sort and everything derived from it is deterministic
+    arr = (
+        tf.join(dfreq, "token")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("docfreq", "token", "tf"))
+            ).alias("ts")
+        )
+        .crossJoin(F.broadcast(ndocs))
+    )
+    w_of = lambda s: s.getField("tf").cast("double") * F.log(  # noqa: E731
+        F.lit(1.0) + F.col("_n").cast("double") / s.getField("docfreq")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("ts"), F.lit(0.0), lambda acc, s: acc + w_of(s) * w_of(s)
+        )
+    )
+    docs = (
+        arr.withColumn(
+            "vec",
+            F.transform(
+                "ts",
+                lambda s: F.struct(
+                    s.getField("docfreq").alias("docfreq"),
+                    s.getField("token").alias("token"),
+                    (w_of(s) / norm).alias("wn"),
+                ),
+            ),
+        )
+        .select("_id", "vec")
+        # shared by the index and verify sides; lazy so plan
+        # construction runs no jobs
+        .localCheckpoint(eager=False)
+    )
+    flat = docs.select(
+        "_id", F.posexplode("vec").alias("_pos", "s")
+    ).select(
+        "_id", "_pos",
+        F.col("s.token").alias("token"),
+        F.col("s.wn").alias("wn"),
+    )
+    run = Window.partitionBy("_id").orderBy("_pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # unit vector: suffix_sq from position i = 1 - prefix_sq before i
+    suffix_sq = F.lit(1.0) - (
+        F.sum(F.col("wn") * F.col("wn")).over(run) - F.col("wn") * F.col("wn")
+    )
+    indexed = flat.withColumn("_sfx", suffix_sq).filter(
+        F.col("_sfx") >= F.lit(threshold * threshold - 1e-9)
+    )
+    cand = (
+        indexed.select(F.col("_id").alias("id1"), "token")
+        .join(indexed.select(F.col("_id").alias("id2"), "token"), "token")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    bmap = docs.select(
+        F.col("_id").alias("id2"),
+        F.map_from_entries(
+            F.transform("vec", lambda s: F.struct(s.getField("token"), s.getField("wn")))
+        ).alias("vb"),
+    )
+    # fold in doc-a's canonical order; absent partner tokens add 0.0
+    dot = F.aggregate(
+        F.col("va"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s.getField("wn")
+        * F.coalesce(
+            F.element_at(F.col("vb"), s.getField("token")), F.lit(0.0)
+        ),
+    )
+    return (
+        cand.join(docs.select(F.col("_id").alias("id1"), F.col("vec").alias("va")), "id1")
+        .join(bmap, "id2")
+        .withColumn("_dot", dot)
+        .filter(F.col("_dot") >= threshold)
+        .select("id1", "id2", F.round("_dot", decimals).alias("cosine"))
+    )

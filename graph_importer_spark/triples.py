@@ -487,3 +487,87 @@ def star_pattern(
     for p in optional or []:
         out = out.join(_hop(p), subject_var, "left")
     return out
+
+
+def constraint_audit(
+    triples: DataFrame,
+    functional: list[str],
+    ranges: dict[str, str] | None = None,
+    types: DataFrame | None = None,
+    k: int = 3,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Ontology constraint audit over emitted triples — the validation
+    pass a KG-construction pipeline runs before publishing (the
+    reference loads edges unvalidated, edge_list.py:28-34; a production
+    importer gates on schema constraints, cf. SHACL / OWL cardinality
+    and range axioms).
+
+    Two constraint families:
+
+    * **functional** predicates (OWL FunctionalProperty): a subject may
+      assert at most ONE distinct object; a subject with >= 2 distinct
+      objects for the predicate is a violation.
+    * **ranges**: predicate -> required object type.  ``types`` is an
+      (entity, type) assertion table; an object whose asserted type
+      differs from the required one — or that has NO type assertion —
+      violates the range.
+
+    -> (subj, pred, violation, n_bad, sample): ``violation`` is
+    'functional' | 'range', ``n_bad`` counts distinct offending
+    objects, ``sample`` carries the first ``k`` (sorted, comma-joined)
+    for the audit report.
+
+    Scale shape: the functional check is ONE (subj, pred)-keyed
+    aggregate; count_distinct partial-aggregates map-side, and the
+    collect_set state is bounded by per-fact object cardinality — the
+    very quantity the constraint bounds (pathological subjects ARE the
+    violations being reported, and the k-slice caps what is carried to
+    the report).  The range check filters to the constrained
+    predicates FIRST (the predicate filter reaches the scan), then
+    LEFT-joins the (entity, type) table on the object key — a plain
+    equi-join Spark broadcasts when the type table is small and AQE
+    skew-handles otherwise — then re-aggregates per (subj, pred).  No
+    windows, no cross joins.
+    """
+    p = F.col(pred)
+
+    def _rollup(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy(subj, pred)
+            .agg(
+                F.countDistinct(obj).alias("n_bad"),
+                F.array_join(
+                    F.slice(F.array_sort(F.collect_set(obj)), 1, k), ","
+                ).alias("sample"),
+            )
+            .select(
+                subj, pred, F.lit(tag).alias("violation"), "n_bad", "sample"
+            )
+        )
+
+    fun = _rollup(
+        triples.filter(p.isin(functional)).select(subj, pred, obj).distinct(),
+        "functional",
+    ).filter(F.col("n_bad") >= 2)
+    if not ranges:
+        return fun
+
+    if types is None:
+        raise ValueError("ranges given but no (entity, type) table")
+    required_type = F.create_map(*[F.lit(x) for kv in ranges.items() for x in kv])
+    bad = (
+        triples.filter(p.isin(list(ranges)))
+        .select(subj, pred, obj)
+        .distinct()
+        .join(
+            types.select(F.col("entity").alias(obj), F.col("type").alias("_ty")),
+            obj,
+            "left",
+        )
+        .filter(F.col("_ty").isNull() | (F.col("_ty") != required_type[p]))
+        .drop("_ty")
+    )
+    return fun.unionByName(_rollup(bad, "range"))
