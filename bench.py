@@ -161,6 +161,20 @@ HEADLINE = [
     "sim_cosine_join",
     "layout_compaction",
     "split_leakage",
+    # round 4, session 11
+    "dedup_containment",
+    "web_boilerplate",
+    "eval_mrr",
+    "graph_butterfly",
+    "graph_wl",
+    "er_block_metrics",
+    # round 4, session 12
+    "kg_dangling",
+    "schema_match",
+    "kg_webtables",
+    "dedup_keep_superset",
+    "graph_ks",
+    "dedup_lsh_plan",
 ]
 
 

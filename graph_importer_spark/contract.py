@@ -6749,8 +6749,8 @@ LEFT JOIN intra USING (community), m
 def q_er_meta_blocking(spark, sf_dir):
     """Meta-blocking with weighted edge pruning (Papadakis TKDE'13;
     blocking.meta_blocking_pairs): token blocking over part
-    name+type+brand strings, CBS pair weights, keep strictly-above-mean
-    edges.  The oracle replays blocking, the cap, the weights, and the
+    name+type+brand strings, CBS pair weights, keep at-or-above-mean
+    edges (the paper's WEP threshold).  The oracle replays blocking, the cap, the weights, and the
     mean gate."""
     from graph_importer_spark.operators.blocking import meta_blocking_pairs
 
@@ -6780,7 +6780,7 @@ pairs AS (
   FROM keep x JOIN keep y USING (token)
   WHERE x.id < y.id GROUP BY x.id, y.id),
 mw AS (SELECT AVG(w) AS mean FROM pairs)
-SELECT a, b, w FROM pairs, mw WHERE w > mean
+SELECT a, b, w FROM pairs, mw WHERE w >= mean
 """
 
 
@@ -6912,6 +6912,658 @@ SELECT * FROM g WHERE n_splits >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-11: containment join, boilerplate detection, MRR/Hits@k,
+# butterfly counting, WL relabeling, blocking quality metrics
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment join (dedup.containment_pairs):
+    every 11th doc spawns a 12-word 'quote' excerpt; the quote's
+    shingle set is fully contained in its source, so the join must
+    recover (quote, source) at containment 1.0 plus any natural
+    high-containment pairs.  Oracle = brute-force distinct-shingle
+    containment (the prefix filter is complete, so the result sets
+    are identical)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    quotes = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(_ts.normalize_text(F.col("text")), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(quotes)
+    return _dedup.containment_pairs(corpus, "doc_id", "text", k=3, threshold=0.9)
+
+
+ORACLE_DEDUP_CONTAINMENT = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 400000,
+         array_to_string(list_slice(string_split({_NF_SQL}, ' '), 1, 12), ' ')
+  FROM documents WHERE doc_id < 200 AND doc_id % 11 = 0),
+docs AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                              ' ') AS t
+  FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN array_to_string(t[i:i+2], ' ')
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / sz.n, 6) AS containment
+FROM inter JOIN sz ON sz.doc_id = id_a
+WHERE CAST(i AS DOUBLE) / sz.n >= 0.9
+"""
+
+
+def q_web_boilerplate(spark, sf_dir):
+    """Per-domain boilerplate-line detection (textstats.
+    boilerplate_lines): docs are chunked into 8-word lines, assigned
+    round-robin to 7 domains, and every page gets a nav line (always)
+    plus a cookie line (even doc_ids only) prepended — the detector
+    must flag both template lines per domain and none of the content
+    chunks; frac=0.4 keeps the ~0.5-rate cookie line safely in."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.array(
+                    F.concat(F.lit("nav home site"), (F.col("doc_id") % 7).cast("string")),
+                    F.lit("accept all cookies"),
+                ),
+            ).otherwise(
+                F.array(
+                    F.concat(F.lit("nav home site"), (F.col("doc_id") % 7).cast("string"))
+                )
+            ),
+            _ts.word_chunks(F.col("text"), 8),
+        ).alias("lines"),
+    )
+    return _ts.boilerplate_lines(
+        d, "domain", "doc_id", "lines", min_pages=5, frac=0.4
+    )
+
+
+ORACLE_WEB_BOILERPLATE = rf"""
+WITH docs AS (
+  SELECT doc_id, 'site' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+         string_split({_NF_SQL}, ' ') AS t
+  FROM documents),
+content AS (
+  SELECT doc_id, domain,
+         array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+  FROM docs, UNNEST(generate_series(1, (len(t) + 7) // 8)) AS u(i)),
+template AS (
+  SELECT doc_id, domain,
+         'nav home site' || CAST(doc_id % 7 AS VARCHAR) AS line FROM docs
+  UNION ALL
+  SELECT doc_id, domain, 'accept all cookies' FROM docs WHERE doc_id % 2 = 0),
+pl AS (SELECT DISTINCT doc_id, domain, line FROM (
+         SELECT * FROM content UNION ALL SELECT * FROM template)),
+dp AS (SELECT domain, COUNT(DISTINCT doc_id) AS domain_pages
+       FROM docs GROUP BY domain),
+cnt AS (SELECT domain, line, COUNT(DISTINCT doc_id) AS n_pages
+        FROM pl GROUP BY domain, line)
+SELECT cnt.domain, line, n_pages, domain_pages,
+       round(CAST(n_pages AS DOUBLE) / domain_pages, 6) AS line_frac
+FROM cnt JOIN dp USING (domain)
+WHERE domain_pages >= 5
+  AND CAST(n_pages AS DOUBLE) / domain_pages >= 0.4
+"""
+
+
+def q_eval_mrr(spark, sf_dir):
+    """KG link-prediction ranking eval (evalmetrics.mrr_hits): each
+    customer 'query' scores every nation with the deterministic
+    congruential coin; the true nation is the positive.  The oracle
+    replays the per-query rank window and the hit indicators."""
+    from graph_importer_spark.operators.evalmetrics import mrr_hits
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 120)
+    n = T(spark, sf_dir, "nation")
+    scored = c.crossJoin(n.select("n_nationkey")).select(
+        F.col("c_custkey").alias("q"),
+        F.col("n_nationkey").alias("cand"),
+        (
+            (
+                (F.col("c_custkey") * 31 + F.col("n_nationkey")) % 1000003
+            ) * 2654435761
+            % 1000003
+        ).cast("double").alias("score"),
+        (F.col("n_nationkey") == F.col("c_nationkey")).cast("int").alias("label"),
+    )
+    return mrr_hits(scored, "q", "cand", "score", "label")
+
+
+ORACLE_EVAL_MRR = r"""
+WITH scored AS (
+  SELECT c_custkey AS q, n_nationkey AS cand,
+         CAST(((c_custkey * 31 + n_nationkey) % 1000003) * 2654435761
+              % 1000003 AS DOUBLE) AS score,
+         CASE WHEN n_nationkey = c_nationkey THEN 1 ELSE 0 END AS label
+  FROM customer, nation WHERE c_custkey < 120),
+ranked AS (
+  SELECT q, label,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, cand ASC)
+           AS rnk
+  FROM scored),
+best AS (
+  SELECT q AS query, MIN(rnk) AS first_rank FROM ranked
+  WHERE label = 1 GROUP BY q)
+SELECT query, first_rank, round(1.0 / first_rank, 6) AS rr,
+       CAST(first_rank <= 1 AS INT) AS hit_1,
+       CAST(first_rank <= 3 AS INT) AS hit_3,
+       CAST(first_rank <= 10 AS INT) AS hit_10
+FROM best
+"""
+
+
+def q_graph_butterfly(spark, sf_dir):
+    """Per-order butterfly counts (analytics.butterfly_count) on the
+    order-part bipartite graph; the oracle replays the wedge join and
+    the C(w,2) closed form."""
+    from graph_importer_spark.operators.analytics import butterfly_count
+
+    e = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1500)
+        .select(F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v"))
+    )
+    return butterfly_count(e)
+
+
+ORACLE_GRAPH_BUTTERFLY = r"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS u, l_partkey AS v
+  FROM lineitem WHERE l_orderkey < 1500),
+w AS (
+  SELECT x.u AS u1, y.u AS u2, COUNT(*) AS w
+  FROM e x JOIN e y USING (v) WHERE x.u < y.u GROUP BY x.u, y.u),
+pb AS (
+  SELECT u1, u2, CAST(w * (w - 1) / 2 AS BIGINT) AS bf FROM w
+  WHERE w >= 2)
+SELECT id, CAST(SUM(bf) AS BIGINT) AS butterflies FROM (
+  SELECT u1 AS id, bf FROM pb UNION ALL SELECT u2, bf FROM pb)
+GROUP BY id
+"""
+
+
+def q_graph_wl(spark, sf_dir):
+    """2-round Weisfeiler-Lehman relabeling (analytics.wl_relabel) on
+    the part co-purchase graph; the oracle replays the degree seed and
+    both md5 hash rounds with the sorted neighbor-label multiset."""
+    from graph_importer_spark.operators.analytics import wl_relabel
+
+    return wl_relabel(_copurchase_edges(spark, sf_dir), rounds=2)
+
+
+ORACLE_GRAPH_WL = f"""
+WITH {_COPURCHASE_SQL},
+adj AS MATERIALIZED (
+  SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+l0 AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS VARCHAR) AS label FROM adj GROUP BY id),
+n1 AS (
+  SELECT adj.id, string_agg(l0.label, ',' ORDER BY l0.label) AS nbs
+  FROM adj JOIN l0 ON l0.id = adj.nb GROUP BY adj.id),
+l1 AS MATERIALIZED (
+  SELECT l0.id, md5(l0.label || '|' || n1.nbs) AS label
+  FROM l0 JOIN n1 USING (id)),
+n2 AS (
+  SELECT adj.id, string_agg(l1.label, ',' ORDER BY l1.label) AS nbs
+  FROM adj JOIN l1 ON l1.id = adj.nb GROUP BY adj.id)
+SELECT l1.id, md5(l1.label || '|' || n2.nbs) AS wl_label
+FROM l1 JOIN n2 USING (id)
+"""
+
+
+def q_er_block_metrics(spark, sf_dir):
+    """Blocking quality metrics (blocking.blocking_quality): pair
+    completeness and reduction ratio of the meta-blocking candidate
+    set against the identical-name gold pairs over the same 400 part
+    records; the oracle replays blocking, gold, and both ratios."""
+    from graph_importer_spark.operators.blocking import (
+        blocking_quality,
+        meta_blocking_pairs,
+    )
+
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    recs = p.select(
+        F.col("p_partkey").alias("id"),
+        F.concat_ws(" ", "p_name", "p_type", "p_brand").alias("name"),
+    )
+    cand = meta_blocking_pairs(recs, "id", "name", max_block=60)
+    x, y = p.alias("x"), p.alias("y")
+    gold = (
+        x.join(y, F.col("x.p_name") == F.col("y.p_name"))
+        .filter(F.col("x.p_partkey") < F.col("y.p_partkey"))
+        .select(
+            F.col("x.p_partkey").alias("a"), F.col("y.p_partkey").alias("b")
+        )
+    )
+    return blocking_quality(cand, gold, n_records=400)
+
+
+ORACLE_ER_BLOCK_METRICS = r"""
+WITH recs AS (
+  SELECT p_partkey AS id,
+         p_name || ' ' || p_type || ' ' || p_brand AS name
+  FROM part WHERE p_partkey < 400),
+tok AS (
+  SELECT DISTINCT id, u.t AS token
+  FROM recs, unnest(string_split_regex(
+         trim(regexp_replace(lower(regexp_replace(name, '[^A-Za-z0-9]+', ' ', 'g')),
+              '\s+', ' ', 'g')), '\s+')) AS u(t)
+  WHERE u.t <> ''),
+sz AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+keep AS (SELECT tok.id, tok.token FROM tok JOIN sz USING (token) WHERE sz.n <= 60),
+pairs AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS w
+  FROM keep x JOIN keep y USING (token)
+  WHERE x.id < y.id GROUP BY x.id, y.id),
+mw AS (SELECT AVG(w) AS mean FROM pairs),
+cand AS (SELECT a, b FROM pairs, mw WHERE w >= mean),
+gold AS (
+  SELECT x.p_partkey AS a, y.p_partkey AS b
+  FROM part x JOIN part y ON x.p_name = y.p_name
+  WHERE x.p_partkey < y.p_partkey
+    AND x.p_partkey < 400 AND y.p_partkey < 400),
+tp AS (SELECT * FROM cand INTERSECT SELECT * FROM gold)
+SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM gold) AS n_gold,
+       (SELECT COUNT(*) FROM tp) AS n_true,
+       round((SELECT COUNT(*) FROM tp) * 1.0 / (SELECT COUNT(*) FROM gold), 6)
+         AS pair_completeness,
+       round(1.0 - (SELECT COUNT(*) FROM cand) / CAST(79800 AS DOUBLE), 6)
+         AS reduction_ratio
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-12: dangling-edge audit, schema matching, web-table
+# lifting, containment keeper, degree KS, LSH planning
+# ---------------------------------------------------------------------------
+
+
+def q_kg_dangling(spark, sf_dir):
+    """Referential-integrity audit (triples.dangling_edges): the
+    order->part edge set is checked against a vertex table that is
+    DELIBERATELY short (orders < 900 of the 1000 edge orders, parts
+    < 150) — the audit must flag exactly the src-, dst-, and
+    both-missing edges."""
+    e = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias(
+                "subj"
+            ),
+            F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias(
+                "obj"
+            ),
+        )
+        .distinct()
+    )
+    v = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 900)
+        .select(
+            F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias(
+                "id"
+            )
+        )
+        .unionByName(
+            T(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") < 150)
+            .select(
+                F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias(
+                    "id"
+                )
+            )
+        )
+    )
+    return _triples.dangling_edges(e, v)
+
+
+ORACLE_KG_DANGLING = r"""
+WITH e AS (
+  SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                  'part:' || CAST(l_partkey AS VARCHAR) AS obj
+  FROM lineitem WHERE l_orderkey < 1000),
+v AS (
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS id
+  FROM orders WHERE o_orderkey < 900
+  UNION ALL
+  SELECT 'part:' || CAST(p_partkey AS VARCHAR) FROM part WHERE p_partkey < 150),
+m AS (
+  SELECT e.subj, e.obj,
+         (s.id IS NOT NULL) AS has_s, (d.id IS NOT NULL) AS has_d
+  FROM e LEFT JOIN v s ON s.id = e.subj LEFT JOIN v d ON d.id = e.obj)
+SELECT subj, obj,
+       CASE WHEN NOT has_s AND NOT has_d THEN 'both'
+            WHEN NOT has_s THEN 'src' ELSE 'dst' END AS missing
+FROM m WHERE NOT has_s OR NOT has_d
+"""
+
+
+def q_schema_match(spark, sf_dir):
+    """Instance-based schema matching (profiling.column_match): the
+    part catalog's (p_name, p_brand, p_type) columns vs a 'scraped'
+    table built from the other half of the catalog with renamed
+    headers — value-overlap Jaccard must pair name<->label and
+    brand<->make and leave type unmatched against both."""
+    from graph_importer_spark.operators.profiling import column_match
+
+    a = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000).select(
+        "p_name", "p_brand", "p_type"
+    )
+    b = T(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1000).select(
+        F.col("p_name").alias("label"), F.col("p_brand").alias("make")
+    )
+    return column_match(a, b, ["p_name", "p_brand", "p_type"], ["label", "make"])
+
+
+ORACLE_SCHEMA_MATCH = r"""
+WITH ua AS (
+  SELECT DISTINCT a_col, val FROM (
+    SELECT 'p_name' AS a_col, trim(lower(p_name)) AS val
+    FROM part WHERE p_partkey < 1000
+    UNION ALL
+    SELECT 'p_brand', trim(lower(p_brand)) FROM part WHERE p_partkey < 1000
+    UNION ALL
+    SELECT 'p_type', trim(lower(p_type)) FROM part WHERE p_partkey < 1000)
+  WHERE val IS NOT NULL),
+ub AS (
+  SELECT DISTINCT b_col, val FROM (
+    SELECT 'label' AS b_col, trim(lower(p_name)) AS val
+    FROM part WHERE p_partkey >= 1000
+    UNION ALL
+    SELECT 'make', trim(lower(p_brand)) FROM part WHERE p_partkey >= 1000)
+  WHERE val IS NOT NULL),
+na AS (SELECT a_col, COUNT(*) AS n_a FROM ua GROUP BY a_col),
+nb AS (SELECT b_col, COUNT(*) AS n_b FROM ub GROUP BY b_col),
+c AS (
+  SELECT a_col, b_col, COUNT(*) AS n_common
+  FROM ua JOIN ub USING (val) GROUP BY a_col, b_col)
+SELECT a_col, b_col, n_a, n_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM c JOIN na USING (a_col) JOIN nb USING (b_col)
+"""
+
+
+def q_kg_webtables(spark, sf_dir):
+    """Web-table triple lifting (webtables.lift_tables): an orders
+    table whose leftmost column is the unique order id (elected
+    subject) and a parts table whose FIRST column (brand) repeats so
+    the second (unique part id) must be elected instead; a third
+    all-duplicate table must be dropped entirely."""
+    from graph_importer_spark.operators.webtables import lift_tables
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    oc = o.select(
+        F.lit("t_orders").alias("table_id"),
+        F.col("o_orderkey").alias("row_id"),
+        F.lit(0).alias("col_id"),
+        F.lit("order").alias("header"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias(
+            "value"
+        ),
+    ).unionByName(
+        o.select(
+            F.lit("t_orders").alias("table_id"),
+            F.col("o_orderkey").alias("row_id"),
+            F.lit(1).alias("col_id"),
+            F.lit("status").alias("header"),
+            F.col("o_orderstatus").alias("value"),
+        )
+    ).unionByName(
+        o.select(
+            F.lit("t_orders").alias("table_id"),
+            F.col("o_orderkey").alias("row_id"),
+            F.lit(2).alias("col_id"),
+            F.lit("customer").alias("header"),
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias(
+                "value"
+            ),
+        )
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    pc = p.select(
+        F.lit("t_parts").alias("table_id"),
+        F.col("p_partkey").alias("row_id"),
+        F.lit(0).alias("col_id"),
+        F.lit("brand").alias("header"),
+        F.col("p_brand").alias("value"),
+    ).unionByName(
+        p.select(
+            F.lit("t_parts").alias("table_id"),
+            F.col("p_partkey").alias("row_id"),
+            F.lit(1).alias("col_id"),
+            F.lit("part_id").alias("header"),
+            F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias(
+                "value"
+            ),
+        )
+    )
+    dup = p.select(
+        F.lit("t_dup").alias("table_id"),
+        F.col("p_partkey").alias("row_id"),
+        F.lit(0).alias("col_id"),
+        F.lit("k").alias("header"),
+        F.lit("same").alias("value"),
+    )
+    cells = oc.unionByName(pc).unionByName(dup)
+    return lift_tables(cells, uniq_threshold=0.8)
+
+
+ORACLE_KG_WEBTABLES = r"""
+WITH cells AS (
+  SELECT 't_orders' AS table_id, o_orderkey AS row_id, 0 AS col_id,
+         'order' AS header, 'order:' || CAST(o_orderkey AS VARCHAR) AS value
+  FROM orders WHERE o_orderkey < 300
+  UNION ALL
+  SELECT 't_orders', o_orderkey, 1, 'status', o_orderstatus
+  FROM orders WHERE o_orderkey < 300
+  UNION ALL
+  SELECT 't_orders', o_orderkey, 2, 'customer',
+         'cust:' || CAST(o_custkey AS VARCHAR)
+  FROM orders WHERE o_orderkey < 300
+  UNION ALL
+  SELECT 't_parts', p_partkey, 0, 'brand', p_brand FROM part WHERE p_partkey < 100
+  UNION ALL
+  SELECT 't_parts', p_partkey, 1, 'part_id',
+         'part:' || CAST(p_partkey AS VARCHAR)
+  FROM part WHERE p_partkey < 100
+  UNION ALL
+  SELECT 't_dup', p_partkey, 0, 'k', 'same' FROM part WHERE p_partkey < 100),
+stats AS (
+  SELECT table_id, col_id, COUNT(*) AS n, COUNT(DISTINCT value) AS nd
+  FROM cells WHERE value IS NOT NULL GROUP BY table_id, col_id),
+ok AS (
+  SELECT table_id, col_id FROM stats
+  WHERE CAST(nd AS DOUBLE) / n >= 0.8),
+subj AS (SELECT table_id, MIN(col_id) AS subj_col FROM ok GROUP BY table_id),
+sc AS (
+  SELECT c.table_id, c.row_id, c.value AS subj
+  FROM cells c JOIN subj s
+    ON s.table_id = c.table_id AND c.col_id = s.subj_col
+  WHERE c.value IS NOT NULL),
+oc AS (
+  SELECT c.table_id, c.row_id, c.header AS pred, c.value AS obj
+  FROM cells c JOIN subj s
+    ON s.table_id = c.table_id AND c.col_id <> s.subj_col
+  WHERE c.value IS NOT NULL)
+SELECT sc.table_id, subj, pred, obj
+FROM sc JOIN oc ON oc.table_id = sc.table_id AND oc.row_id = sc.row_id
+"""
+
+
+def q_dedup_keep_superset(spark, sf_dir):
+    """Containment keeper (dedup.keep_superset) over the
+    dedup_containment corpus: planted quote docs must be dropped with
+    their source article as the witness; the oracle replays the
+    containment pairs, the strictly-larger rule, and the
+    (size, smallest-id) witness election."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    quotes = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(_ts.normalize_text(F.col("text")), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(quotes)
+    pairs = _dedup.containment_pairs(corpus, "doc_id", "text", k=3, threshold=0.9)
+    return _dedup.keep_superset(corpus, pairs, "doc_id", "text")
+
+
+ORACLE_DEDUP_KEEP_SUPERSET = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 400000,
+         array_to_string(list_slice(string_split({_NF_SQL}, ' '), 1, 12), ' ')
+  FROM documents WHERE doc_id < 200 AND doc_id % 11 = 0),
+docs AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                              ' ') AS t
+  FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN array_to_string(t[i:i+2], ' ')
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (SELECT n FROM sz WHERE sz.doc_id = a.doc_id) >= 0.9),
+chars AS (SELECT doc_id, length(text) AS n_chars FROM corpus),
+wit AS (
+  SELECT p.id_a AS doc_id,
+         arg_max(p.id_b,
+                 cb.n_chars * 1000000000 + (1000000000 - p.id_b)) AS kept_by
+  FROM pairs p
+  JOIN chars ca ON ca.doc_id = p.id_a
+  JOIN chars cb ON cb.doc_id = p.id_b
+  WHERE cb.n_chars > ca.n_chars
+     OR (cb.n_chars = ca.n_chars AND p.id_b < p.id_a)
+  GROUP BY p.id_a)
+SELECT c.doc_id, CAST(c.n_chars AS INT) AS n_chars,
+       wit.kept_by IS NULL AS kept, wit.kept_by
+FROM chars c LEFT JOIN wit USING (doc_id)
+"""
+
+
+def q_graph_ks(spark, sf_dir):
+    """Degree-distribution KS statistic (analytics.degree_ks) between
+    the full part co-purchase graph and its first-half 'sample' —
+    the synthetic-graph validation number; the oracle replays both
+    degree tables and the running-CDF max gap."""
+    from graph_importer_spark.operators.analytics import degree_ks
+
+    full = _copurchase_edges(spark, sf_dir)
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    half = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    )
+    return degree_ks(full, half)
+
+
+ORACLE_GRAPH_KS = f"""
+WITH {_COPURCHASE_SQL},
+li2 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 1000),
+e2 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li2 x JOIN li2 y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+da AS (
+  SELECT deg, COUNT(*) AS n_a FROM (
+    SELECT id, COUNT(*) AS deg FROM (
+      SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id)
+  GROUP BY deg),
+db AS (
+  SELECT deg, COUNT(*) AS n_b FROM (
+    SELECT id, COUNT(*) AS deg FROM (
+      SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id)
+  GROUP BY deg),
+m AS (
+  SELECT COALESCE(da.deg, db.deg) AS deg,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM da FULL JOIN db ON da.deg = db.deg),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM m),
+st AS (
+  SELECT SUM(n_a) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(n_b) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS cb
+  FROM m)
+SELECT CAST(tot.ta AS BIGINT) AS n_a, CAST(tot.tb AS BIGINT) AS n_b,
+       round(MAX(ABS(CAST(ca AS DOUBLE) / tot.ta
+                     - CAST(cb AS DOUBLE) / tot.tb)), 6) AS ks
+FROM st, tot GROUP BY tot.ta, tot.tb
+"""
+
+
+def q_dedup_lsh_plan(spark, sf_dir):
+    """MinHash-LSH parameter planning table (dedup.lsh_plan): the full
+    (bands, rows) grid under a 64-permutation budget with S-curve
+    recall at J=0.8 and false-positive rate at J=0.2; ``chosen`` marks
+    the cheapest plan with recall >= 0.95.  The oracle replays the
+    grid, both curves, and the argmin election."""
+    return _dedup.lsh_plan(
+        spark, threshold=0.8, n_perm_max=64, target_recall=0.95, fp_jaccard=0.2
+    )
+
+
+ORACLE_DEDUP_LSH_PLAN = r"""
+WITH grid AS (
+  SELECT b.b, r.r, b.b * r.r AS n_perm
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS b) b,
+       (SELECT UNNEST(generate_series(1, 64)) AS r) r
+  WHERE b.b * r.r <= 64),
+scored AS (
+  SELECT b, r, n_perm,
+         round(1.0 - POWER(1.0 - POWER(0.8, CAST(r AS DOUBLE)),
+                           CAST(b AS DOUBLE)), 6) AS recall,
+         round(1.0 - POWER(1.0 - POWER(0.2, CAST(r AS DOUBLE)),
+                           CAST(b AS DOUBLE)), 6) AS fp_rate
+  FROM grid),
+best AS (
+  SELECT b, r FROM scored WHERE recall >= 0.95
+  ORDER BY n_perm, b, r LIMIT 1)
+SELECT s.b, s.r, s.n_perm, s.recall, s.fp_rate,
+       (best.b IS NOT NULL) AS chosen
+FROM scored s LEFT JOIN best ON best.b = s.b AND best.r = s.r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -6929,6 +7581,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_join": q_sim_cosine_join,
     "layout_compaction": q_layout_compaction,
     "split_leakage": q_split_leakage,
+    # round-4 session-11 additions (same window rule): containment
+    # join, boilerplate detection, MRR/Hits@k, butterfly counting,
+    # WL relabeling, blocking quality metrics.  Six more tail-of-window
+    # rows rotate out; all out-of-window rows are re-verified locally
+    # via the full scripts/check_contract.py sweep.
+    "dedup_containment": q_dedup_containment,
+    "web_boilerplate": q_web_boilerplate,
+    "eval_mrr": q_eval_mrr,
+    "graph_butterfly": q_graph_butterfly,
+    "graph_wl": q_graph_wl,
+    "er_block_metrics": q_er_block_metrics,
+    # round-4 session-12 additions (same window rule): dangling-edge
+    # audit, instance schema matching, web-table lifting, containment
+    # keeper, degree-distribution KS, LSH parameter planning.
+    "kg_dangling": q_kg_dangling,
+    "schema_match": q_schema_match,
+    "kg_webtables": q_kg_webtables,
+    "dedup_keep_superset": q_dedup_keep_superset,
+    "graph_ks": q_graph_ks,
+    "dedup_lsh_plan": q_dedup_lsh_plan,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -7219,6 +7891,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kg_dangling": ORACLE_KG_DANGLING,
+    "schema_match": ORACLE_SCHEMA_MATCH,
+    "kg_webtables": ORACLE_KG_WEBTABLES,
+    "dedup_keep_superset": ORACLE_DEDUP_KEEP_SUPERSET,
+    "graph_ks": ORACLE_GRAPH_KS,
+    "dedup_lsh_plan": ORACLE_DEDUP_LSH_PLAN,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
+    "web_boilerplate": ORACLE_WEB_BOILERPLATE,
+    "eval_mrr": ORACLE_EVAL_MRR,
+    "graph_butterfly": ORACLE_GRAPH_BUTTERFLY,
+    "graph_wl": ORACLE_GRAPH_WL,
+    "er_block_metrics": ORACLE_ER_BLOCK_METRICS,
     "kg_constraints": ORACLE_KG_CONSTRAINTS,
     "graph_modularity": ORACLE_GRAPH_MODULARITY,
     "er_meta_blocking": ORACLE_ER_META_BLOCKING,

@@ -21,7 +21,7 @@ The join of contribs back to the vertex frame is equi-join under AQE
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_importer_spark.cc import connected_components, connected_components_str  # noqa: F401  (wcc surface)
@@ -1710,4 +1710,154 @@ def modularity(
                 decimals,
             ).alias("q_contrib"),
         )
+    )
+
+
+def butterfly_count(
+    edges: DataFrame,
+    left_col: str = "u",
+    right_col: str = "v",
+) -> DataFrame:
+    """Per-left-vertex butterfly (2x2 biclique) counts on a bipartite
+    graph — the bipartite analogue of triangle counting (Wang et al.,
+    VLDB 2019 "Vertex priority based butterfly counting"): a butterfly
+    is two left vertices sharing two right vertices.  Co-purchase /
+    co-click butterflies measure community density where triangles
+    cannot exist (bipartite graphs have none).
+
+    Counting: wedges = left pairs (u1 < u2) sharing a right vertex;
+    with w = wedge multiplicity per pair, the pair closes C(w, 2)
+    butterflies; a vertex's count sums over its pairs.
+    -> (id, butterflies).
+
+    Scale shape: one right-keyed self-join (the wedge join — right-hub
+    degree d contributes d^2 wedge rows; cap or sample celebrity hubs
+    upstream like triangle_count's degree orientation), one pair-keyed
+    count (fine-grained, partial-agg), then the closed-form C(w,2) —
+    no 4-cycle enumeration.  Integer math end-to-end.
+    """
+    e = edges.select(
+        F.col(left_col).alias("u"), F.col(right_col).alias("v")
+    ).distinct()
+    x = e.select(F.col("u").alias("u1"), "v")
+    y = e.select(F.col("u").alias("u2"), "v")
+    wedges = (
+        x.join(y, "v")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count("*").alias("w"))
+    )
+    pair_bf = wedges.select(
+        "u1", "u2", (F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("bf")
+    ).filter(F.col("bf") > 0)
+    return (
+        pair_bf.select(F.col("u1").alias("id"), "bf")
+        .unionByName(pair_bf.select(F.col("u2").alias("id"), "bf"))
+        .groupBy("id")
+        .agg(F.sum("bf").alias("butterflies"))
+    )
+
+
+def wl_relabel(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman relabeling (Weisfeiler & Lehman
+    1968; Shervashidze et al., JMLR 2011 — WL graph kernels): start
+    from degree labels and repeatedly hash each vertex's (own label,
+    sorted multiset of neighbor labels).  After r rounds, equal labels
+    = locally indistinguishable r-hop neighborhoods — the structural
+    fingerprint used for graph dedup, isomorphism pre-tests, and
+    GNN expressiveness baselines.
+
+    -> (id, wl_label) with wl_label an md5 hex (replayable: md5 over
+    'label|sorted,neighbor,labels' — string ops only).
+
+    Scale shape: per round, ONE id-keyed join attaching neighbor
+    labels + ONE id-keyed aggregate building the sorted multiset
+    (collect_list state bounded by degree; celebrity vertices are the
+    usual AQE skew territory).  Rounds are a fixed small constant —
+    r-hop locality, not convergence iteration.
+    """
+    und = _undirected(edges)
+    adj = und.select(F.col("a").alias("id"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+    )
+    labels = adj.groupBy("id").agg(
+        F.count("*").cast("string").alias("label")
+    )
+    for _ in range(rounds):
+        nb = (
+            adj.join(
+                labels.select(F.col("id").alias("nb"), F.col("label").alias("_nl")),
+                "nb",
+            )
+            .groupBy("id")
+            .agg(
+                F.array_join(F.array_sort(F.collect_list("_nl")), ",").alias("_nbs")
+            )
+        )
+        labels = (
+            labels.join(nb, "id")
+            .select(
+                "id",
+                F.md5(
+                    F.encode(F.concat_ws("|", "label", "_nbs"), "UTF-8")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("label").alias("wl_label"))
+
+
+def degree_ks(edges_a: DataFrame, edges_b: DataFrame, decimals: int = 6) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the degree
+    distributions of two undirected graphs — the goodness-of-fit
+    number for validating a synthetic / sampled / anonymized graph
+    against the original (cf. Leskovec & Faloutsos, KDD 2006 graph
+    sampling evaluation).
+
+    KS = max over degree values d of |CDF_a(d) - CDF_b(d)| with the
+    CDF over nodes.  -> one row (n_a, n_b, ks).
+
+    Scale shape: each graph reduces to a (degree -> node count) table
+    first — cardinality bounded by the distinct degree count (<= max
+    degree, typically thousands), NOT node count; the step function /
+    running CDF then runs on that tiny table (single-partition window
+    over metadata-scale rows — documented, bounded).  The corpus-scale
+    work is two degree aggregates.
+    """
+    def _deg_counts(e: DataFrame, side: str) -> DataFrame:
+        und = _undirected(e)
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .unionByName(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        return deg.groupBy("deg").agg(F.count("*").alias(f"n_{side}"))
+
+    da, db = _deg_counts(edges_a, "a"), _deg_counts(edges_b, "b")
+    merged = da.join(db, "deg", "full").select(
+        "deg",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = merged.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = merged.select(
+        "deg",
+        F.sum("n_a").over(w).alias("ca"),
+        F.sum("n_b").over(w).alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    return stepped.agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+                )
+            ),
+            decimals,
+        ).alias("ks"),
     )

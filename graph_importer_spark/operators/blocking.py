@@ -150,6 +150,57 @@ def meta_blocking_pairs(
     mean_w = pairs.agg(F.avg("w").alias("_mean"))
     return (
         pairs.crossJoin(F.broadcast(mean_w))
-        .filter(F.col("w") > F.col("_mean"))
+        .filter(F.col("w") >= F.col("_mean"))
         .drop("_mean")
+    )
+
+
+def blocking_quality(
+    cand: DataFrame,
+    gold: DataFrame,
+    n_records: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Blocking-scheme quality metrics (Christen, TKDE 2012 survey):
+    pair completeness PC = |cand ∩ gold| / |gold| (the recall a
+    downstream matcher can at best achieve) and reduction ratio
+    RR = 1 - |cand| / C(n, 2) (how much of the quadratic comparison
+    space the blocker pruned).  The two-number summary every blocker
+    (token / sorted-neighborhood / meta-blocking) is tuned by.
+
+    Both inputs are unordered pairs; any (a, b) orientation is
+    accepted and canonicalized.  -> one row
+    (n_cand, n_gold, n_true, pair_completeness, reduction_ratio).
+
+    Scale shape: two canonicalize+distinct passes, one pair-keyed
+    semi-join for the intersection, three scalar counts.  The pair
+    key is fine-grained; nothing is collected.
+    """
+    if n_records < 2:
+        raise ValueError("n_records must be >= 2")
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        ).distinct()
+
+    c, g = _canon(cand), _canon(gold)
+    tp = c.join(g, ["a", "b"], "left_semi")
+    total = n_records * (n_records - 1) // 2
+    return (
+        c.agg(F.count("*").alias("n_cand"))
+        .crossJoin(g.agg(F.count("*").alias("n_gold")))
+        .crossJoin(tp.agg(F.count("*").alias("n_true")))
+        .select(
+            "n_cand",
+            "n_gold",
+            "n_true",
+            F.round(F.col("n_true") / F.col("n_gold"), decimals).alias(
+                "pair_completeness"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("n_cand") / F.lit(float(total)), decimals
+            ).alias("reduction_ratio"),
+        )
     )

@@ -780,3 +780,198 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= k)
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT shingle-containment join: pairs (a, b) where doc a's
+    k-shingle set is >= ``threshold`` contained in doc b's
+    (|A ∩ B| / |A| >= t) — the ASYMMETRIC near-dup relation Jaccard
+    misses: a page quoting a whole article, a chunk extracted from a
+    longer doc, boilerplate-wrapped syndication.  Training-data dedup
+    wants these (drop the contained copy, keep the superset).
+
+    Candidate generation is the overlap prefix filter (Chaudhuri
+    ICDE'06): required overlap o = ceil(t * |A|); any |A| - o + 1
+    shingles of A must intersect B if overlap >= o, so probing with
+    A's |A| - o + 1 RAREST shingles against the full shingle index is
+    COMPLETE.  Verification is the exact set intersection.
+    -> (id_a, id_b, containment) with id_a the contained doc,
+    id_a != id_b (both directions can emit when sizes allow).
+
+    Scale shape: the probe side explodes only ~(1-t)|A| + 1 rarest
+    shingles per doc; the index side is the full distinct-shingle
+    table — the published index-everything/probe-prefix shape for
+    overlap joins.  The join keys on A's rarest shingles (ascending-df
+    prefix order), so bucket sizes stay small; verification intersects
+    two bounded per-doc arrays JVM-side.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    sh = shingles(df, id_col, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s.getField("shingle"),
+            ).alias("toks")
+        )
+        .localCheckpoint(eager=False)  # lazy; shared probe/verify
+    )
+    plen = (
+        F.size("toks")
+        - F.ceil(F.lit(float(threshold)) * F.size("toks")).cast("int")
+        + 1
+    )
+    probe = ordered.select(
+        F.col("_id").alias("id_a"), F.explode(F.slice("toks", 1, plen)).alias("shingle")
+    )
+    cand = (
+        probe.join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = ordered.select(F.col("_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = ordered.select(F.col("_id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    c = inter.cast("double") / F.size("ta")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(c >= threshold)
+        .select("id_a", "id_b", F.round(c, decimals).alias("containment"))
+    )
+
+
+def keep_superset(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Containment keeper rule: given :func:`containment_pairs` output
+    (id_a contained in id_b), drop every doc that is contained in a
+    STRICTLY LARGER doc (ties by smaller id win) — keep the maximal
+    supersets, the convention for excerpt/quote dedup (keep the
+    article, drop the pulled quote).
+
+    The rule is one-shot, not transitive closure: a is dropped iff
+    some single superset pair witnesses it.  Chains (a ⊂ b ⊂ c) still
+    resolve — b's witness is c, a's witness is b — and the kept set is
+    exactly the docs with no larger container, independent of whether
+    the container itself survives (documented difference from
+    :func:`dup_clusters`' connected-components keeper, which treats
+    near-dup symmetrically).
+
+    -> (id, n_chars, kept, kept_by): ``kept_by`` = the largest
+    (size, then smallest-id) container for dropped docs, NULL for
+    kept ones.
+
+    Scale shape: sizes are a zero-shuffle projection; the verdict is
+    ONE pair-keyed join attaching both sizes + ONE id_a-keyed max_by
+    aggregate (partial-agg) + ONE left join back onto the corpus.
+    """
+    sizes = df.select(
+        F.col(id_col).alias("_id"), F.length(text_col).alias("n_chars")
+    )
+    both = (
+        pairs.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("n_chars").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("n_chars").alias("_sb")),
+            "id_b",
+        )
+        .filter(
+            (F.col("_sb") > F.col("_sa"))
+            | ((F.col("_sb") == F.col("_sa")) & (F.col("id_b") < F.col("id_a")))
+        )
+    )
+    witness = both.groupBy(F.col("id_a").alias("_id")).agg(
+        F.max_by(
+            "id_b", F.struct(F.col("_sb").alias("s"), (-F.col("id_b")).alias("t"))
+        ).alias("kept_by")
+    )
+    return (
+        sizes.join(witness, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chars",
+            F.col("kept_by").isNull().alias("kept"),
+            "kept_by",
+        )
+    )
+
+
+def lsh_plan(
+    spark,
+    threshold: float,
+    n_perm_max: int = 144,
+    target_recall: float = 0.95,
+    fp_jaccard: float = 0.2,
+    decimals: int = 6,
+) -> DataFrame:
+    """MinHash-LSH parameter planner: enumerate every (bands b, rows r)
+    with b*r <= ``n_perm_max`` and compute the S-curve collision
+    probability 1 - (1 - s^r)^b at s = ``threshold`` (recall on true
+    pairs) and at s = ``fp_jaccard`` (false-positive rate on unrelated
+    pairs) — the standard MMDS ch.3 planning table.  ``chosen`` marks
+    the cheapest feasible plan: recall >= target, minimizing total
+    permutations b*r, ties to fewer bands (fewer buckets), then
+    smaller r.
+
+    -> (b, r, n_perm, recall, fp_rate, chosen).  Feed the chosen
+    (b, r) to minhash_signatures/lsh_band_keys.  Driver-side tiny
+    (the grid is ~n_perm_max * divisors rows), but kept relational so
+    the planning table itself is queryable and oracle-replayable.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    grid = (
+        spark.range(1, n_perm_max + 1)
+        .withColumnRenamed("id", "b")
+        .crossJoin(
+            spark.range(1, n_perm_max + 1).withColumnRenamed("id", "r")
+        )
+        .filter(F.col("b") * F.col("r") <= n_perm_max)
+    )
+    def s_curve(s: float):
+        return F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.lit(float(s)), F.col("r").cast("double")),
+            F.col("b").cast("double"),
+        )
+    scored = grid.select(
+        "b",
+        "r",
+        (F.col("b") * F.col("r")).alias("n_perm"),
+        F.round(s_curve(threshold), decimals).alias("recall"),
+        F.round(s_curve(fp_jaccard), decimals).alias("fp_rate"),
+    )
+    feasible = scored.filter(F.col("recall") >= target_recall)
+    best = feasible.orderBy(
+        F.col("n_perm").asc(), F.col("b").asc(), F.col("r").asc()
+    ).limit(1).select(
+        F.col("b").alias("_bb"), F.col("r").alias("_br"), F.lit(True).alias("chosen")
+    )
+    return (
+        scored.join(
+            F.broadcast(best),
+            (F.col("b") == F.col("_bb")) & (F.col("r") == F.col("_br")),
+            "left",
+        )
+        .select(
+            "b", "r", "n_perm", "recall", "fp_rate",
+            F.coalesce("chosen", F.lit(False)).alias("chosen"),
+        )
+    )

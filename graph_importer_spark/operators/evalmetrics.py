@@ -174,3 +174,46 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def mrr_hits(
+    scored: DataFrame,
+    query_col: str,
+    cand_col: str,
+    score_col: str,
+    label_col: str,
+    ks: tuple[int, ...] = (1, 3, 10),
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query reciprocal rank and Hits@k — the KG-embedding
+    link-prediction protocol (Bordes et al. 2013): rank candidates by
+    score (desc, ties by candidate id for determinism), find the best
+    rank holding a positive label, emit rr = 1/rank and hit_k
+    indicators.  Queries with no positive candidate are dropped (the
+    filtered-setting convention); average rr over queries for MRR.
+
+    -> (query, first_rank, rr, hit_1, hit_3, hit_10, ...).
+
+    Scale shape: ONE per-query window (fine-grained partition key — a
+    query's candidate list is bounded by the protocol, not the corpus)
+    and one per-query aggregate.  No global sort.
+    """
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).asc()
+    )
+    ranked = scored.withColumn("_rank", F.row_number().over(w))
+    best = (
+        ranked.filter(F.col(label_col) == 1)
+        .groupBy(F.col(query_col).alias("query"))
+        .agg(F.min("_rank").alias("first_rank"))
+    )
+    out = best.select(
+        "query",
+        "first_rank",
+        F.round(F.lit(1.0) / F.col("first_rank"), decimals).alias("rr"),
+        *[
+            (F.col("first_rank") <= k).cast("int").alias(f"hit_{k}")
+            for k in ks
+        ],
+    )
+    return out

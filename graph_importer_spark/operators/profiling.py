@@ -64,3 +64,70 @@ def profile_table(
         ),
         F.max(F.when(nn, F.col("cnt"))).alias("top_count"),
     )
+
+
+def column_match(
+    a: DataFrame,
+    b: DataFrame,
+    a_cols: list[str],
+    b_cols: list[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Instance-based schema matching: Jaccard similarity of the
+    distinct value sets of every (a-column, b-column) pair — the
+    value-overlap half of classic schema matchers (COMA / Similarity
+    Flooding instance baselines; Rahm & Bernstein VLDB J. 2001).
+    The integration step a KG builder runs before mapping a scraped
+    web table onto an existing ontology's attributes.
+
+    Values compare as trimmed lowercase strings; NULLs drop.
+    -> (a_col, b_col, n_a, n_b, n_common, jaccard).
+
+    Scale shape: each side is ONE unpivot (explode of a literal
+    column-name array -> (col, value)) + distinct; the overlap is a
+    single (value)-keyed equi-join keyed on values, then a
+    (a_col, b_col) aggregate.  Column counts ride on the same distinct
+    tables.  Cost is data-linear; nothing is per-column-pair scanned.
+    """
+
+    def _unpivot(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.trim(F.lower(F.col(c).cast("string"))).alias("val"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.col").alias(f"{side}_col"), F.col("p.val").alias("val"))
+            .filter(F.col("val").isNotNull())
+            .distinct()
+        )
+
+    ua, ub = _unpivot(a, a_cols, "a"), _unpivot(b, b_cols, "b")
+    na = ua.groupBy("a_col").agg(F.count("*").alias("n_a"))
+    nb = ub.groupBy("b_col").agg(F.count("*").alias("n_b"))
+    common = (
+        ua.join(ub, "val")
+        .groupBy("a_col", "b_col")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(na, "a_col")
+        .join(nb, "b_col")
+        .select(
+            "a_col",
+            "b_col",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                decimals,
+            ).alias("jaccard"),
+        )
+    )

@@ -394,10 +394,11 @@ def split_leakage(
     ``splits`` is the sorted distinct split list (comma-joined),
     ``sample_ids`` the first ``k`` offending ids.
 
-    Scale shape: ONE fingerprint-keyed aggregate (md5 of the dedup
-    normal form — uniform key, map-side partial count_distinct); the
-    collect_set states are bounded by the split universe (tiny) and
-    the k-slice.  Zero joins.
+    Scale shape: ONE fingerprint-keyed aggregate, one shuffle (the
+    distinct counts are sizes of the collect_set states — NOT
+    count_distinct, which would expand into a second shuffle; the
+    states are bounded by the split universe (tiny) and the dup-group
+    size, exactly the quantity being reported).  Zero joins.
     """
     from graph_importer_spark.operators.textstats import fingerprint
 
@@ -405,17 +406,19 @@ def split_leakage(
         df.select(
             fingerprint(F.col(text_col)).alias("fingerprint"),
             F.col(split_col).alias("_sp"),
-            F.col(id_col).alias("_id"),
+            F.col(id_col).cast("string").alias("_id"),
         )
         .groupBy("fingerprint")
         .agg(
-            F.countDistinct("_sp").alias("n_splits"),
-            F.array_join(F.array_sort(F.collect_set("_sp")), ",").alias("splits"),
-            F.countDistinct("_id").alias("n_docs"),
-            F.array_join(
-                F.slice(F.array_sort(F.collect_set(F.col("_id").cast("string"))), 1, k),
-                ",",
-            ).alias("sample_ids"),
+            F.array_sort(F.collect_set("_sp")).alias("_sps"),
+            F.array_sort(F.collect_set("_id")).alias("_ids"),
+        )
+        .select(
+            "fingerprint",
+            F.size("_sps").cast("long").alias("n_splits"),
+            F.array_join("_sps", ",").alias("splits"),
+            F.size("_ids").cast("long").alias("n_docs"),
+            F.array_join(F.slice("_ids", 1, k), ",").alias("sample_ids"),
         )
         .filter(F.col("n_splits") >= 2)
     )

@@ -630,3 +630,102 @@ def mojibake_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (cols["mojibake_hits"] > 0).alias("is_mojibake"),
         F.md5(F.encode(cols["fixed_text"], "UTF-8")).alias("fixed_md5"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    lines_col: str,
+    min_pages: int = 5,
+    frac: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-domain boilerplate detection: a line appearing on >=
+    ``frac`` of a domain's pages (domains with >= ``min_pages`` pages)
+    is boilerplate — nav bars, cookie banners, footers.  The
+    site-template counterpart of C4's global line rules
+    (c4_line_filter) and the precursor to :func:`strip_boilerplate`;
+    cf. the CCNet/RefinedWeb per-site template-stripping step.
+
+    -> (domain, line, n_pages, domain_pages, line_frac).
+
+    Scale shape: one (domain, line)-keyed distinct-page count and one
+    domain-keyed page count, joined on domain — both partial-agg
+    friendly; the (domain, line) key is fine-grained so template skew
+    lands on the domain join, which broadcasts when the qualifying
+    domain list is small.  line_frac = int/int division: exact and
+    replayable.
+    """
+    pl = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.col(lines_col))).alias("line"),
+    )
+    dp = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.countDistinct(id_col).alias("domain_pages")
+    )
+    cnt = pl.groupBy("domain", "line").agg(F.countDistinct("_id").alias("n_pages"))
+    return (
+        cnt.join(dp, "domain")
+        .filter(
+            (F.col("domain_pages") >= min_pages)
+            & (F.col("n_pages") / F.col("domain_pages") >= frac)
+        )
+        .select(
+            "domain",
+            "line",
+            "n_pages",
+            "domain_pages",
+            F.round(F.col("n_pages") / F.col("domain_pages"), decimals).alias(
+                "line_frac"
+            ),
+        )
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    lines_col: str,
+    bp: DataFrame,
+) -> DataFrame:
+    """Remove detected boilerplate lines (from
+    :func:`boilerplate_lines`) from every page, preserving line order.
+    -> (id, domain, lines, n_before, n_after).
+
+    Scale shape: posexplode -> (domain, line) LEFT ANTI join against
+    the boilerplate table (small: qualifying template lines only —
+    broadcast) -> re-collect sorted by position.  The per-page
+    collect_list state is bounded by page length.
+    """
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.col(lines_col)).alias("_pos", "line"),
+    )
+    kept = pos.join(
+        F.broadcast(bp.select("domain", "line")), ["domain", "line"], "left_anti"
+    )
+    before = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(domain_col).alias("domain"),
+        F.size(F.col(lines_col)).alias("n_before"),
+    )
+    after = kept.groupBy("_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_pos", "line"))),
+            lambda s: s.getField("line"),
+        ).alias("lines")
+    )
+    return (
+        before.join(after, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "domain",
+            F.coalesce("lines", F.array().cast("array<string>")).alias("lines"),
+            "n_before",
+            F.coalesce(F.size("lines"), F.lit(0)).alias("n_after"),
+        )
+    )

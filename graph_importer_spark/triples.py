@@ -571,3 +571,48 @@ def constraint_audit(
         .drop("_ty")
     )
     return fun.unionByName(_rollup(bad, "range"))
+
+
+def dangling_edges(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    vid: str = "id",
+) -> DataFrame:
+    """Referential-integrity audit of a materialized graph: edges
+    whose endpoint is missing from the vertex table — the dangling
+    `_from`/`_to` references ArangoDB rejects at insert time
+    (edge_list.py:28-34 relies on the server for this; a lakehouse
+    graph must self-check before publishing).
+
+    -> the offending edge rows + ``missing`` ('src' | 'dst' | 'both').
+
+    Scale shape: two endpoint-keyed LEFT joins against the vertex-id
+    projection (broadcast when the vertex table is small, AQE
+    otherwise) and a null filter — no aggregation, streaming-friendly.
+    """
+    v = vertices.select(F.col(vid).alias("_v")).distinct()
+    out = (
+        edges.join(
+            v.withColumnRenamed("_v", src).withColumn("_has_s", F.lit(1)),
+            src,
+            "left",
+        )
+        .join(
+            v.withColumnRenamed("_v", dst).withColumn("_has_d", F.lit(1)),
+            dst,
+            "left",
+        )
+        .filter(F.col("_has_s").isNull() | F.col("_has_d").isNull())
+        .withColumn(
+            "missing",
+            F.when(
+                F.col("_has_s").isNull() & F.col("_has_d").isNull(), "both"
+            )
+            .when(F.col("_has_s").isNull(), "src")
+            .otherwise("dst"),
+        )
+        .drop("_has_s", "_has_d")
+    )
+    return out
