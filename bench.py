@@ -175,6 +175,10 @@ HEADLINE = [
     "dedup_keep_superset",
     "graph_ks",
     "dedup_lsh_plan",
+    # round 4, session 13
+    "er_pipeline",
+    "kg_quality",
+    "text_readability",
 ]
 
 

@@ -7564,6 +7564,280 @@ FROM scored s LEFT JOIN best ON best.b = s.b AND best.r = s.r
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-13: composed ER pipeline, composed KG quality report,
+# readability scores
+# ---------------------------------------------------------------------------
+
+
+def q_er_pipeline(spark, sf_dir):
+    """END-TO-END entity resolution (the ER counterpart of
+    corpus_hygiene): meta-blocking candidates -> field-agreement
+    features -> Fellegi-Sunter scoring -> match pairs -> transitive
+    dup clusters -> golden-record survivorship.  Every stage is an
+    already-oracle-verified operator; this row verifies the
+    COMPOSITION (schema handoffs, decision thresholds, keeper
+    election) end to end."""
+    from graph_importer_spark.operators.blocking import meta_blocking_pairs
+    from graph_importer_spark.operators.linkage import fs_score, golden_record
+
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    recs = p.select(
+        F.col("p_partkey").alias("id"),
+        F.concat_ws(" ", "p_name", "p_type", "p_brand").alias("name"),
+    )
+    cand = meta_blocking_pairs(recs, "id", "name", max_block=60)
+    attrs = p.select("p_partkey", "p_name", "p_brand", "p_type")
+    feats = (
+        cand.join(
+            attrs.select(
+                F.col("p_partkey").alias("a"),
+                F.col("p_name").alias("_na"),
+                F.col("p_brand").alias("_ba"),
+                F.col("p_type").alias("_ta"),
+            ),
+            "a",
+        )
+        .join(
+            attrs.select(
+                F.col("p_partkey").alias("b"),
+                F.col("p_name").alias("_nb"),
+                F.col("p_brand").alias("_bb"),
+                F.col("p_type").alias("_tb"),
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            (F.col("_na") == F.col("_nb")).alias("same_name"),
+            (F.col("_ba") == F.col("_bb")).alias("same_brand"),
+            (F.col("_ta") == F.col("_tb")).alias("same_type"),
+        )
+    )
+    scored = fs_score(
+        feats,
+        {"same_name": (0.95, 0.05), "same_brand": (0.8, 0.2),
+         "same_type": (0.7, 0.3)},
+        lower=0.0,
+        upper=3.0,
+    )
+    matches = scored.filter(F.col("fs_decision") == "match").select(
+        F.col("a").alias("id1"), F.col("b").alias("id2")
+    )
+    clusters = _dedup.dup_clusters(matches)
+    members = clusters.join(
+        attrs.withColumnRenamed("p_partkey", "doc_id"), "doc_id"
+    ).select("keeper", "p_name", "p_brand", "p_type")
+    return golden_record(
+        members, "keeper", {"p_name": "mode", "p_brand": "min", "p_type": "max"}
+    )
+
+
+def _oracle_er_pipeline() -> str:
+    import math
+
+    wn_a, wn_d = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    wb_a, wb_d = math.log(0.8 / 0.2), math.log(0.2 / 0.8)
+    wt_a, wt_d = math.log(0.7 / 0.3), math.log(0.3 / 0.7)
+    return rf"""
+WITH RECURSIVE recs AS (
+  SELECT p_partkey AS id,
+         p_name || ' ' || p_type || ' ' || p_brand AS name
+  FROM part WHERE p_partkey < 400),
+tok AS (
+  SELECT DISTINCT id, u.t AS token
+  FROM recs, unnest(string_split_regex(
+         trim(regexp_replace(lower(regexp_replace(name, '[^A-Za-z0-9]+', ' ', 'g')),
+              '\s+', ' ', 'g')), '\s+')) AS u(t)
+  WHERE u.t <> ''),
+szt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+keep AS (SELECT tok.id, tok.token FROM tok JOIN szt USING (token)
+         WHERE szt.n <= 60),
+bpairs AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS w
+  FROM keep x JOIN keep y USING (token)
+  WHERE x.id < y.id GROUP BY x.id, y.id),
+mw AS (SELECT AVG(w) AS mean FROM bpairs),
+cand AS (SELECT a, b FROM bpairs, mw WHERE w >= mean),
+feats AS (
+  SELECT a, b,
+         (pa.p_name = pb.p_name) AS same_name,
+         (pa.p_brand = pb.p_brand) AS same_brand,
+         (pa.p_type = pb.p_type) AS same_type
+  FROM cand
+  JOIN part pa ON pa.p_partkey = a
+  JOIN part pb ON pb.p_partkey = b),
+scored AS (
+  SELECT a, b,
+         round((0.0
+           + CASE WHEN same_brand THEN {wb_a!r} ELSE {wb_d!r} END)
+           + CASE WHEN same_name THEN {wn_a!r} ELSE {wn_d!r} END
+           + CASE WHEN same_type THEN {wt_a!r} ELSE {wt_d!r} END, 6) AS w
+  FROM feats),
+m AS (SELECT a AS id1, b AS id2 FROM scored WHERE w >= 3.0),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM m
+  UNION SELECT id2, id1 FROM m
+  UNION SELECT id1, id1 FROM m
+  UNION SELECT id2, id2 FROM m),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+cl AS (SELECT a AS doc_id, MIN(b) AS keeper FROM reach GROUP BY a),
+mem AS (
+  SELECT cl.keeper, p.p_name, p.p_brand, p.p_type
+  FROM cl JOIN part p ON p.p_partkey = cl.doc_id),
+base AS (
+  SELECT keeper, COUNT(*) AS n_members,
+         MIN(p_brand) AS p_brand, MAX(p_type) AS p_type
+  FROM mem GROUP BY keeper),
+cnt AS (
+  SELECT keeper, p_name AS value, COUNT(*) AS cnt FROM mem
+  WHERE p_name IS NOT NULL GROUP BY 1, 2),
+md AS (
+  SELECT keeper,
+         arg_max(value, printf('%012d', cnt) || '|' || value) AS p_name
+  FROM cnt GROUP BY keeper)
+SELECT b.keeper, b.n_members, md.p_name, b.p_brand, b.p_type
+FROM base b LEFT JOIN md USING (keeper)
+"""
+
+
+ORACLE_ER_PIPELINE = _oracle_er_pipeline()
+
+
+def q_kg_quality(spark, sf_dir):
+    """Composed KG health report: the constraint audit (functional +
+    range, kg_constraints synthesis) and the dangling-edge audit
+    (kg_dangling synthesis) rolled up into one (check, n_items) table
+    — the one-screen summary a pipeline publishes next to each graph
+    snapshot."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    subj = F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))
+    base = o.select(
+        subj.alias("subj"), F.lit("placed_by").alias("pred"),
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    shadow = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        subj.alias("subj"), F.lit("placed_by").alias("pred"),
+        F.concat(F.lit("cust:shadow"), (F.col("o_orderkey") % 3).cast("string")
+                 ).alias("obj"),
+    )
+    t = base.unionByName(shadow)
+    types = T(spark, sf_dir, "customer").select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity"),
+        F.lit("Customer").alias("type"),
+    )
+    audit = _triples.constraint_audit(
+        t, functional=["placed_by"], ranges={"placed_by": "Customer"}, types=types
+    )
+    c_roll = audit.groupBy(
+        F.concat(F.lit("constraint:"), F.col("violation")).alias("check_name")
+    ).agg(F.count("*").alias("n_items"))
+
+    e = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("subj"),
+            F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+    v = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 900)
+        .select(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("id"))
+        .unionByName(
+            T(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") < 150)
+            .select(F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("id"))
+        )
+    )
+    d_roll = (
+        _triples.dangling_edges(e, v)
+        .groupBy(F.concat(F.lit("dangling:"), F.col("missing")).alias("check_name"))
+        .agg(F.count("*").alias("n_items"))
+    )
+    return c_roll.unionByName(d_roll)
+
+
+ORACLE_KG_QUALITY = r"""
+WITH o AS (SELECT * FROM orders WHERE o_orderkey < 2000),
+t AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj,
+           'placed_by' AS pred,
+           'cust:' || CAST(o_custkey AS VARCHAR) AS obj FROM o
+    UNION ALL
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+           'cust:shadow' || CAST(o_orderkey % 3 AS VARCHAR)
+    FROM o WHERE o_orderkey % 7 = 0)),
+ty AS (SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity FROM customer),
+fun AS (
+  SELECT subj FROM t GROUP BY subj HAVING COUNT(DISTINCT obj) >= 2),
+rng AS (
+  SELECT subj FROM t LEFT JOIN ty ON ty.entity = t.obj
+  WHERE ty.entity IS NULL GROUP BY subj),
+cons AS (
+  SELECT 'constraint:functional' AS check_name, COUNT(*) AS n_items FROM fun
+  UNION ALL
+  SELECT 'constraint:range', COUNT(*) FROM rng),
+e AS (
+  SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                  'part:' || CAST(l_partkey AS VARCHAR) AS obj
+  FROM lineitem WHERE l_orderkey < 1000),
+v AS (
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS id
+  FROM orders WHERE o_orderkey < 900
+  UNION ALL
+  SELECT 'part:' || CAST(p_partkey AS VARCHAR) FROM part WHERE p_partkey < 150),
+m AS (
+  SELECT (s.id IS NOT NULL) AS has_s, (d.id IS NOT NULL) AS has_d
+  FROM e LEFT JOIN v s ON s.id = e.subj LEFT JOIN v d ON d.id = e.obj),
+dang AS (
+  SELECT 'dangling:' ||
+         CASE WHEN NOT has_s AND NOT has_d THEN 'both'
+              WHEN NOT has_s THEN 'src' ELSE 'dst' END AS check_name,
+         COUNT(*) AS n_items
+  FROM m WHERE NOT has_s OR NOT has_d GROUP BY 1)
+SELECT * FROM cons WHERE n_items > 0
+UNION ALL SELECT * FROM dang
+"""
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability (textstats.
+    readability_columns) over the document corpus; the oracle replays
+    the vowel-group syllable heuristic and both published formulas."""
+    d = T(spark, sf_dir, "documents")
+    return _ts.readability_columns(d, "doc_id", "text")
+
+
+ORACLE_TEXT_READABILITY = rf"""
+WITH d AS (
+  SELECT doc_id, text, {_NF_SQL} AS nf FROM documents),
+c AS (
+  SELECT doc_id,
+         greatest(len(string_split(nf, ' ')), 1) AS n_words,
+         greatest(len(regexp_extract_all(nf, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM d)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+         AS fk_grade
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -7601,6 +7875,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_superset": q_dedup_keep_superset,
     "graph_ks": q_graph_ks,
     "dedup_lsh_plan": q_dedup_lsh_plan,
+    # round-4 session-13 additions: the composed end-to-end ER
+    # pipeline (blocking -> FS scoring -> clusters -> golden record),
+    # the composed KG health report, and readability scoring.
+    "er_pipeline": q_er_pipeline,
+    "kg_quality": q_kg_quality,
+    "text_readability": q_text_readability,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -7891,6 +8171,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "er_pipeline": ORACLE_ER_PIPELINE,
+    "kg_quality": ORACLE_KG_QUALITY,
+    "text_readability": ORACLE_TEXT_READABILITY,
     "kg_dangling": ORACLE_KG_DANGLING,
     "schema_match": ORACLE_SCHEMA_MATCH,
     "kg_webtables": ORACLE_KG_WEBTABLES,

@@ -729,3 +729,49 @@ def strip_boilerplate(
             F.coalesce(F.size("lines"), F.lit(0)).alias("n_after"),
         )
     )
+
+
+def readability_columns(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level (Kincaid 1975;
+    the readability gates used in education-targeted corpus filtering,
+    cf. the FineWeb-Edu style quality axes) under the standard
+    dependency-free approximations:
+
+    * words     = whitespace tokens of the dedup normal form (min 1)
+    * sentences = runs of terminal punctuation ``[.!?]+`` (min 1)
+    * syllables = vowel-group count ``[aeiouy]+`` per text (the classic
+      heuristic — each maximal vowel run is one syllable; 'e' endings
+      and diphthong edge cases are accepted error, documented)
+
+    flesch = 206.835 - 1.015*(W/S) - 84.6*(Y/W)
+    fk_grade = 0.39*(W/S) + 11.8*(Y/W) - 15.59
+
+    -> (id, n_words, n_sentences, n_syllables, flesch, fk_grade).
+
+    Scale shape: three regexp counts + arithmetic — pure codegen, zero
+    shuffle, zero UDF; replayable in SQL via regexp_extract_all
+    lengths.
+    """
+    t = normalize_text(F.col(text_col))
+    words = F.greatest(F.size(F.split(t, " ")), F.lit(1))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    sylls = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+    wps = words.cast("double") / sents
+    spw = sylls.cast("double") / words
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, decimals
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), decimals
+        ).alias("fk_grade"),
+    )
