@@ -179,6 +179,12 @@ HEADLINE = [
     "er_pipeline",
     "kg_quality",
     "text_readability",
+    # round 4, session 14
+    "web_url_templates",
+    "sample_diverse",
+    "kg_inverse_preds",
+    "graph_richclub",
+    "kg_fact_history",
 ]
 
 

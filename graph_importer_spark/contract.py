@@ -7838,6 +7838,245 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-14: URL template mining, diversity sampling, inverse
+# predicates, rich club, fact history
+# ---------------------------------------------------------------------------
+
+
+def q_web_url_templates(spark, sf_dir):
+    """Crawl path-template mining (urls.url_templates): item pages
+    share the /item/{n} family per host, and every 4th doc carries an
+    md5 session segment that must generalize to /cache/{h}/view; the
+    oracle replays the hex-then-digit generalization and the rollup."""
+    from graph_importer_spark.operators.urls import url_templates
+
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.when(
+        i % 4 == 0,
+        F.concat(
+            F.lit("https://site"), (i % 13).cast("string"),
+            F.lit(".example/cache/"), F.md5(i.cast("string")), F.lit("/view"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"), (i % 13).cast("string"),
+            F.lit(".example/item/"), (i % 50).cast("string"),
+        )
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    return url_templates(pages, "url", min_count=2, k=3)
+
+
+ORACLE_WEB_URL_TEMPLATES = r"""
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                   || '.example/cache/' || md5(CAST(doc_id AS VARCHAR))
+                   || '/view'
+              ELSE 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                   || '.example/item/' || CAST(doc_id % 50 AS VARCHAR)
+         END AS url
+  FROM documents),
+px AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1)
+           AS p
+  FROM pages),
+t AS (
+  SELECT host,
+         regexp_replace(
+           regexp_replace(p, '[0-9a-f]{8,}', '{h}', 'g'),
+           '[0-9]+', '{n}', 'g') AS template,
+         p AS path
+  FROM px)
+SELECT host, template, COUNT(*) AS n_urls,
+       array_to_string(
+         list_slice(list_sort(list(DISTINCT path)), 1, 3), ',') AS sample
+FROM t GROUP BY host, template HAVING COUNT(*) >= 2
+"""
+
+
+def q_sample_diverse(spark, sf_dir):
+    """Coverage-max diversity sample (dedup.diverse_sample): byte
+    clones of every 9th doc are planted so MinHash buckets genuinely
+    collapse; the oracle replays the md5 signature chain, the bucket
+    key, and the min-id keeper."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = d.unionAll(clones)
+    return _dedup.diverse_sample(corpus, "doc_id", "text", k=3, n_hashes=4)
+
+
+ORACLE_SAMPLE_DIVERSE = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents
+  WHERE doc_id < 400 AND doc_id % 9 = 0),
+docs AS (
+  SELECT doc_id, string_split({_NF_SQL}, ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN array_to_string(t[i:i+2], ' ')
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+sigs AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+  FROM sh, UNNEST(generate_series(0, 3)) AS s(seed)
+  GROUP BY doc_id, seed),
+keys AS (
+  SELECT doc_id, md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY doc_id)
+SELECT bucket, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+FROM keys GROUP BY bucket
+"""
+
+
+def q_kg_inverse_preds(spark, sf_dir):
+    """Inverse-predicate detection (triples.inverse_predicates):
+    supplied_by(part, supp) always asserted; supplies(supp, part) only
+    when l_partkey % 3 != 0 — the pair must surface in both directions
+    with the ratio the planting implies, and 'ships_with' (no inverse)
+    must not."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    part = F.concat(F.lit("part:"), F.col("l_partkey").cast("string"))
+    supp = F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string"))
+    fwd = li.select(
+        part.alias("subj"), F.lit("supplied_by").alias("pred"), supp.alias("obj")
+    )
+    rev = li.filter(F.col("l_partkey") % 3 != 0).select(
+        supp.alias("subj"), F.lit("supplies").alias("pred"), part.alias("obj")
+    )
+    other = li.select(
+        part.alias("subj"),
+        F.lit("ships_with").alias("pred"),
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("obj"),
+    )
+    t = fwd.unionByName(rev).unionByName(other)
+    return _triples.inverse_predicates(t, min_support=10, min_ratio=0.3)
+
+
+ORACLE_KG_INVERSE_PREDS = r"""
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 3000),
+t AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'part:' || CAST(l_partkey AS VARCHAR) AS subj,
+           'supplied_by' AS pred,
+           'supp:' || CAST(l_suppkey AS VARCHAR) AS obj FROM li
+    UNION ALL
+    SELECT 'supp:' || CAST(l_suppkey AS VARCHAR), 'supplies',
+           'part:' || CAST(l_partkey AS VARCHAR)
+    FROM li WHERE l_partkey % 3 <> 0
+    UNION ALL
+    SELECT 'part:' || CAST(l_partkey AS VARCHAR), 'ships_with',
+           'order:' || CAST(l_orderkey AS VARCHAR) FROM li)),
+sw AS (SELECT obj AS subj, pred AS q, subj AS obj FROM t),
+ov AS (
+  SELECT t.pred AS p, sw.q, COUNT(*) AS n_overlap
+  FROM t JOIN sw ON sw.subj = t.subj AND sw.obj = t.obj
+  GROUP BY t.pred, sw.q),
+sz AS (SELECT pred AS p, COUNT(*) AS n_p FROM t GROUP BY pred)
+SELECT p, q, n_p, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / n_p, 6) AS ratio
+FROM ov JOIN sz USING (p)
+WHERE n_overlap >= 10 AND CAST(n_overlap AS DOUBLE) / n_p >= 0.3
+"""
+
+
+def q_graph_richclub(spark, sf_dir):
+    """Rich-club coefficients (analytics.rich_club) of the part
+    co-purchase graph at k = 2/4/8/16; the oracle replays the degree
+    table and both counts per k (correlated scalar subqueries on the
+    tiny k list)."""
+    from graph_importer_spark.operators.analytics import rich_club
+
+    return rich_club(_copurchase_edges(spark, sf_dir), ks=[2, 4, 8, 16])
+
+
+ORACLE_GRAPH_RICHCLUB = f"""
+WITH {_COPURCHASE_SQL},
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+lab AS MATERIALIZED (
+  SELECT da.deg AS da, db.deg AS db
+  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+ks AS (SELECT UNNEST([2, 4, 8, 16]) AS k)
+SELECT ks.k,
+       (SELECT COUNT(*) FROM deg WHERE deg.deg > ks.k) AS n_nodes,
+       (SELECT COUNT(*) FROM lab WHERE lab.da > ks.k AND lab.db > ks.k)
+         AS n_edges,
+       CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg.deg > ks.k) >= 2
+            THEN round(
+              2.0 * (SELECT COUNT(*) FROM lab
+                     WHERE lab.da > ks.k AND lab.db > ks.k)
+              / ((SELECT COUNT(*) FROM deg WHERE deg.deg > ks.k)
+                 * ((SELECT COUNT(*) FROM deg WHERE deg.deg > ks.k) - 1)), 6)
+       END AS phi
+FROM ks
+"""
+
+
+def q_kg_fact_history(spark, sf_dir):
+    """Temporal fact versioning: scd2_history applied to a KG fact
+    change log (per customer-fact key, the asserted object over
+    order-date time) — intervals with re-assertions collapsed, epoch
+    bounds.  Composes the SCD2 operator with the triple schema; the
+    oracle replays the lag/lead window program."""
+    from graph_importer_spark.operators import scd2 as _scd2
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 120)
+    changes = o.select(
+        F.concat(
+            F.lit("cust:"), F.col("o_custkey").cast("string"), F.lit("|status")
+        ).alias("fact_key"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    h = _scd2.scd2_history(changes, "fact_key", ["obj"], "ts", "o_orderkey")
+    return h.select(
+        "fact_key",
+        "obj",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("to_us"),
+        "is_current",
+        "version",
+    )
+
+
+ORACLE_KG_FACT_HISTORY = r"""
+WITH ch AS (
+  SELECT 'cust:' || CAST(o_custkey AS VARCHAR) || '|status' AS fact_key,
+         o_orderstatus AS obj, o_orderdate AS ts, o_orderkey
+  FROM orders WHERE o_custkey < 120),
+o AS (
+  SELECT fact_key, obj, o_orderkey, epoch_us(ts) AS t,
+         LAG(obj) OVER w AS prev,
+         LAG(ts) OVER w IS NULL AS first
+  FROM ch
+  WINDOW w AS (PARTITION BY fact_key ORDER BY epoch_us(ts), o_orderkey)),
+c AS (
+  SELECT fact_key, obj, o_orderkey, t FROM o
+  WHERE first OR prev IS DISTINCT FROM obj)
+SELECT fact_key, obj,
+       t AS from_us,
+       LEAD(t) OVER w2 AS to_us,
+       LEAD(t) OVER w2 IS NULL AS is_current,
+       ROW_NUMBER() OVER w2 AS version
+FROM c
+WINDOW w2 AS (PARTITION BY fact_key ORDER BY t, o_orderkey)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -7881,6 +8120,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_pipeline": q_er_pipeline,
     "kg_quality": q_kg_quality,
     "text_readability": q_text_readability,
+    # round-4 session-14 additions: URL template mining, diversity
+    # sampling, inverse predicates, rich club, temporal fact history.
+    "web_url_templates": q_web_url_templates,
+    "sample_diverse": q_sample_diverse,
+    "kg_inverse_preds": q_kg_inverse_preds,
+    "graph_richclub": q_graph_richclub,
+    "kg_fact_history": q_kg_fact_history,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -8171,6 +8417,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "web_url_templates": ORACLE_WEB_URL_TEMPLATES,
+    "sample_diverse": ORACLE_SAMPLE_DIVERSE,
+    "kg_inverse_preds": ORACLE_KG_INVERSE_PREDS,
+    "graph_richclub": ORACLE_GRAPH_RICHCLUB,
+    "kg_fact_history": ORACLE_KG_FACT_HISTORY,
     "er_pipeline": ORACLE_ER_PIPELINE,
     "kg_quality": ORACLE_KG_QUALITY,
     "text_readability": ORACLE_TEXT_READABILITY,

@@ -1861,3 +1861,63 @@ def degree_ks(edges_a: DataFrame, edges_b: DataFrame, decimals: int = 6) -> Data
             decimals,
         ).alias("ks"),
     )
+
+
+def rich_club(
+    edges: DataFrame, ks: list[int], decimals: int = 6
+) -> DataFrame:
+    """Rich-club coefficient phi(k) (Colizza et al., Nature Physics
+    2006): the edge density among nodes of degree > k —
+    phi(k) = 2 * E_k / (N_k * (N_k - 1)).  Hubs linking mostly to
+    each other (phi -> 1) is the signature of core-periphery web
+    graphs and changes the right skew strategy (a dense hub core
+    broadcast-joins; a sparse one salts).
+
+    -> one row per k: (k, n_nodes, n_edges, phi); NULL phi when
+    N_k < 2.
+
+    Scale shape: one degree aggregate; per k, two degree-attach joins
+    filter the (already undirected, distinct) edge set + scalar
+    counts.  ``ks`` is a small explicit list — cost is |ks| filtered
+    passes over the degree-annotated edge table, which is cached via
+    a lazy localCheckpoint.
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    lab = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .localCheckpoint(eager=False)
+    )
+    deg = deg.localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    out = None
+    for k in ks:
+        nk = deg.filter(F.col("deg") > k).agg(F.count("*").alias("n_nodes"))
+        ek = lab.filter((F.col("da") > k) & (F.col("db") > k)).agg(
+            F.count("*").alias("n_edges")
+        )
+        row = (
+            nk.crossJoin(ek)
+            .select(
+                F.lit(k).alias("k"),
+                "n_nodes",
+                "n_edges",
+                F.when(
+                    F.col("n_nodes") >= 2,
+                    F.round(
+                        F.lit(2.0)
+                        * F.col("n_edges")
+                        / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+                        decimals,
+                    ),
+                ).alias("phi"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -975,3 +975,33 @@ def lsh_plan(
             F.coalesce("chosen", F.lit(False)).alias("chosen"),
         )
     )
+
+
+def diverse_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Coverage-maximizing diversity sample: keep ONE document per
+    MinHash bucket (a single band of ``n_hashes`` rows — bucket
+    collision probability = J^n_hashes, so near-identical docs share a
+    bucket and only one survives).  The cheap "spread the sample
+    across content space" selector used when a training mix wants
+    breadth rather than uniform rates — the one-band special case of
+    the LSH dedup machinery, reusing its md5-replayable signatures.
+
+    -> (bucket, keeper, n_docs): one row per non-empty bucket, keeper
+    = smallest id (deterministic), n_docs = bucket population (the
+    redundancy the sample collapsed).
+
+    Scale shape: the minhash aggregate (doc-keyed, partial-agg) + ONE
+    bucket-keyed min/count aggregate.  No pair join at all — this is
+    strictly cheaper than dedup: O(corpus), never O(pairs).
+    """
+    keys = lsh_band_keys(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=1)
+    return keys.groupBy(F.col("bkey").alias("bucket")).agg(
+        F.min(id_col).alias("keeper"),
+        F.count("*").alias("n_docs"),
+    )

@@ -436,3 +436,49 @@ def url_dedup(
             F.col("_keep.q").alias(quality_col),
         )
     )
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str,
+    min_count: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Crawl path-template mining: generalize each URL's path by
+    replacing digit runs with ``{n}`` and long hex runs with ``{h}``,
+    then roll up per (host, template) — the sitemap-shape report a
+    crawler uses to spot calendar traps, pagination families, and
+    session-id URL spam (cf. the URL-frontier dedup rules in Olston &
+    Najork, "Web Crawling", 2010).
+
+    -> (host, template, n_urls, sample) with n_urls >= ``min_count``;
+    ``sample`` = first ``k`` distinct raw paths (sorted).
+
+    Scale shape: template is pure regexp codegen on the scan; ONE
+    (host, template)-keyed aggregate with partial counts; the sample
+    collect_set is k-sliced and bounded by the family size being
+    reported.  No joins.
+    """
+    path = F.regexp_replace(
+        F.regexp_extract(normalize_url(F.col(url_col)), r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1),
+        r"^$", "/",
+    )
+    tpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}"),
+        r"[0-9]+", "{n}",
+    )
+    return (
+        pages.select(
+            host_of(F.col(url_col)).alias("host"),
+            tpl.alias("template"),
+            path.alias("_path"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("_path")), 1, k), ","
+            ).alias("sample"),
+        )
+        .filter(F.col("n_urls") >= min_count)
+    )

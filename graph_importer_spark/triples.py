@@ -616,3 +616,54 @@ def dangling_edges(
         .drop("_has_s", "_has_d")
     )
     return out
+
+
+def inverse_predicates(
+    triples: DataFrame,
+    min_support: int = 10,
+    min_ratio: float = 0.5,
+    decimals: int = 6,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Inverse-predicate detection (the PARIS ontology-alignment
+    relation heuristic, Suchanek et al. VLDB 2012): predicates p, q
+    where q(o, s) holds for most asserted p(s, o) — 'parent_of' vs
+    'child_of', 'cites' vs 'cited_by'.  Merging inverse pairs halves
+    redundant storage and is a standard KG normalization pass.
+
+    score(p, q) = |{(s,o): p(s,o) AND q(o,s)}| / |p| — the directed
+    containment of p's pairs in q's inverse.  Emits (p, q, n_p,
+    n_overlap, ratio) with n_overlap >= min_support and ratio >=
+    min_ratio; p = q allowed (symmetric predicates score themselves).
+
+    Scale shape: ONE (entity-pair)-keyed self-join of the distinct
+    fact table against its own swap (join keys are (subj, obj) pairs
+    — fine-grained), then a (p, q) aggregate; predicate sizes ride a
+    broadcast |preds|-row dim.  Zipf head entities are AQE skew
+    territory, as with every fact-keyed join here.
+    """
+    facts = triples.select(subj, pred, obj).distinct()
+    swapped = facts.select(
+        F.col(obj).alias(subj), F.col(pred).alias("_q"), F.col(subj).alias(obj)
+    )
+    ov = (
+        facts.join(swapped, [subj, obj])
+        .groupBy(F.col(pred).alias("p"), F.col("_q").alias("q"))
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = facts.groupBy(F.col(pred).alias("p")).agg(F.count("*").alias("n_p"))
+    return (
+        ov.join(F.broadcast(sizes), "p")
+        .select(
+            "p",
+            "q",
+            "n_p",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_p"), decimals).alias("ratio"),
+        )
+        .filter(
+            (F.col("n_overlap") >= min_support) & (F.col("ratio") >= min_ratio)
+        )
+    )
