@@ -185,6 +185,11 @@ HEADLINE = [
     "kg_inverse_preds",
     "graph_richclub",
     "kg_fact_history",
+    # round 4, session 15
+    "events_ngrams",
+    "kg_snapshot_diff",
+    "layout_compare",
+    "text_quality_norm",
 ]
 
 

@@ -8077,6 +8077,181 @@ WINDOW w2 AS (PARTITION BY fact_key ORDER BY t, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-15: event n-grams, KG snapshot diff, layout comparison,
+# quantile normalization
+# ---------------------------------------------------------------------------
+
+# epoch seconds (UTC) for the layout_compare pruning window
+_LC_LO = 865_123_200   # 1997-06-01T00:00:00Z
+_LC_HI = 873_072_000   # 1997-09-01T00:00:00Z
+
+
+def q_events_ngrams(spark, sf_dir):
+    """Frequent event bigrams (timeseries.event_ngrams) over per-user
+    clickstreams; the oracle replays the ordered sequence build, the
+    n-gram slicing, and the deterministic (count desc, gram) top-20."""
+    from graph_importer_spark.operators.timeseries import event_ngrams
+
+    e = T(spark, sf_dir, "events")
+    return event_ngrams(e, "user_id", "event_type", "ts", "event_id", n=2, top=20)
+
+
+ORACLE_EVENTS_NGRAMS = r"""
+WITH seq AS (
+  SELECT user_id,
+         list(event_type ORDER BY epoch_us(ts), event_id) AS s
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT array_to_string(s[i:i+1], '>') AS gram
+  FROM seq, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+  WHERE len(s) >= 2)
+SELECT gram, COUNT(*) AS n_occurrences
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+"""
+
+
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Per-predicate snapshot churn (triples.snapshot_diff): the 'old'
+    snapshot asserts order facts for orderkeys < 1500, the 'new' one
+    for 500 <= orderkey < 2000 with every 10th status mutated — the
+    diff must count added (new orders + mutated statuses), removed
+    (aged-out orders + the mutated old values), and kept facts per
+    predicate."""
+    o = T(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))
+
+    def facts(df, status_col):
+        return df.select(
+            subj.alias("subj"), F.lit("status").alias("pred"),
+            status_col.alias("obj"),
+        ).unionByName(
+            df.select(
+                subj.alias("subj"), F.lit("placed_by").alias("pred"),
+                F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias(
+                    "obj"
+                ),
+            )
+        )
+
+    old = facts(o.filter(F.col("o_orderkey") < 1500), F.col("o_orderstatus"))
+    mutated = F.when(
+        F.col("o_orderkey") % 10 == 0, F.concat(F.lit("X"), F.col("o_orderstatus"))
+    ).otherwise(F.col("o_orderstatus"))
+    new = facts(
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 2000)),
+        mutated,
+    )
+    return _triples.snapshot_diff(old, new)
+
+
+ORACLE_KG_SNAPSHOT_DIFF = r"""
+WITH oldf AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj,
+           'status' AS pred, o_orderstatus AS obj
+    FROM orders WHERE o_orderkey < 1500
+    UNION ALL
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+           'cust:' || CAST(o_custkey AS VARCHAR)
+    FROM orders WHERE o_orderkey < 1500)),
+newf AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj,
+           'status' AS pred,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X' || o_orderstatus
+                ELSE o_orderstatus END AS obj
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 2000
+    UNION ALL
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+           'cust:' || CAST(o_custkey AS VARCHAR)
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 2000)),
+j AS (
+  SELECT COALESCE(oldf.pred, newf.pred) AS pred,
+         (oldf.subj IS NOT NULL) AS in_old,
+         (newf.subj IS NOT NULL) AS in_new
+  FROM oldf FULL JOIN newf
+    ON oldf.subj = newf.subj AND oldf.pred = newf.pred
+   AND oldf.obj = newf.obj)
+SELECT pred,
+       CAST(SUM(CASE WHEN NOT in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM j GROUP BY pred
+"""
+
+
+def q_layout_compare(spark, sf_dir):
+    """Layout shoot-out (layout.file_stats + skipping_ratio composed):
+    the same orders table laid out by o_custkey vs by o_orderdate,
+    measured against a 3-month date-range predicate — the date layout
+    must skip most files, the custkey layout almost none.  -> one row
+    per layout (layout, skip_frac)."""
+    from graph_importer_spark.operators import layout as _lay
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_timestamp("o_orderdate").alias("od")
+    )
+    out = None
+    for name, key in (("by_custkey", F.col("o_custkey")), ("by_date", F.col("od"))):
+        stats = _lay.file_stats(
+            o, key, {"od": F.col("od")}, n_files=16, tiebreak=F.col("o_orderkey")
+        )
+        row = _lay.skipping_ratio(stats, "od", _LC_LO, _LC_HI).select(
+            F.lit(name).alias("layout"), F.round("skip_frac", 6).alias("skip_frac")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_LAYOUT_COMPARE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od
+  FROM orders),
+f1 AS (SELECT od, NTILE(16) OVER (ORDER BY o_custkey, o_orderkey) AS fid FROM o),
+s1 AS (SELECT fid, MIN(od) AS lo, MAX(od) AS hi FROM f1 GROUP BY fid),
+r1 AS (
+  SELECT 'by_custkey' AS layout,
+         round(SUM(CASE WHEN lo <= {_LC_HI} AND hi >= {_LC_LO}
+                        THEN 0 ELSE 1 END) * 1.0 / COUNT(*), 6) AS skip_frac
+  FROM s1),
+f2 AS (SELECT od, NTILE(16) OVER (ORDER BY od, o_orderkey) AS fid FROM o),
+s2 AS (SELECT fid, MIN(od) AS lo, MAX(od) AS hi FROM f2 GROUP BY fid),
+r2 AS (
+  SELECT 'by_date' AS layout,
+         round(SUM(CASE WHEN lo <= {_LC_HI} AND hi >= {_LC_LO}
+                        THEN 0 ELSE 1 END) * 1.0 / COUNT(*), 6) AS skip_frac
+  FROM s2)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+"""
+
+
+def q_text_quality_norm(spark, sf_dir):
+    """Per-domain percentile normalization (textstats.
+    quantile_normalize): n_chars as the raw quality score, domains =
+    doc_id % 7; the oracle replays PERCENT_RANK per domain."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    return _ts.quantile_normalize(d, "domain", "score")
+
+
+ORACLE_TEXT_QUALITY_NORM = r"""
+SELECT doc_id, 'site' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+       CAST(n_chars AS DOUBLE) AS score,
+       round(PERCENT_RANK() OVER (
+         PARTITION BY doc_id % 7 ORDER BY n_chars ASC), 6) AS pct
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -8127,6 +8302,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_inverse_preds": q_kg_inverse_preds,
     "graph_richclub": q_graph_richclub,
     "kg_fact_history": q_kg_fact_history,
+    # round-4 session-15 additions: event n-grams, snapshot churn,
+    # layout shoot-out, per-domain quantile normalization.
+    "events_ngrams": q_events_ngrams,
+    "kg_snapshot_diff": q_kg_snapshot_diff,
+    "layout_compare": q_layout_compare,
+    "text_quality_norm": q_text_quality_norm,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -8417,6 +8598,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_ngrams": ORACLE_EVENTS_NGRAMS,
+    "kg_snapshot_diff": ORACLE_KG_SNAPSHOT_DIFF,
+    "layout_compare": ORACLE_LAYOUT_COMPARE,
+    "text_quality_norm": ORACLE_TEXT_QUALITY_NORM,
     "web_url_templates": ORACLE_WEB_URL_TEMPLATES,
     "sample_diverse": ORACLE_SAMPLE_DIVERSE,
     "kg_inverse_preds": ORACLE_KG_INVERSE_PREDS,

@@ -19,7 +19,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
@@ -775,3 +775,28 @@ def readability_columns(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), decimals
         ).alias("fk_grade"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group percentile normalization of a score — the blend step
+    when mixing quality signals across domains whose raw score scales
+    differ (a 0.9 on a news site is not a 0.9 on a forum): replace the
+    score with its within-group percent rank, PERCENT_RANK semantics
+    ((rank - 1) / (n - 1); single-row groups -> 0.0; ties share a
+    rank).
+
+    -> input columns + ``pct``.
+
+    Scale shape: ONE per-group window.  Group sizes bound the sort —
+    acceptable by contract when groups are capped upstream
+    (domain_quota_sample), the same documented exception as
+    curriculum_order; for unbounded groups swap in the
+    hist_quantiles sketch and join the bucket CDF instead.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    return df.withColumn("pct", F.round(F.percent_rank().over(w), decimals))

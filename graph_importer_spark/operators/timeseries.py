@@ -190,3 +190,57 @@ def resample_ffill(
         F.col("t").alias("grid_ts"),
         "value",
     )
+
+
+def event_ngrams(
+    events: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    n: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Frequent event n-grams: per-key event sequences (ordered by
+    ts, ties by the REQUIRED tiebreak column) sliced into n-grams and
+    counted corpus-wide, top-``top`` returned — the first-order
+    sequential-pattern miner (the n=2 case is the Markov transition
+    support table; cf. event_transitions for the normalized form).
+
+    -> (gram, n_occurrences) ordered by (count desc, gram asc),
+    deterministic under ties.
+
+    Scale shape: ONE key-keyed aggregate builds each sequence
+    (collect_list state bounded by per-key event count — cap sessions
+    upstream like sessionize does); n-gram slicing is a zero-shuffle
+    array expression; the count partial-aggregates on the gram key;
+    the final top-k is orderBy+limit = TakeOrderedAndProject (no
+    global sort materialization).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    seq = events.groupBy(key_col).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(ts_col, tiebreak_col, type_col))
+            ),
+            lambda s: s.getField(type_col),
+        ).alias("_seq")
+    )
+    grams = seq.select(
+        F.explode(
+            F.when(
+                F.size("_seq") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_seq") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice("_seq", i, n), ">"),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(top)
+    )

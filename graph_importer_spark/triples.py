@@ -667,3 +667,43 @@ def inverse_predicates(
             (F.col("n_overlap") >= min_support) & (F.col("ratio") >= min_ratio)
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Per-predicate churn between two KG snapshots: how many facts
+    each predicate added, removed, and kept — the release-notes table
+    a pipeline publishes per snapshot (and the regression alarm when a
+    predicate's removed-count spikes).  The KG-shaped specialization
+    of diffing.dataset_diff (which is row/column generic).
+
+    -> (pred, n_added, n_removed, n_unchanged).
+
+    Scale shape: ONE full-outer equi-join of the two distinct fact
+    sets on (subj, pred, obj) — at equal snapshot layouts (both
+    bucketed by fact key, tables.py) this is the shuffle-free diff —
+    then a predicate-keyed partial aggregate over 0/1 flags.
+    """
+    o = old.select(subj, pred, obj).distinct().withColumn("_o", F.lit(1))
+    n = new.select(subj, pred, obj).distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, [subj, pred, obj], "full")
+    return (
+        j.groupBy(F.col(pred))
+        .agg(
+            F.sum(
+                F.when(F.col("_o").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_added"),
+            F.sum(
+                F.when(F.col("_n").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_unchanged"),
+        )
+    )
