@@ -190,6 +190,13 @@ HEADLINE = [
     "kg_snapshot_diff",
     "layout_compare",
     "text_quality_norm",
+    # round 4, session 16
+    "text_entropy",
+    "kg_numeric_outliers",
+    # round 4, session 17
+    "graph_reciprocity",
+    "kg_literal_norm",
+    "kg_truthfinder",
 ]
 
 

@@ -8252,6 +8252,315 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-16: character entropy, numeric-literal outlier audit
+# ---------------------------------------------------------------------------
+
+
+def q_text_entropy(spark, sf_dir):
+    """Character-distribution entropy (textstats.char_entropy) over
+    the document corpus; the oracle replays the per-char counts and
+    the char-ordered left fold of -p*log2(p)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return _ts.char_entropy(d, "doc_id", "text")
+
+
+ORACLE_TEXT_ENTROPY = rf"""
+WITH d AS (
+  SELECT doc_id, {_NF_SQL} AS nf FROM documents WHERE doc_id < 300),
+ch AS (
+  SELECT doc_id, substr(nf, i, 1) AS c
+  FROM d, UNNEST(generate_series(1, length(nf))) AS u(i)
+  WHERE substr(nf, i, 1) <> ''),
+cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, SUM(k) AS n, COUNT(*) AS nd FROM cnt GROUP BY doc_id),
+terms AS (
+  SELECT cnt.doc_id,
+         list((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)
+              ORDER BY c) AS ts
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+SELECT tot.doc_id, CAST(tot.n AS BIGINT) AS n_chars,
+       CAST(tot.nd AS BIGINT) AS n_distinct,
+       round(-list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+         AS entropy
+FROM tot JOIN terms USING (doc_id)
+"""
+
+
+def q_kg_numeric_outliers(spark, sf_dir):
+    """Numeric-literal outlier audit (triples.numeric_outliers): order
+    totals as 'total' facts with every 50th price multiplied by 100
+    (the planted unit error) plus lineitem quantities as the
+    negative-control predicate; exact DECIMAL moments make the
+    flagged set replayable."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    price = F.when(
+        F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") * 100
+    ).otherwise(F.col("o_totalprice"))
+    totals = o.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("total").alias("pred"),
+        price.alias("obj"),
+    )
+    qty = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 3000)
+        .select(
+            F.concat(
+                F.lit("line:"), F.col("l_orderkey").cast("string"),
+                F.lit("-"), F.col("l_linenumber").cast("string"),
+            ).alias("subj"),
+            F.lit("qty").alias("pred"),
+            F.col("l_quantity").cast("double").alias("obj"),
+        )
+    )
+    return _triples.numeric_outliers(totals.unionByName(qty), z_threshold=3.0)
+
+
+ORACLE_KG_NUMERIC_OUTLIERS = r"""
+WITH t AS (
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj, 'total' AS pred,
+         CAST(CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 100
+                   ELSE o_totalprice END AS DECIMAL(18,4)) AS v
+  FROM orders WHERE o_orderkey < 3000
+  UNION ALL
+  SELECT 'line:' || CAST(l_orderkey AS VARCHAR) || '-'
+           || CAST(l_linenumber AS VARCHAR),
+         'qty', CAST(l_quantity AS DECIMAL(18,4))
+  FROM lineitem WHERE l_orderkey < 3000),
+s AS (
+  SELECT pred, COUNT(*) AS n,
+         CAST(SUM(v) AS DECIMAL(38,4)) AS sv,
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * CAST(v AS DECIMAL(19,4)))
+              AS DECIMAL(38,8)) AS svv
+  FROM t GROUP BY pred),
+z AS (
+  SELECT t.pred, t.subj, CAST(t.v AS DOUBLE) AS value,
+         (CAST(t.v AS DOUBLE) - CAST(sv AS DOUBLE) / n)
+           / sqrt(greatest(CAST(svv AS DOUBLE) / n
+                  - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n),
+                  0.0)) AS zz,
+         n,
+         sqrt(greatest(CAST(svv AS DOUBLE) / n
+              - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0.0))
+           AS sd
+  FROM t JOIN s USING (pred))
+SELECT pred, subj, value, round(zz, 6) AS z
+FROM z WHERE n >= 2 AND sd > 0 AND ABS(zz) > 3.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-17: reciprocity, literal normalization, truth discovery
+# ---------------------------------------------------------------------------
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Directed reciprocity (analytics.reciprocity) on a synthesized
+    follow graph: every customer points at (7c+3) % 200, and every
+    third customer's target points back — the oracle replays the
+    distinct edge set, the swap semi-join, and the ratio."""
+    from graph_importer_spark.operators.analytics import reciprocity
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    fwd = c.select(
+        F.col("c_custkey").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 200).alias("dst"),
+    )
+    back = c.filter(F.col("c_custkey") % 3 == 0).select(
+        ((F.col("c_custkey") * 7 + 3) % 200).alias("src"),
+        F.col("c_custkey").alias("dst"),
+    )
+    return reciprocity(fwd.unionByName(back))
+
+
+ORACLE_GRAPH_RECIPROCITY = r"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT c_custkey AS src, (c_custkey * 7 + 3) % 200 AS dst
+    FROM customer WHERE c_custkey < 200
+    UNION ALL
+    SELECT (c_custkey * 7 + 3) % 200, c_custkey
+    FROM customer WHERE c_custkey < 200 AND c_custkey % 3 = 0)
+  WHERE src <> dst),
+r AS (
+  SELECT COUNT(*) AS n_reciprocal FROM e
+  WHERE EXISTS (SELECT 1 FROM e r2 WHERE r2.src = e.dst AND r2.dst = e.src))
+SELECT (SELECT COUNT(*) FROM e) AS n_edges, r.n_reciprocal,
+       round(r.n_reciprocal * 1.0 / (SELECT COUNT(*) FROM e), 6)
+         AS reciprocity
+FROM r
+"""
+
+
+def q_kg_literal_norm(spark, sf_dir):
+    """Literal canonicalization (triples.normalize_literals): five
+    deterministic literal families built from customer keys —
+    comma-separated thousands, k/M magnitude suffixes, month-name
+    dates, and an untouched control — each must hit its rule."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    x = k * 37 + 1013  # 4-6 digit base for the thousands form
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    mon = None
+    for i, m in enumerate(months):
+        mon = (
+            F.when(k % 12 == i, F.lit(m)) if mon is None
+            else mon.when(k % 12 == i, F.lit(m))
+        )
+    obj = (
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.floor(x / 1000).cast("long").cast("string"), F.lit(","),
+                F.lpad((x % 1000).cast("string"), 3, "0"),
+            ),
+        )
+        .when(k % 5 == 1, F.concat(k.cast("string"), F.lit("k")))
+        .when(k % 5 == 2, F.concat(k.cast("string"), F.lit("M")))
+        .when(
+            k % 5 == 3,
+            F.concat(
+                mon, F.lit(" "), ((k % 28) + 1).cast("string"), F.lit(", "),
+                (1990 + k % 12).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain "), k.cast("string")))
+    )
+    t = c.select(
+        F.concat(F.lit("cust:"), k.cast("string")).alias("subj"),
+        F.lit("attr").alias("pred"),
+        obj.alias("obj"),
+    )
+    return _triples.normalize_literals(t)
+
+
+ORACLE_KG_LITERAL_NORM = r"""
+WITH m AS (
+  SELECT c_custkey AS k, c_custkey * 37 + 1013 AS x,
+         ['Jan','Feb','Mar','Apr','May','Jun',
+          'Jul','Aug','Sep','Oct','Nov','Dec'][(c_custkey % 12) + 1]
+           AS mon
+  FROM customer WHERE c_custkey < 500),
+t AS (
+  SELECT 'cust:' || CAST(k AS VARCHAR) AS subj, 'attr' AS pred,
+         CASE
+           WHEN k % 5 = 0 THEN CAST(x // 1000 AS VARCHAR)
+                || ',' || lpad(CAST(x % 1000 AS VARCHAR), 3, '0')
+           WHEN k % 5 = 1 THEN CAST(k AS VARCHAR) || 'k'
+           WHEN k % 5 = 2 THEN CAST(k AS VARCHAR) || 'M'
+           WHEN k % 5 = 3 THEN mon || ' ' || CAST((k % 28) + 1 AS VARCHAR)
+                || ', ' || CAST(1990 + k % 12 AS VARCHAR)
+           ELSE 'plain ' || CAST(k AS VARCHAR)
+         END AS obj,
+         k, mon
+  FROM m),
+n AS (
+  SELECT subj, pred, obj,
+         CASE
+           WHEN regexp_matches(obj, '^[0-9]{1,3}(,[0-9]{3})+$')
+             THEN regexp_replace(obj, ',', '', 'g')
+           WHEN regexp_matches(obj, '^[0-9]+[kK]$')
+             THEN regexp_extract(obj, '^([0-9]+)', 1) || '000'
+           WHEN regexp_matches(obj, '^[0-9]+[mM]$')
+             THEN regexp_extract(obj, '^([0-9]+)', 1) || '000000'
+           WHEN regexp_matches(obj,
+             '^(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) [0-9]{1,2}, [0-9]{4}$')
+             THEN regexp_extract(obj,
+               '^(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) [0-9]{1,2}, ([0-9]{4})$', 1)
+               || '-' ||
+               CASE regexp_extract(obj, '^([A-Za-z]{3})', 1)
+                 WHEN 'Jan' THEN '01' WHEN 'Feb' THEN '02' WHEN 'Mar' THEN '03'
+                 WHEN 'Apr' THEN '04' WHEN 'May' THEN '05' WHEN 'Jun' THEN '06'
+                 WHEN 'Jul' THEN '07' WHEN 'Aug' THEN '08' WHEN 'Sep' THEN '09'
+                 WHEN 'Oct' THEN '10' WHEN 'Nov' THEN '11' WHEN 'Dec' THEN '12'
+               END
+               || '-' ||
+               lpad(regexp_extract(obj, ' ([0-9]{1,2}),', 1), 2, '0')
+           ELSE obj
+         END AS obj_norm,
+         CASE
+           WHEN regexp_matches(obj, '^[0-9]{1,3}(,[0-9]{3})+$') THEN 'thousands'
+           WHEN regexp_matches(obj, '^[0-9]+[kK]$') THEN 'suffix_k'
+           WHEN regexp_matches(obj, '^[0-9]+[mM]$') THEN 'suffix_m'
+           WHEN regexp_matches(obj,
+             '^(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) [0-9]{1,2}, [0-9]{4}$')
+             THEN 'date_mdy'
+           ELSE 'none'
+         END AS rule
+  FROM t)
+SELECT subj, pred, obj, obj_norm, rule FROM n
+"""
+
+
+def q_kg_truthfinder(spark, sf_dir):
+    """Two-step truth discovery (triples.truth_discovery): seven
+    sources of decreasing reliability assert facts about 100 entities;
+    the congruential coin decides when a source lies.  Trust earned on
+    easy majorities must decide contested questions; the oracle
+    replays the whole closed form with the same DECIMAL sums."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    k = F.col("c_custkey")
+    rows = None
+    for s in range(7):
+        truth = F.concat(F.lit("v"), (k % 4).cast("string"))
+        lie = F.concat(F.lit("w"), ((k + s) % 4).cast("string"))
+        coin = (k * 7 + s * 13) % 10
+        claim = c.select(
+            F.lit(f"src{s}").alias("source"),
+            F.concat(F.lit("e"), k.cast("string")).alias("subj"),
+            F.lit("attr").alias("pred"),
+            F.when(coin < 9 - s, truth).otherwise(lie).alias("obj"),
+        )
+        rows = claim if rows is None else rows.unionByName(claim)
+    return _triples.truth_discovery(rows)
+
+
+ORACLE_KG_TRUTHFINDER = r"""
+WITH c AS (
+  SELECT DISTINCT 'src' || CAST(s AS VARCHAR) AS source,
+         'e' || CAST(c_custkey AS VARCHAR) AS subj,
+         'attr' AS pred,
+         CASE WHEN (c_custkey * 7 + s * 13) % 10 < 9 - s
+              THEN 'v' || CAST(c_custkey % 4 AS VARCHAR)
+              ELSE 'w' || CAST((c_custkey + s) % 4 AS VARCHAR) END AS obj
+  FROM customer, UNNEST(generate_series(0, 6)) AS u(s)
+  WHERE c_custkey < 100),
+votes AS (
+  SELECT subj, pred, obj, COUNT(*) AS n_sources
+  FROM c GROUP BY subj, pred, obj),
+tot AS (
+  SELECT subj, pred, SUM(n_sources) AS t FROM votes GROUP BY subj, pred),
+conf1 AS (
+  SELECT v.subj, v.pred, v.obj, v.n_sources,
+         CAST(round(CAST(v.n_sources AS DOUBLE) / t, 9) AS DECIMAL(18,9))
+           AS conf
+  FROM votes v JOIN tot USING (subj, pred)),
+trust AS (
+  SELECT c.source,
+         CAST(round(CAST(SUM(conf) AS DOUBLE) / COUNT(*), 9)
+              AS DECIMAL(18,9)) AS trust
+  FROM c JOIN conf1 ON conf1.subj = c.subj AND conf1.pred = c.pred
+   AND conf1.obj = c.obj
+  GROUP BY c.source),
+scored AS (
+  SELECT c.subj, c.pred, c.obj, COUNT(*) AS n_sources,
+         CAST(SUM(trust.trust) AS DOUBLE) AS score
+  FROM c JOIN trust USING (source)
+  GROUP BY c.subj, c.pred, c.obj),
+w AS (
+  SELECT subj, pred,
+         arg_max(obj, printf('%015.9f', score) || '|' || obj) AS win
+  FROM scored GROUP BY subj, pred)
+SELECT s.subj, s.pred, s.obj, s.n_sources, round(s.score, 6) AS score,
+       (s.obj = w.win) AS is_winner
+FROM scored s JOIN w USING (subj, pred)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -8308,6 +8617,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "layout_compare": q_layout_compare,
     "text_quality_norm": q_text_quality_norm,
+    # round-4 session-16 additions: character entropy, numeric
+    # outlier audit.
+    "text_entropy": q_text_entropy,
+    "kg_numeric_outliers": q_kg_numeric_outliers,
+    # round-4 session-17 additions: reciprocity, literal
+    # normalization, truth discovery.
+    "graph_reciprocity": q_graph_reciprocity,
+    "kg_literal_norm": q_kg_literal_norm,
+    "kg_truthfinder": q_kg_truthfinder,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -8598,6 +8916,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "graph_reciprocity": ORACLE_GRAPH_RECIPROCITY,
+    "kg_literal_norm": ORACLE_KG_LITERAL_NORM,
+    "kg_truthfinder": ORACLE_KG_TRUTHFINDER,
+    "text_entropy": ORACLE_TEXT_ENTROPY,
+    "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,
     "kg_snapshot_diff": ORACLE_KG_SNAPSHOT_DIFF,
     "layout_compare": ORACLE_LAYOUT_COMPARE,

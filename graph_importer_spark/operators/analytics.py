@@ -1921,3 +1921,38 @@ def rich_club(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def reciprocity(edges: DataFrame, decimals: int = 6) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of directed edges
+    whose reverse edge also exists (Garlaschelli & Loffredo, PRL
+    2004) — near 1 on social 'follows-back' graphs, low on the web
+    link graph; the one-number orientation signature that decides
+    whether treating the link graph as undirected loses information.
+
+    Self-loops drop; duplicate edges count once.
+    -> one row (n_edges, n_reciprocal, reciprocity).
+
+    Scale shape: one distinct pass + ONE self-equi-join on the
+    swapped key + two scalar counts.  The join keys on (src, dst)
+    pairs — fine-grained, partial-agg friendly.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(rec.agg(F.count("*").alias("n_reciprocal")))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_edges"), decimals).alias(
+                "reciprocity"
+            ),
+        )
+    )

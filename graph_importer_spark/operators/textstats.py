@@ -800,3 +800,49 @@ def quantile_normalize(
     """
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
     return df.withColumn("pct", F.round(F.percent_rank().over(w), decimals))
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) —
+    the cheap gibberish/encoding-noise signal quality stacks pair with
+    the word-level rules: natural language sits ~3.5-4.5 bits,
+    base64/hex blobs and key-mash spam drift high, repeated-char
+    padding drifts low (cf. the entropy gates in CCNet-descendant
+    cleaning stacks).
+
+    H = -sum_c (n_c/n) * log2(n_c/n) over characters of the dedup
+    normal form; the sum folds LEFT-TO-RIGHT in character sort order
+    so the emitted double is partition-invariant and SQL-replayable.
+
+    -> (id, n_chars, n_distinct, entropy).
+
+    Scale shape: one (doc, char)-keyed count (partial-agg; keys per
+    doc bounded by the alphabet) + one doc-keyed sorted-array collect
+    (state <= alphabet size) + a codegen fold.  No joins.
+    """
+    chars = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("_id", "ch").agg(F.count("*").alias("c"))
+    arr = counts.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("ch", "c"))).alias("cs"),
+        F.sum("c").alias("n"),
+    )
+    p_of = lambda s: s.getField("c").cast("double") / F.col("n")  # noqa: E731
+    ent = -F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, s: acc + p_of(s) * F.log2(p_of(s)),
+    )
+    return arr.select(
+        F.col("_id").alias(id_col),
+        F.col("n").cast("long").alias("n_chars"),
+        F.size("cs").cast("long").alias("n_distinct"),
+        F.round(ent, decimals).alias("entropy"),
+    )

@@ -707,3 +707,207 @@ def snapshot_diff(
             ).cast("long").alias("n_unchanged"),
         )
     )
+
+
+def numeric_outliers(
+    triples: DataFrame,
+    z_threshold: float = 3.0,
+    decimals: int = 6,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Per-predicate numeric-literal outlier audit: facts whose value
+    sits more than ``z_threshold`` standard deviations from the
+    predicate's mean — the unit-error detector (a 'population' of
+    8,000,000,000 on a city, a price in cents amid dollars) every KG
+    ingestion runs over numeric properties before publishing.
+
+    ``obj`` must be numeric-castable; non-castable rows drop (they are
+    a constraint_audit matter, not an outlier one).  Mean/std are
+    computed from DECIMAL sums (exact, order-insensitive addition)
+    and only converted to double at the end, so the flagged set is
+    partition-invariant and replayable.
+
+    -> (pred, subj, value, z) for |z| > threshold; z rounded.
+
+    Scale shape: one predicate-keyed aggregate (count/sum/sum-of-
+    squares — all partial-agg) broadcast back as a |preds|-row dim
+    joined on the predicate key; the flag is a codegen filter.  Hot
+    predicates partial-aggregate map-side.
+    """
+    v = F.col(obj).cast("decimal(18,4)")
+    base = triples.select(
+        F.col(pred), F.col(subj), v.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    stats = base.groupBy(pred).agg(
+        F.count("*").alias("_n"),
+        F.sum("_v").cast("decimal(38,4)").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).cast("decimal(38,8)").alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("_v").cast("double") - mean) / std
+    return (
+        base.join(F.broadcast(stats), pred)
+        .filter((F.col("_n") >= 2) & (std > 0) & (F.abs(z) > z_threshold))
+        .select(
+            pred,
+            subj,
+            F.col("_v").cast("double").alias("value"),
+            F.round(z, decimals).alias("z"),
+        )
+    )
+
+
+def normalize_literals(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Literal canonicalization for scraped object values — the
+    unit-normal form pass between extraction and fusion (two sources
+    asserting '12,000' and '12k' must agree before fact_fusion votes).
+    Documented rule subset, all regexp codegen:
+
+    * thousands separators: '12,345,678' -> '12345678'
+    * integer magnitude suffixes: '12k'/'12K' -> '12000',
+      '3m'/'3M' -> '3000000' (integers only — fractional magnitudes
+      are left alone rather than risk float formatting drift)
+    * US month-name dates: 'Jan 5, 1997' -> '1997-01-05'
+    * everything else unchanged.
+
+    -> (subj, pred, obj, obj_norm, rule) with rule in
+    ('thousands', 'suffix_k', 'suffix_m', 'date_mdy', 'none').
+
+    Scale shape: pure regexp/CASE codegen on the scan — zero shuffle,
+    zero UDF.
+    """
+    o = F.col(obj)
+    months = {
+        "jan": "01", "feb": "02", "mar": "03", "apr": "04", "may": "05",
+        "jun": "06", "jul": "07", "aug": "08", "sep": "09", "oct": "10",
+        "nov": "11", "dec": "12",
+    }
+    thousands = o.rlike(r"^[0-9]{1,3}(,[0-9]{3})+$")
+    suf_k = o.rlike(r"^[0-9]+[kK]$")
+    suf_m = o.rlike(r"^[0-9]+[mM]$")
+    date_re = (
+        r"^(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) "
+        r"([0-9]{1,2}), ([0-9]{4})$"
+    )
+    date_mdy = o.rlike(date_re)
+    month_num = None
+    mon = F.lower(F.regexp_extract(o, date_re, 1))
+    for name, num in months.items():
+        month_num = (
+            F.when(mon == name, F.lit(num))
+            if month_num is None
+            else month_num.when(mon == name, F.lit(num))
+        )
+    norm = (
+        F.when(thousands, F.regexp_replace(o, ",", ""))
+        .when(suf_k, F.concat(F.regexp_extract(o, r"^([0-9]+)", 1), F.lit("000")))
+        .when(
+            suf_m,
+            F.concat(F.regexp_extract(o, r"^([0-9]+)", 1), F.lit("000000")),
+        )
+        .when(
+            date_mdy,
+            F.concat(
+                F.regexp_extract(o, date_re, 3), F.lit("-"), month_num,
+                F.lit("-"), F.lpad(F.regexp_extract(o, date_re, 2), 2, "0"),
+            ),
+        )
+        .otherwise(o)
+    )
+    rule = (
+        F.when(thousands, F.lit("thousands"))
+        .when(suf_k, F.lit("suffix_k"))
+        .when(suf_m, F.lit("suffix_m"))
+        .when(date_mdy, F.lit("date_mdy"))
+        .otherwise(F.lit("none"))
+    )
+    return triples.select(
+        subj, pred, obj, norm.alias("obj_norm"), rule.alias("rule")
+    )
+
+
+def truth_discovery(
+    claims: DataFrame,
+    source: str = "source",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-step truth discovery (the TruthFinder/accu-vote family, Yin
+    et al. TKDE 2008, simplified to a deterministic closed form):
+
+    1. naive fact confidence = voter count / total votes on the
+       (subj, pred) question;
+    2. source trust = its mean step-1 confidence (sources that agreed
+       with majorities earn trust);
+    3. trusted fact score = sum of its voters' trusts; winner per
+       (subj, pred) = highest score (ties -> greater obj).
+
+    Unlike plain majority vote (fact_fusion with unit weights), a
+    source that is reliably right on easy questions breaks ties on
+    contested ones.
+
+    All accumulations are DECIMAL sums of 9-dp-rounded terms — exact,
+    order-insensitive addition, so results are partition-invariant
+    and SQL-replayable (the repo's float convention).
+
+    -> (subj, pred, obj, n_sources, score, is_winner).
+
+    Scale shape: three keyed aggregates (fact-keyed count,
+    source-keyed trust mean, fact-keyed trust sum) + one broadcast
+    trust dim join + one (subj, pred)-keyed max_by.  No collects, no
+    windows; per-key state is scalar everywhere.
+    """
+    c = claims.select(source, subj, pred, obj).distinct()
+    votes = c.groupBy(subj, pred, obj).agg(F.count("*").alias("n_sources"))
+    totals = votes.groupBy(subj, pred).agg(F.sum("n_sources").alias("_tot"))
+    conf1 = votes.join(totals, [subj, pred]).withColumn(
+        "_conf",
+        F.round(F.col("n_sources") / F.col("_tot"), 9).cast("decimal(18,9)"),
+    )
+    trust = (
+        c.join(conf1.select(subj, pred, obj, "_conf"), [subj, pred, obj])
+        .groupBy(source)
+        .agg(
+            # exact decimal sum -> ONE double division (matching the
+            # oracle's CAST(SUM(..) AS DOUBLE)/COUNT path bit-for-bit;
+            # Spark's native decimal/long division picks a different
+            # result scale than DuckDB's, so neither engine's decimal
+            # division is used)
+            F.round(
+                F.sum("_conf").cast("double") / F.count("*"), 9
+            ).cast("decimal(18,9)").alias("_trust")
+        )
+    )
+    scored = (
+        c.join(F.broadcast(trust), source)
+        .groupBy(subj, pred, obj)
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.sum("_trust").cast("double").alias("_score"),
+        )
+    )
+    w = scored.groupBy(subj, pred).agg(
+        F.max_by(obj, F.struct(F.col("_score"), F.col(obj))).alias("_win")
+    )
+    return (
+        scored.join(w, [subj, pred])
+        .select(
+            subj,
+            pred,
+            obj,
+            "n_sources",
+            F.round("_score", decimals).alias("score"),
+            (F.col(obj) == F.col("_win")).alias("is_winner"),
+        )
+    )
