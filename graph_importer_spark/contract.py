@@ -8561,6 +8561,169 @@ FROM scored s JOIN w USING (subj, pred)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18: cohort retention, RFM segmentation, lexicon content
+# filter, embedding whitening
+# ---------------------------------------------------------------------------
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix (timeseries.cohort_retention) over the
+    clickstream at 3-day periods; the oracle replays the (user,
+    period) collapse, the first-period cohort assignment, and the
+    offset-0 size normalization."""
+    from graph_importer_spark.operators.timeseries import cohort_retention
+
+    e = T(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts", period_seconds=3 * 86400)
+
+
+ORACLE_EVENTS_RETENTION = r"""
+WITH per AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 259200) AS BIGINT) AS p
+  FROM events),
+first AS (SELECT user_id, MIN(p) AS cohort FROM per GROUP BY user_id),
+cells AS (
+  SELECT cohort, per.p - cohort AS "offset", COUNT(*) AS n_active
+  FROM per JOIN first USING (user_id)
+  GROUP BY cohort, per.p - cohort),
+sizes AS (
+  SELECT cohort, n_active AS cohort_size FROM cells WHERE "offset" = 0)
+SELECT c.cohort, c."offset", c.n_active, s.cohort_size,
+       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s USING (cohort)
+"""
+
+
+def q_orders_rfm(spark, sf_dir):
+    """RFM customer segmentation (timeseries.rfm_scores): recency /
+    frequency / monetary per customer, quartile-scored 1-4 against
+    exact interpolated percentile cutoffs; the oracle replays the
+    DECIMAL monetary sum, quantile_cont cutoffs, and the strict
+    >-comparison scoring."""
+    from graph_importer_spark.operators.timeseries import rfm_scores
+
+    o = T(spark, sf_dir, "orders")
+    return rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+ORACLE_ORDERS_RFM = r"""
+WITH per0 AS (
+  SELECT o_custkey AS key,
+         MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS last_ts,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS m
+  FROM orders GROUP BY o_custkey),
+ref AS (SELECT MAX(last_ts) AS r FROM per0),
+per AS (
+  SELECT key,
+         CAST(floor((ref.r - last_ts) / 86400.0) AS BIGINT) AS recency_days,
+         frequency, CAST(m AS DOUBLE) AS monetary
+  FROM per0, ref),
+cuts AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+  FROM per)
+SELECT key, recency_days, frequency, round(monetary, 2) AS monetary,
+       CAST(5 - (1 + (recency_days > rc[1])::INT + (recency_days > rc[2])::INT
+                   + (recency_days > rc[3])::INT) AS INT) AS r_score,
+       CAST(1 + (frequency > fc[1])::INT + (frequency > fc[2])::INT
+              + (frequency > fc[3])::INT AS INT) AS f_score,
+       CAST(1 + (monetary > mc[1])::INT + (monetary > mc[2])::INT
+              + (monetary > mc[3])::INT AS INT) AS m_score,
+       CAST((5 - (1 + (recency_days > rc[1])::INT + (recency_days > rc[2])::INT
+                    + (recency_days > rc[3])::INT)) * 100
+            + (1 + (frequency > fc[1])::INT + (frequency > fc[2])::INT
+                 + (frequency > fc[3])::INT) * 10
+            + (1 + (monetary > mc[1])::INT + (monetary > mc[2])::INT
+                 + (monetary > mc[3])::INT) AS INT) AS rfm
+FROM per, cuts
+"""
+
+
+_TOX_LEXICON = ["crash", "leak", "skew", "slow", "spill"]
+
+
+def q_text_toxicity(spark, sf_dir):
+    """Lexicon content filter (textstats.lexicon_hits): exact-token
+    wordlist screening with a per-1000-words rate gate; the oracle
+    replays the whitespace normal form, the list_contains hit filter,
+    and the rate threshold."""
+    d = T(spark, sf_dir, "documents")
+    return _ts.lexicon_hits(
+        d, "doc_id", "text", _TOX_LEXICON, rate_threshold=8.0
+    )
+
+
+_TOX_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(_TOX_LEXICON)) + "]"
+
+ORACLE_TEXT_TOXICITY = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split({_NF_SQL}, ' '), x -> x <> '') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, toks,
+         list_filter(toks, x -> list_contains({_TOX_SQL}, x)) AS hits
+  FROM t),
+r AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(hits) AS n_hits,
+         len(list_distinct(hits)) AS n_distinct_hits,
+         CASE WHEN len(toks) > 0
+              THEN round(len(hits) * 1000.0 / len(toks), 6)
+              ELSE 0.0 END AS hit_rate_per_1000
+  FROM h)
+SELECT doc_id, n_tokens, n_hits, n_distinct_hits, hit_rate_per_1000,
+       hit_rate_per_1000 > 8.0 AS flagged
+FROM r
+"""
+
+
+def q_emb_whiten(spark, sf_dir):
+    """Embedding whitening (quantize.whiten): mean-center + L2
+    renormalize; the oracle replays the 6dp per-dim mean, the ordered
+    left-fold norms, and the unit division."""
+    from graph_importer_spark.operators.quantize import whiten
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return whiten(e, "vec_id", "embedding")
+
+
+ORACLE_EMB_WHITEN = r"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200),
+dims AS (
+  SELECT u.i AS d, v[u.i] AS x
+  FROM e, UNNEST(generate_series(1, len(v))) AS u(i)),
+mu AS (
+  SELECT d, round(AVG(x), 6) AS m FROM dims GROUP BY d),
+mean_arr AS (SELECT list(m ORDER BY d) AS mean FROM mu),
+c AS (
+  SELECT vec_id, v,
+         list_transform(generate_series(1, len(v)),
+                        i -> v[i] - mean[i]) AS cen
+  FROM e, mean_arr),
+n AS (
+  SELECT vec_id, cen,
+         sqrt(list_reduce(list_prepend(0.0,
+              list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nb,
+         sqrt(list_reduce(list_prepend(0.0,
+              list_transform(cen, x -> x * x)), (a, b) -> a + b)) AS na
+  FROM c)
+SELECT vec_id,
+       CASE WHEN na = 0
+            THEN list_transform(cen, x -> round(x * 0.0, 6))
+            ELSE list_transform(cen, x -> round(x / na, 6)) END AS centered,
+       round(nb, 6) AS norm_before,
+       round(na, 6) AS norm_after
+FROM n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -8626,6 +8789,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_reciprocity": q_graph_reciprocity,
     "kg_literal_norm": q_kg_literal_norm,
     "kg_truthfinder": q_kg_truthfinder,
+    # round-4 session-18 additions: cohort retention, RFM
+    # segmentation, lexicon content filter, embedding whitening.
+    # They take window precedence (rule (a)); the four displaced
+    # tail-of-window rows (sample_mixture, web_blocklist,
+    # pack_sequences, kg_incremental_entities) are re-verified
+    # locally via the full scripts/check_contract.py sweep like
+    # every out-of-window row.
+    "events_retention": q_events_retention,
+    "orders_rfm": q_orders_rfm,
+    "text_toxicity": q_text_toxicity,
+    "emb_whiten": q_emb_whiten,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -8919,6 +9093,10 @@ ORACLES: dict[str, str] = {
     "graph_reciprocity": ORACLE_GRAPH_RECIPROCITY,
     "kg_literal_norm": ORACLE_KG_LITERAL_NORM,
     "kg_truthfinder": ORACLE_KG_TRUTHFINDER,
+    "events_retention": ORACLE_EVENTS_RETENTION,
+    "orders_rfm": ORACLE_ORDERS_RFM,
+    "text_toxicity": ORACLE_TEXT_TOXICITY,
+    "emb_whiten": ORACLE_EMB_WHITEN,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -202,3 +202,58 @@ def pq_codes(
             F.min("_d2").alias("d2"),
         )
     )
+
+
+def whiten(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean-center + L2-renormalize an embedding column (the standard
+    pre-processing before cosine ANN / SemDeDup: centering removes the
+    corpus-wide 'hubness' direction so cosine contrasts carry signal).
+
+    -> (id, centered — the rounded whitened vector, norm_before,
+       norm_after) where norm_after is the pre-renormalization length
+    of the centered vector (a 0 here = the vector WAS the mean; its
+    output is the zero vector, not NaN).
+
+    Scale shape: the mean vector is a (dim)-keyed aggregate over a
+    posexplode — dim-bounded state (<= n_dims rows globally,
+    partial-agg absorbed map-side) — collected to ONE broadcast array
+    row; the centering itself is zero-shuffle zip_with codegen over a
+    single corpus scan.  Two scans total (mean pass + transform pass),
+    the DSIR cost shape.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dims = df.select(F.posexplode(v).alias("_d", "_x"))
+    mean_tbl = (
+        dims.groupBy("_d")
+        # rounded means flow forward (the kmeans_train discipline):
+        # downstream arithmetic is a pure function of 6dp values, so
+        # double-sum accumulation-order differences stay sub-rounding
+        .agg(F.round(F.avg("_x"), decimals).alias("_mu"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_d", "_mu"))),
+                lambda s: s.getField("_mu"),
+            ).alias("_mean")
+        )
+    )
+    out = df.crossJoin(F.broadcast(mean_tbl))
+    centered = F.zip_with(v, F.col("_mean"), lambda a, b: a - b)
+    norm = lambda a: F.sqrt(  # noqa: E731
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb, na = norm(v), norm(centered)
+    unit = F.when(na == 0.0, F.transform(centered, lambda x: x * 0.0)).otherwise(
+        F.transform(centered, lambda x: x / na)
+    )
+    return out.select(
+        F.col(id_col),
+        F.transform(unit, lambda x: F.round(x, decimals)).alias("centered"),
+        F.round(nb, decimals).alias("norm_before"),
+        F.round(na, decimals).alias("norm_after"),
+    )

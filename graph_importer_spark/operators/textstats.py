@@ -846,3 +846,48 @@ def char_entropy(
         F.size("cs").cast("long").alias("n_distinct"),
         F.round(ent, decimals).alias("entropy"),
     )
+
+
+def lexicon_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lexicon: list[str],
+    rate_threshold: float = 5.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Lexicon-based content filter (the wordlist-screening stage of a
+    training-data pipeline: profanity/unsafe-content lists, medical or
+    legal term screens, brand-safety lists).  Tokens are the same
+    lowercase whitespace normal form the rest of textstats uses; a hit
+    is an exact token match against the (lowercased) lexicon —
+    substring matches are deliberately NOT counted (no 'Scunthorpe'
+    false positives).
+
+    -> (id, n_tokens, n_hits, n_distinct_hits, hit_rate_per_1000,
+       flagged) where flagged = hit_rate_per_1000 > rate_threshold.
+
+    Scale shape: the lexicon becomes an array literal baked into the
+    plan (wordlists are 10^2-10^4 entries — plan-constant territory;
+    beyond that, switch to a broadcast-join variant).  Everything is
+    per-row array expressions: zero shuffle, zero Python, whole-stage
+    codegen; the filter predicate pushes down when used as a gate.
+    """
+    lex = sorted({w.lower() for w in lexicon})
+    lex_arr = F.array(*[F.lit(w) for w in lex])
+    nf = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.filter(F.split(nf, " "), lambda t: t != "")
+    hits = F.filter(toks, lambda t: F.array_contains(lex_arr, t))
+    n_tok = F.size(toks)
+    n_hits = F.size(hits)
+    rate = F.when(n_tok > 0, F.round(n_hits * F.lit(1000.0) / n_tok, decimals)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_hits.alias("n_hits"),
+        F.size(F.array_distinct(hits)).alias("n_distinct_hits"),
+        rate.alias("hit_rate_per_1000"),
+        (rate > F.lit(rate_threshold)).alias("flagged"),
+    )

@@ -244,3 +244,139 @@ def event_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(top)
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event (period = floor(epoch_seconds / period_seconds));
+    for each (cohort, offset) cell, ``n_active`` counts the cohort
+    members with at least one event in cohort+offset, and ``retention``
+    normalizes by the cohort's size (its offset-0 count — every member
+    is by construction active in its first period).
+
+    -> (cohort, offset, n_active, cohort_size, retention).
+
+    Scale shape: the corpus pays ONE (key, period) hash aggregate
+    (partial-agg absorbs per-user event volume map-side) whose output
+    is at most |users| x |periods| rows; the first-period reduction and
+    the join back are keyed on the user — both run on that already
+    collapsed table, never on raw events.  The (cohort, offset) matrix
+    is bounded by |periods|^2 rows, so the cohort-size join broadcasts.
+    No windows, no global sort.
+    """
+    p = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(period_seconds))
+    per = (
+        events.select(F.col(key_col).alias("_k"), p.alias("_p"))
+        .groupBy("_k", "_p")
+        .agg(F.count("*").alias("_n"))
+        .drop("_n")
+    )
+    first = per.groupBy("_k").agg(F.min("_p").alias("cohort"))
+    cells = (
+        per.join(first, "_k")
+        .select("cohort", (F.col("_p") - F.col("cohort")).alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = cells.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), decimals
+            ).alias("retention"),
+        )
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    ref_epoch_seconds: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """RFM customer segmentation: per key, recency (whole days between
+    the key's latest order and the reference instant), frequency
+    (order count) and monetary (exact DECIMAL amount sum), each scored
+    1-4 against the population's quartile cutoffs; ``rfm`` packs the
+    three digits (recency inverted: most recent = 4).
+
+    ``ref_epoch_seconds`` defaults to the corpus max timestamp —
+    pass it explicitly for a stable "as of" audit point.
+
+    Determinism contract: the amount sum runs in DECIMAL(18,4) (no
+    float accumulation-order drift); cutoffs use exact interpolated
+    percentile (index p*(n-1), linear) which DuckDB's quantile_cont
+    replays on the identical per-key summaries; scores are strict
+    ``> cutoff`` comparisons, so boundary rows land identically.
+
+    Scale shape: ONE key-keyed aggregate collapses the corpus to a
+    |keys|-row summary; the quartile pass and the scoring cross join
+    run on that summary (the cutoff table is a single broadcast row).
+    Exact percentile over |keys| rows is the one non-partial aggregate
+    — at 10^9+ keys swap in approx_percentile and re-derive cutoffs;
+    the scoring plan is unchanged.
+    """
+    amt = F.col(amount_col).cast("decimal(18,4)")
+    per = orders.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("_last"),
+        F.count("*").alias("frequency"),
+        F.sum(amt).alias("_m"),
+    )
+    if ref_epoch_seconds is None:
+        ref = per.agg(F.max("_last").alias("_ref"))
+    else:
+        ref = per.sparkSession.range(1).select(
+            F.lit(int(ref_epoch_seconds)).cast("bigint").alias("_ref")
+        )
+    per = per.crossJoin(F.broadcast(ref)).select(
+        "key",
+        F.floor((F.col("_ref") - F.col("_last")) / F.lit(86400)).alias(
+            "recency_days"
+        ),
+        "frequency",
+        F.col("_m").cast("double").alias("monetary"),
+    )
+    cuts = per.agg(
+        F.percentile(F.col("recency_days").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("_rc"),
+        F.percentile(F.col("frequency").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("_fc"),
+        F.percentile(F.col("monetary"), F.lit([0.25, 0.5, 0.75])).alias("_mc"),
+    )
+
+    def _score(v, c):
+        one = F.lit(1)
+        return (
+            one
+            + (v > F.element_at(c, 1)).cast("int")
+            + (v > F.element_at(c, 2)).cast("int")
+            + (v > F.element_at(c, 3)).cast("int")
+        )
+
+    scored = per.crossJoin(F.broadcast(cuts))
+    r_s = F.lit(5) - _score(F.col("recency_days").cast("double"), F.col("_rc"))
+    f_s = _score(F.col("frequency").cast("double"), F.col("_fc"))
+    m_s = _score(F.col("monetary"), F.col("_mc"))
+    return scored.select(
+        "key",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).alias("rfm"),
+    )

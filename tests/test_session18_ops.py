@@ -1,0 +1,123 @@
+"""Round-4 session-18 operators: cohort retention, RFM segmentation,
+lexicon content filter, embedding whitening."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_importer_spark.operators.quantize import whiten
+from graph_importer_spark.operators.textstats import lexicon_hits
+from graph_importer_spark.operators.timeseries import cohort_retention, rfm_scores
+
+
+def _ts(day):
+    return dt.datetime(2024, 1, day, 12, 0, 0)
+
+
+def test_cohort_retention_known_matrix(spark):
+    # period = 1 day.  u1: days 1,2,3; u2: days 1,3; u3: day 2.
+    rows = [(1, _ts(1)), (1, _ts(2)), (1, _ts(3)), (1, _ts(3)),
+            (2, _ts(1)), (2, _ts(3)), (3, _ts(2))]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort, r.offset): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(e, "user_id", "ts", period_seconds=86400).collect()
+    }
+    d1 = min(c for c, _ in out)  # cohort id of day 1
+    assert out[(d1, 0)] == (2, 2, 1.0)          # u1, u2
+    assert out[(d1, 1)] == (1, 2, 0.5)          # u1 only
+    assert out[(d1, 2)] == (2, 2, 1.0)          # u1, u2
+    assert out[(d1 + 1, 0)] == (1, 1, 1.0)      # u3's own cohort
+    assert len(out) == 4
+    # duplicate same-period events never double-count a user
+    assert all(n <= s for n, s, _ in out.values())
+
+
+def test_cohort_retention_partition_invariant(spark):
+    rows = [(i % 7, _ts(1 + (i * 3) % 20)) for i in range(200)]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    a = sorted(map(tuple, cohort_retention(e, "user_id", "ts").collect()))
+    b = sorted(
+        map(tuple, cohort_retention(e.repartition(13), "user_id", "ts").collect())
+    )
+    assert a == b
+
+
+def test_rfm_scores_quartiles_and_packing(spark):
+    # 8 customers, frequency 1 each, monetary 10..80, recency 0..7 days
+    rows = []
+    for i in range(8):
+        rows.append((i, dt.datetime(2024, 1, 31 - i), float((i + 1) * 10)))
+    o = spark.createDataFrame(rows, "c long, d timestamp, amt double")
+    out = {r.key: r for r in rfm_scores(o, "c", "d", "amt").collect()}
+    # customer 0: most recent (recency 0 -> r=4), lowest monetary (m=1)
+    assert out[0].recency_days == 0 and out[0].r_score == 4
+    assert out[0].m_score == 1 and out[0].frequency == 1
+    # customer 7: oldest, highest monetary
+    assert out[7].recency_days == 7 and out[7].r_score == 1
+    assert out[7].m_score == 4
+    # all frequencies equal -> every f_score = 1 (nothing exceeds cutoffs)
+    assert {r.f_score for r in out.values()} == {1}
+    # rfm digit packing
+    assert out[0].rfm == out[0].r_score * 100 + out[0].f_score * 10 + out[0].m_score
+
+
+def test_rfm_explicit_reference_instant(spark):
+    o = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5.0)], "c long, d timestamp, amt double"
+    )
+    ref = int(dt.datetime(2024, 1, 11).timestamp())
+    row = rfm_scores(o, "c", "d", "amt", ref_epoch_seconds=ref).collect()[0]
+    assert row.recency_days == 10
+
+
+def test_lexicon_hits_counts_and_flag(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the crash caused a crash and a leak"),
+            (2, "all calm here"),
+            (3, "   "),
+            (4, "CRASH uppercase and scrash substring"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in lexicon_hits(
+            d, "doc_id", "text", ["crash", "leak"], rate_threshold=100.0
+        ).collect()
+    }
+    assert out[1].n_hits == 3 and out[1].n_distinct_hits == 2
+    assert out[1].flagged  # 3/8 tokens = 375 per 1000 > 100
+    assert out[2].n_hits == 0 and not out[2].flagged
+    assert out[3].n_tokens == 0 and out[3].hit_rate_per_1000 == 0.0
+    # case-insensitive token match; substrings never count
+    assert out[4].n_hits == 1
+
+
+def test_whiten_centers_and_normalizes(spark):
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in whiten(e, "vec_id", "embedding").collect()}
+    # mean = (2, 0); vec 3 IS the mean -> zero vector out, norm_after 0
+    assert out[3].norm_after == 0.0 and out[3].centered == [0.0, 0.0]
+    # vec 1 centers to (-1, 0) -> unit (-1, 0)
+    assert out[1].centered == [-1.0, 0.0]
+    assert out[2].centered == [1.0, 0.0]
+    assert out[1].norm_before == pytest.approx(1.0)
+    # unit norm after whitening
+    for vid in (1, 2):
+        assert sum(x * x for x in out[vid].centered) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_whiten_partition_invariant(spark):
+    rows = [(i, [float((i * 7) % 13), float((i * 5) % 11), 1.0]) for i in range(50)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, whiten(e).collect()))
+    b = sorted(map(tuple, whiten(e.repartition(17)).collect()))
+    assert a == b
