@@ -8724,6 +8724,273 @@ FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18b: multi-touch attribution, TransE ranking eval,
+# Porter-lite stem vocabulary, crawl-frontier scheduling
+# ---------------------------------------------------------------------------
+
+
+def q_events_attribution(spark, sf_dir):
+    """Linear multi-touch attribution (timeseries.linear_attribution):
+    purchases are conversions, click/view events the touches, 1-day
+    lookback; the oracle replays the second-truncated interval
+    pairing, the 9dp-DECIMAL credit split, and the (direct) branch."""
+    from graph_importer_spark.operators.timeseries import linear_attribution
+
+    e = T(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase")
+    tch = e.filter(F.col("event_type").isin("click", "view"))
+    return linear_attribution(
+        tch,
+        conv,
+        key_col="user_id",
+        channel_col="event_type",
+        window_s=86400,
+        conv_id_col="event_id",
+        value_col="value",
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = r"""
+WITH conv AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_id AS cid, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase'),
+tch AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT c.cid, c.v, t.channel
+  FROM conv c JOIN tch t ON c.k = t.k
+   AND t.t >= c.t - 86400 AND t.t <= c.t),
+cnt AS (SELECT cid, COUNT(*) AS n FROM pairs GROUP BY cid),
+cred AS (
+  SELECT p.cid, p.channel,
+         CAST(round(p.v / c.n, 9) AS DECIMAL(28,9)) AS cr
+  FROM pairs p JOIN cnt c USING (cid)),
+att AS (
+  SELECT channel, COUNT(*) AS n_touches,
+         COUNT(DISTINCT cid) AS n_conversions,
+         round(CAST(SUM(cr) AS DOUBLE), 6) AS attributed
+  FROM cred GROUP BY channel),
+direct AS (
+  SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+         COUNT(*) AS n_conversions,
+         round(CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS attributed
+  FROM conv WHERE cid NOT IN (SELECT cid FROM cnt)
+  HAVING COUNT(*) > 0)
+SELECT * FROM att UNION ALL SELECT * FROM direct
+"""
+
+
+def q_kg_transe_rank(spark, sf_dir):
+    """TransE-style link-prediction ranking (triples.transe_rank) over
+    the deterministic orders triple set; entity ranks passed sorted so
+    both the candidate picks and the md5-derived embeddings replay
+    cross-engine, dims folded in identical order."""
+    from pyspark.sql import Window as _W
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    t = o.select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 30).cast("string")).alias(
+            "subj"
+        ),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("buys"))
+        .otherwise(F.lit("returns"))
+        .alias("pred"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 499).cast("string")).alias(
+            "obj"
+        ),
+    ).distinct()
+    ranks = (
+        t.select(F.col("obj").alias("_ent"))
+        .distinct()
+        .select(
+            "_ent",
+            (F.row_number().over(_W.orderBy("_ent")) - 1).alias("_rank"),
+        )
+    )
+    return _triples.transe_rank(
+        t, entity_ranks=ranks, dim=4, n_candidates=16
+    )
+
+
+def _oracle_kg_transe_rank(seed: int = 42, dim: int = 4, n_cand: int = 16) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    sq = (
+        "((hs.e[i] + rs.e[i]) - {v}[i]) * ((hs.e[i] + rs.e[i]) - {v}[i])"
+    )
+    return f"""
+WITH t AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey % 30 AS VARCHAR) AS subj,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'buys' ELSE 'returns' END AS pred,
+         'p' || CAST(o_orderkey % 499 AS VARCHAR) AS obj
+  FROM orders WHERE o_orderkey % 13 = 0),
+v AS (
+  SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS r
+  FROM (SELECT DISTINCT obj AS ent FROM t)),
+names AS (
+  SELECT subj AS n FROM t UNION SELECT pred FROM t UNION SELECT obj FROM t),
+dv AS (
+  SELECT n, d,
+         substring(md5(n || '#' || CAST(d AS VARCHAR) || '#{seed}'), 1, 8)
+           AS h8
+  FROM names, UNNEST(generate_series(0, {dim - 1})) u(d)),
+ev AS (
+  SELECT n, d, (({poly}) % 2000001 - 1000000) / 1000000.0 AS val FROM dv),
+embt AS (SELECT n, list(val ORDER BY d) AS e FROM ev GROUP BY n),
+st AS (
+  SELECT t.subj, t.pred, t.obj,
+         -list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, {dim}),
+                           i -> {sq.format(v='os.e')})),
+            (a, b) -> a + b) AS s_true
+  FROM t JOIN embt hs ON hs.n = t.subj
+         JOIN embt rs ON rs.n = t.pred
+         JOIN embt os ON os.n = t.obj),
+f AS (
+  SELECT subj, pred, obj,
+         substring(md5(subj || '|' || pred || '|' || obj || '|'
+                       || CAST(j AS VARCHAR) || '|{seed}'), 1, 8) AS h8
+  FROM t, UNNEST(generate_series(0, {n_cand - 1})) u(j)),
+cand AS (
+  SELECT DISTINCT c.subj, c.pred, c.obj, v.ent
+  FROM (SELECT subj, pred, obj,
+               ({poly}) % (SELECT COUNT(*) FROM v) AS r FROM f) c
+  JOIN v USING (r)
+  WHERE v.ent <> c.obj),
+scand AS (
+  SELECT c.subj, c.pred, c.obj, c.ent,
+         -list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, {dim}),
+                           i -> {sq.format(v='es.e')})),
+            (a, b) -> a + b) AS s_c
+  FROM cand c JOIN embt hs ON hs.n = c.subj
+              JOIN embt rs ON rs.n = c.pred
+              JOIN embt es ON es.n = c.ent),
+agg AS (
+  SELECT s.subj, s.pred, s.obj, COUNT(*) AS n_cands,
+         SUM(CASE WHEN s.s_c > st.s_true
+                    OR (s.s_c = st.s_true AND s.ent < s.obj)
+                  THEN 1 ELSE 0 END) AS nb
+  FROM scand s JOIN st USING (subj, pred, obj)
+  GROUP BY s.subj, s.pred, s.obj)
+SELECT t.subj, t.pred, t.obj, round(st.s_true, 6) AS score_true,
+       COALESCE(a.n_cands, 0) AS n_cands,
+       COALESCE(a.nb + 1, 1) AS rank,
+       round(1.0 / COALESCE(a.nb + 1, 1), 6) AS rr,
+       COALESCE(a.nb + 1, 1) <= 10 AS hit10
+FROM t JOIN st USING (subj, pred, obj)
+LEFT JOIN agg a USING (subj, pred, obj)
+"""
+
+
+def q_text_stem(spark, sf_dir):
+    """Stem-grouped vocabulary (textstats.stem_vocab): Porter-lite
+    CASE-chain stemming over the corpus tokens; the oracle replays the
+    suffix rules clause for clause plus the deterministic top-60."""
+    d = T(spark, sf_dir, "documents")
+    return _ts.stem_vocab(d, "doc_id", "text", top=60)
+
+
+_STEM_SQL = """
+CASE WHEN ends_with(s2, 'ly') AND length(s2) >= 5
+     THEN substring(s2, 1, length(s2) - 2) ELSE s2 END
+"""
+
+ORACLE_TEXT_STEM = rf"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               UNNEST(string_split({_NF_SQL}, ' ')) AS tok
+        FROM documents)
+  WHERE regexp_matches(tok, '^[a-z]+$')),
+st1 AS (
+  SELECT doc_id, tok,
+         CASE WHEN ends_with(tok, 'sses')
+                THEN substring(tok, 1, length(tok) - 2)
+              WHEN ends_with(tok, 'ies')
+                THEN substring(tok, 1, length(tok) - 2)
+              WHEN ends_with(tok, 'ss') THEN tok
+              WHEN ends_with(tok, 's') AND length(tok) > 3
+                THEN substring(tok, 1, length(tok) - 1)
+              ELSE tok END AS s1
+  FROM toks),
+st2 AS (
+  SELECT doc_id, tok,
+         CASE WHEN ends_with(s1, 'ing') AND length(s1) >= 6
+                AND regexp_matches(substring(s1, 1, length(s1) - 3),
+                                   '[aeiou]')
+                THEN substring(s1, 1, length(s1) - 3)
+              WHEN ends_with(s1, 'ed') AND length(s1) >= 5
+                AND regexp_matches(substring(s1, 1, length(s1) - 2),
+                                   '[aeiou]')
+                THEN substring(s1, 1, length(s1) - 2)
+              ELSE s1 END AS s2
+  FROM st1),
+stf AS (SELECT doc_id, tok, {_STEM_SQL} AS stem FROM st2)
+SELECT stem, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT tok) AS n_forms,
+       list_slice(list_sort(list_distinct(list(tok))), 1, 5) AS forms
+FROM stf GROUP BY stem
+ORDER BY n_occurrences DESC, stem ASC LIMIT 60
+"""
+
+
+def q_web_frontier(spark, sf_dir):
+    """Polite crawl-frontier scheduling (urls.crawl_frontier) over
+    synthesized clean URLs (23 hosts, priority = n_chars, ties by
+    URL); the oracle replays the per-host queue rank, the cap, and
+    the md5 slot assignment."""
+    from graph_importer_spark.operators.urls import crawl_frontier
+
+    d = T(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("n_chars").cast("bigint").alias("priority"),
+    )
+    return crawl_frontier(d, "url", "priority", max_per_host=15)
+
+
+def _oracle_web_frontier(seed: int = 42) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH u AS (
+  SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 23 AS VARCHAR) || '.com' AS host,
+         CAST(n_chars AS BIGINT) AS priority
+  FROM documents),
+q AS (
+  SELECT url, host, priority,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url ASC) - 1 AS wave
+  FROM u),
+c AS (SELECT * FROM q WHERE wave < 15),
+h AS (
+  SELECT url, host, priority, wave,
+         substring(md5(host || '@' || CAST(wave AS VARCHAR) || '@{seed}'),
+                   1, 8) AS h8
+  FROM c)
+SELECT url, host, priority, wave, ({poly}) AS slot FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -8800,6 +9067,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_rfm": q_orders_rfm,
     "text_toxicity": q_text_toxicity,
     "emb_whiten": q_emb_whiten,
+    # round-4 session-18b additions: multi-touch attribution, TransE
+    # ranking eval, stem vocabulary, crawl-frontier scheduling (four
+    # more tail-of-window rows rotate out under the same policy).
+    "events_attribution": q_events_attribution,
+    "kg_transe_rank": q_kg_transe_rank,
+    "text_stem": q_text_stem,
+    "web_frontier": q_web_frontier,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -9097,6 +9371,10 @@ ORACLES: dict[str, str] = {
     "orders_rfm": ORACLE_ORDERS_RFM,
     "text_toxicity": ORACLE_TEXT_TOXICITY,
     "emb_whiten": ORACLE_EMB_WHITEN,
+    "events_attribution": ORACLE_EVENTS_ATTRIBUTION,
+    "kg_transe_rank": _oracle_kg_transe_rank(),
+    "text_stem": ORACLE_TEXT_STEM,
+    "web_frontier": _oracle_web_frontier(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -891,3 +891,86 @@ def lexicon_hits(
         rate.alias("hit_rate_per_1000"),
         (rate > F.lit(rate_threshold)).alias("flagged"),
     )
+
+
+def stem_token(t: Column) -> Column:
+    """Porter-lite suffix stripping of one lowercase token — steps 1a
+    (plural collapse), a 1b subset (-ed / -ing with a vowel-in-stem
+    guard), and -ly.  Deliberately expressed as CASE + ends_with +
+    substring arithmetic, NOT backreference regexes: both engines
+    (Java regex vs RE2) then evaluate the identical total function, so
+    the DuckDB oracle replays it clause for clause.
+    """
+
+    def drop(col: Column, k: int) -> Column:
+        return F.substring(col, 1, F.length(col) - F.lit(k))
+
+    def has_vowel(col: Column) -> Column:
+        return col.rlike("[aeiou]")
+
+    # step 1a — plurals
+    s1 = (
+        F.when(t.endswith("sses"), drop(t, 2))
+        .when(t.endswith("ies"), drop(t, 2))
+        .when(t.endswith("ss"), t)
+        .when(t.endswith("s") & (F.length(t) > 3), drop(t, 1))
+        .otherwise(t)
+    )
+    # step 1b subset — -ing / -ed when a >=3-char stem with a vowel remains
+    s2 = (
+        F.when(
+            s1.endswith("ing")
+            & (F.length(s1) >= 6)
+            & has_vowel(drop(s1, 3)),
+            drop(s1, 3),
+        )
+        .when(
+            s1.endswith("ed")
+            & (F.length(s1) >= 5)
+            & has_vowel(drop(s1, 2)),
+            drop(s1, 2),
+        )
+        .otherwise(s1)
+    )
+    # -ly adverbs
+    return F.when(
+        s2.endswith("ly") & (F.length(s2) >= 5), drop(s2, 2)
+    ).otherwise(s2)
+
+
+def stem_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top: int = 50,
+) -> DataFrame:
+    """Stem-grouped vocabulary: alphabetic tokens of the whitespace
+    normal form are stemmed (stem_token) and rolled up per stem —
+    occurrence count, document frequency, number of distinct surface
+    forms, and a deterministic sorted sample of up to 5 forms.
+
+    -> (stem, n_occurrences, n_docs, n_forms, forms) top-``top`` by
+    (count desc, stem asc).
+
+    Scale shape: stemming is zero-shuffle codegen on the exploded
+    token stream; the rollup partial-aggregates on the stem key
+    (collect_set state bounded by the stem's surface-form variety,
+    which is small by construction); final top-k is
+    TakeOrderedAndProject, no global sort.
+    """
+    nf = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(nf, " ")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    stemmed = toks.select("_id", "tok", stem_token(F.col("tok")).alias("stem"))
+    return (
+        stemmed.groupBy("stem")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("_id").alias("n_docs"),
+            F.countDistinct("tok").alias("n_forms"),
+            F.slice(F.sort_array(F.collect_set("tok")), 1, 5).alias("forms"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("stem").asc())
+        .limit(top)
+    )

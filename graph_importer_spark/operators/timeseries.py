@@ -380,3 +380,88 @@ def rfm_scores(
         m_s.alias("m_score"),
         (r_s * 100 + f_s * 10 + m_s).alias("rfm"),
     )
+
+
+def linear_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    key_col: str,
+    channel_col: str,
+    window_s: int,
+    touch_ts: str = "ts",
+    conv_ts: str = "ts",
+    conv_id_col: str = "conv_id",
+    value_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch (click/view/...)
+    of the same key within ``window_s`` seconds BEFORE a conversion
+    (inclusive of the conversion instant) shares the conversion's
+    credit equally; conversions with no in-window touch are attributed
+    to the synthetic ``(direct)`` channel.  Credit = conversion value
+    (or 1.0 when ``value_col`` is None) / touch count.
+
+    -> (channel, n_touches, n_conversions, attributed) with
+    ``sum(attributed)`` == total conversion value by construction.
+
+    Scale shape: the touch<->conversion pairing reuses
+    ``interval_join`` (time-bucketed equi-join — never a
+    BroadcastNestedLoopJoin); the per-conversion touch count is a
+    partial-agg on the conversion id over the bounded
+    touches-in-window fan-out; the channel rollup is a bounded-key
+    aggregate.  The (direct) branch is one anti-join of conversions
+    against the matched set.
+    """
+    from graph_importer_spark.operators.joins import interval_join
+
+    val = (
+        F.col(value_col).cast("double") if value_col else F.lit(1.0)
+    )
+    conv = conversions.select(
+        F.col(key_col).alias("_k"),
+        F.col(conv_ts).alias("ts"),
+        F.col(conv_id_col).alias("_cid"),
+        val.alias("_val"),
+    )
+    tch = touches.select(
+        F.col(key_col).alias("_k"),
+        F.col(touch_ts).alias("ts"),
+        F.col(channel_col).alias("channel"),
+    )
+    pairs = interval_join(
+        conv, tch, on="_k", lower_s=-window_s, upper_s=0
+    ).select("_cid", "_val", F.col("r_channel").alias("channel"))
+    counts = pairs.groupBy("_cid").agg(F.count("*").alias("_n"))
+    # credit is rounded to 9dp DECIMAL before summing: the channel
+    # rollup then accumulates exactly (no float order drift), so the
+    # oracle replays the sum bit-for-bit
+    credited = pairs.join(counts, "_cid").select(
+        "_cid",
+        "channel",
+        F.round(F.col("_val") / F.col("_n"), 9)
+        .cast("decimal(28,9)")
+        .alias("_credit"),
+    )
+    attributed = credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("_cid").alias("n_conversions"),
+        F.round(F.sum("_credit").cast("double"), decimals).alias("attributed"),
+    )
+    direct = (
+        conv.join(counts, conv["_cid"] == counts["_cid"], "left_anti")
+        .groupBy()
+        .agg(
+            F.lit(0).cast("bigint").alias("n_touches"),
+            F.count("*").alias("n_conversions"),
+            F.round(
+                F.sum(
+                    F.round(F.col("_val"), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                decimals,
+            ).alias("attributed"),
+        )
+        .select(F.lit("(direct)").alias("channel"), "n_touches",
+                "n_conversions", "attributed")
+        .filter(F.col("n_conversions") > 0)
+    )
+    return attributed.unionByName(direct)

@@ -482,3 +482,63 @@ def url_templates(
         )
         .filter(F.col("n_urls") >= min_count)
     )
+
+
+def crawl_frontier(
+    df,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    max_per_host: int = 100,
+    seed: int = 42,
+):
+    """Polite crawl-frontier scheduling: at most ONE fetch per host per
+    wave (the politeness invariant), higher ``priority_col`` first
+    within a host (ties to the lexicographically smaller URL), capped
+    at ``max_per_host`` queued URLs per host per scheduling round.
+    ``slot`` spreads each wave's fetches across workers as a pure
+    md5 function of (host, wave) — no coordination, stable across
+    partitionings.
+
+    -> (url, host, priority, wave, slot), wave 0-based.
+
+    Scale shape: the per-host queue rank is a host-partitioned window
+    — per-host state is bounded by ``max_per_host`` x nothing: the
+    window itself ranks the host's full queue, so a Zipf-hot host
+    (crawl frontiers are exactly that) should be pre-capped with
+    ``sampling.domain_quota_sample`` / the two-phase ``salted_topk``
+    when its queue dwarfs ``max_per_host``; the cap filter here keeps
+    the OUTPUT bounded either way.  Slot assignment is zero-shuffle
+    codegen.
+    """
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    host = host_of(u).alias("host")
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    q = (
+        df.select(u.alias("url"), host, F.col(priority_col).alias("priority"))
+        .withColumn("wave", F.row_number().over(w) - 1)
+        .filter(F.col("wave") < max_per_host)
+    )
+    slot = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "@",
+                        "host",
+                        F.col("wave").cast("string"),
+                        F.lit(str(seed)),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return q.select("url", "host", "priority", "wave", slot.alias("slot"))

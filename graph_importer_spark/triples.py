@@ -911,3 +911,146 @@ def truth_discovery(
             (F.col(obj) == F.col("_win")).alias("is_winner"),
         )
     )
+
+
+def transe_rank(
+    triples: DataFrame,
+    entity_ranks: DataFrame | None = None,
+    dim: int = 8,
+    n_candidates: int = 32,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Link-prediction ranking with deterministic TransE-style scores
+    (Bordes et al. 2013): each positive (subj, pred, obj) is ranked
+    against ``n_candidates`` corrupt tails drawn from the object
+    vocabulary; score(h, r, t) = -||h + r - t||^2 over ``dim``-dim
+    embeddings derived as a pure md5 function of the name — the
+    evaluation HARNESS shape (candidate fan-out, filtered comparison,
+    rank aggregation) with a replayable stand-in for trained vectors
+    (swap the embedding expression for a trained-embedding join
+    without touching the plan).
+
+    Determinism: emb(name)[i] = (uint32(md5(name#i#seed)) % 2000001
+    - 10^6) / 10^6 in [-1, 1]; candidate j for a triple is the
+    vocabulary entry at uint32(md5(s|p|o|j|seed)) mod |E| — both pure
+    functions of strings (partition-invariant), both SQL-replayable.
+    Scores fold dims left-to-right (F.aggregate <-> list_reduce, same
+    order), so no rounding is needed before comparison; ties break to
+    the lexicographically smaller tail.
+
+    -> (subj, pred, obj, score_true, n_cands, rank, rr, hit10)
+    where rank counts strictly-better candidates + 1, n_cands the
+    distinct surviving corrupt tails (collisions with the true tail
+    dropped, not resampled — the negative_samples convention).
+
+    Scale shape: vocabulary broadcast against a constant
+    n_candidates x positives fan-out; scoring is zero-shuffle codegen
+    array math; the rank is ONE triple-keyed partial aggregate over
+    the bounded candidate set — no windows, no global sort.
+    """
+    if entity_ranks is None:
+        from graph_importer_spark.operators.ids import dense_ids
+
+        entity_ranks = dense_ids(
+            triples.select(F.col("obj")).distinct(), "obj"
+        ).select(F.col("obj").alias("_ent"), F.col("id").alias("_rank"))
+    ents = entity_ranks.select(
+        F.col(entity_ranks.columns[0]).alias("_ent"),
+        F.col(entity_ranks.columns[1]).alias("_rank"),
+    )
+    n_ents = ents.count()
+
+    def emb(name):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "#", name, i.cast("string"), F.lit(str(seed))
+                                ),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.lit(2000001)
+                - F.lit(1000000)
+            )
+            / F.lit(1000000.0),
+        )
+
+    def score(h, r, t):
+        diff = F.zip_with(
+            F.zip_with(h, r, lambda a, b: a + b), t, lambda s, c: s - c
+        )
+        return -F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    pos = triples.select("subj", "pred", "obj").distinct()
+    fanned = pos.select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.sequence(F.lit(0), F.lit(n_candidates - 1))).alias("_j"),
+    )
+    pick = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|",
+                        "subj",
+                        "pred",
+                        "obj",
+                        F.col("_j").cast("string"),
+                        F.lit(str(seed)),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % F.lit(n_ents)
+    cand = (
+        fanned.withColumn("_rank", pick)
+        .join(F.broadcast(ents), "_rank")
+        .filter(F.col("_ent") != F.col("obj"))
+        .select("subj", "pred", "obj", "_ent")
+        .distinct()
+    )
+    h, r = emb(F.col("subj")), emb(F.col("pred"))
+    s_true = score(h, r, emb(F.col("obj")))
+    s_cand = score(h, r, emb(F.col("_ent")))
+    better = (s_cand > s_true) | (
+        (s_cand == s_true) & (F.col("_ent") < F.col("obj"))
+    )
+    agg = cand.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("n_cands"),
+        F.sum(better.cast("bigint")).alias("_nb"),
+    )
+    rank = F.col("_nb") + 1
+    return (
+        pos.join(agg, ["subj", "pred", "obj"], "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.round(s_true, decimals).alias("score_true"),
+            F.coalesce("n_cands", F.lit(0)).alias("n_cands"),
+            F.coalesce(rank, F.lit(1)).alias("rank"),
+            F.round(F.lit(1.0) / F.coalesce(rank, F.lit(1)), decimals).alias(
+                "rr"
+            ),
+            (F.coalesce(rank, F.lit(1)) <= 10).alias("hit10"),
+        )
+    )

@@ -121,3 +121,122 @@ def test_whiten_partition_invariant(spark):
     a = sorted(map(tuple, whiten(e).collect()))
     b = sorted(map(tuple, whiten(e.repartition(17)).collect()))
     assert a == b
+
+
+def test_linear_attribution_splits_credit(spark):
+    from graph_importer_spark.operators.timeseries import linear_attribution
+
+    conv = spark.createDataFrame(
+        [(1, _ts(2), 100, 10.0), (2, _ts(2), 200, 6.0), (3, _ts(2), 300, 4.0)],
+        "user_id long, ts timestamp, conv_id long, value double",
+    )
+    tch = spark.createDataFrame(
+        [
+            (1, _ts(1), "click"),   # in window (1 day back)
+            (1, _ts(2), "view"),    # at conversion instant
+            (2, dt.datetime(2024, 1, 2, 11, 0), "click"),
+            # user 3 has no touch -> (direct)
+            (1, dt.datetime(2023, 12, 1), "click"),  # far outside window
+        ],
+        "user_id long, ts timestamp, channel string",
+    )
+    out = {
+        r.channel: r
+        for r in linear_attribution(
+            tch, conv, "user_id", "channel", window_s=86400, value_col="value"
+        ).collect()
+    }
+    # user1: 10.0 split over click+view; user2: 6.0 all to click
+    assert out["click"].attributed == pytest.approx(5.0 + 6.0)
+    assert out["view"].attributed == pytest.approx(5.0)
+    assert out["(direct)"].attributed == pytest.approx(4.0)
+    assert out["(direct)"].n_conversions == 1 and out["(direct)"].n_touches == 0
+    # conservation: total attributed == total conversion value
+    total = sum(r.attributed for r in out.values())
+    assert total == pytest.approx(20.0)
+
+
+def test_transe_rank_deterministic_and_bounded(spark):
+    from pyspark.sql import Window as W
+
+    from graph_importer_spark.triples import transe_rank
+
+    t = spark.createDataFrame(
+        [(f"s{i % 5}", "p", f"o{i % 11}") for i in range(40)],
+        "subj string, pred string, obj string",
+    )
+    ranks = (
+        t.select(F.col("obj").alias("_ent"))
+        .distinct()
+        .select("_ent", (F.row_number().over(W.orderBy("_ent")) - 1).alias("_rank"))
+    )
+    out = transe_rank(t, entity_ranks=ranks, dim=4, n_candidates=8).collect()
+    assert len(out) == t.distinct().count()
+    for r in out:
+        assert 1 <= r.rank <= r.n_cands + 1
+        assert r.n_cands <= 8
+        assert r.rr == pytest.approx(1.0 / r.rank, abs=1e-6)
+        assert r.hit10 == (r.rank <= 10)
+    # partition-invariance
+    out2 = transe_rank(
+        t.repartition(7), entity_ranks=ranks, dim=4, n_candidates=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_stem_token_rules(spark):
+    from graph_importer_spark.operators.textstats import stem_token
+
+    pairs = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "caress": "caress",
+        "cats": "cat",
+        "its": "its",          # len 3, 's' kept
+        "running": "runn",
+        "agreed": "agre",
+        "sing": "sing",        # stem 's' has no vowel -> kept
+        "quickly": "quick",
+        "fly": "fly",          # too short for -ly
+        "tables": "table",
+    }
+    df = spark.createDataFrame([(w,) for w in pairs], "tok string")
+    got = {r.tok: r.stem for r in df.select("tok", stem_token(F.col("tok")).alias("stem")).collect()}
+    assert got == pairs
+
+
+def test_stem_vocab_groups_forms(spark):
+    from graph_importer_spark.operators.textstats import stem_vocab
+
+    d = spark.createDataFrame(
+        [(1, "cat cats running runs run 42 x-y"), (2, "cat quickly quick")],
+        "doc_id long, text string",
+    )
+    out = {r.stem: r for r in stem_vocab(d, "doc_id", "text", top=10).collect()}
+    assert out["cat"].n_occurrences == 3 and out["cat"].n_docs == 2
+    assert out["cat"].n_forms == 2 and out["cat"].forms == ["cat", "cats"]
+    assert out["quick"].n_forms == 2
+    # non-alphabetic tokens dropped
+    assert "42" not in out and "x-y" not in out
+
+
+def test_crawl_frontier_politeness(spark):
+    from graph_importer_spark.operators.urls import crawl_frontier
+
+    rows = [(f"https://h{i % 3}.com/p/{i}", 100 - i) for i in range(12)]
+    d = spark.createDataFrame(rows, "url string, priority long")
+    out = crawl_frontier(d, "url", "priority", max_per_host=3).collect()
+    # cap: at most 3 per host
+    from collections import Counter
+
+    per_host = Counter(r.host for r in out)
+    assert all(v <= 3 for v in per_host.values())
+    # politeness: one url per (host, wave)
+    assert len({(r.host, r.wave) for r in out}) == len(out)
+    # priority order within host: wave 0 has the highest priority
+    for h in per_host:
+        ws = sorted((r.wave, r.priority) for r in out if r.host == h)
+        assert [p for _, p in ws] == sorted((p for _, p in ws), reverse=True)
+    # slot is a pure function of (host, wave)
+    out2 = crawl_frontier(d.repartition(5), "url", "priority", max_per_host=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
