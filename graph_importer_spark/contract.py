@@ -8991,6 +8991,219 @@ SELECT url, host, priority, wave, ({poly}) AS slot FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18c: SimRank, sampled harmonic centrality, tokenizer
+# fertility, transductive KG split
+# ---------------------------------------------------------------------------
+
+
+def q_graph_simrank(spark, sf_dir):
+    """Two-iteration SimRank (analytics.simrank_pairs) on the small
+    co-purchase subgraph (l_orderkey < 300), exact (no degree cap) so
+    the oracle replays the wedge candidates, the 9dp-DECIMAL s1 sum
+    over neighbor pairs, and both scores."""
+    from graph_importer_spark.operators.analytics import simrank_pairs
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return simrank_pairs(e, c=0.8, min_common=2)
+
+
+ORACLE_GRAPH_SIMRANK = r"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 300),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+cand AS MATERIALIZED (
+  SELECT x.v AS a, y.v AS b, COUNT(*) AS common
+  FROM adj x JOIN adj y ON y.u = x.u AND x.v < y.v
+  GROUP BY x.v, y.v HAVING COUNT(*) >= 2),
+cd AS MATERIALIZED (
+  SELECT c.a, c.b, c.common, da.deg AS da, db.deg AS db
+  FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b),
+s1d AS MATERIALIZED (
+  SELECT a, b,
+         CAST(round(0.8 * common / (da * db), 9) AS DECIMAL(20,9)) AS s1
+  FROM cd),
+s1s AS MATERIALIZED (
+  SELECT a, b, s1 FROM s1d UNION ALL SELECT b, a, s1 FROM s1d),
+np AS (
+  SELECT c.a, c.b, ai.v AS i, bj.v AS j
+  FROM cd c JOIN adj ai ON ai.u = c.a JOIN adj bj ON bj.u = c.b
+  WHERE ai.v <> bj.v),
+off AS (
+  SELECT np.a, np.b,
+         SUM(COALESCE(s.s1, CAST(0 AS DECIMAL(20,9)))) AS o
+  FROM np LEFT JOIN s1s s ON s.a = np.i AND s.b = np.j
+  GROUP BY np.a, np.b)
+SELECT cd.a, cd.b, cd.common,
+       round(0.8 * cd.common / (cd.da * cd.db), 6) AS s1,
+       round(0.8 / (cd.da * cd.db)
+             * (cd.common + CAST(COALESCE(off.o, 0) AS DOUBLE)), 6) AS s2
+FROM cd LEFT JOIN off ON off.a = cd.a AND off.b = cd.b
+"""
+
+
+def q_graph_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality (analytics.
+    harmonic_centrality_sampled): exact multi-source BFS from the 6
+    md5-smallest vertices of the l_orderkey<600 co-purchase subgraph,
+    3 hops; the oracle replays the BFS as a recursive CTE and the
+    9dp-DECIMAL harmonic sum."""
+    from graph_importer_spark.operators.analytics import (
+        harmonic_centrality_sampled,
+    )
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 600)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return harmonic_centrality_sampled(e, n_sources=6, max_hops=3)
+
+
+ORACLE_GRAPH_HARMONIC = r"""
+WITH RECURSIVE
+li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 600),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+srcs AS MATERIALIZED (
+  SELECT u AS s FROM (SELECT DISTINCT u FROM adj)
+  ORDER BY md5(CAST(u AS VARCHAR) || '|42') ASC LIMIT 6),
+bfs(s, v, d) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT b.s, adj.v, b.d + 1
+  FROM bfs b JOIN adj ON adj.u = b.v WHERE b.d < 3),
+md AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY s, v)
+SELECT v AS id, COUNT(*) AS n_reached,
+       round(CAST(SUM(CAST(round(1.0 / d, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE), 6) AS harmonic
+FROM md WHERE d > 0 GROUP BY v
+"""
+
+
+def q_text_fertility(spark, sf_dir):
+    """Tokenizer fertility / byte-economics per source segment
+    (textstats.tokenizer_fertility); exact integer totals, rounded
+    ratios."""
+    d = T(spark, sf_dir, "documents")
+    return _ts.tokenizer_fertility(d, "source", "text")
+
+
+ORACLE_TEXT_FERTILITY = r"""
+WITH t AS (
+  SELECT source AS grp, COALESCE(text, '') AS tx FROM documents),
+c AS (
+  SELECT grp, strlen(tx) AS nb, length(tx) AS nc,
+         CASE WHEN length(trim(tx)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(tx), '\s+')) END AS nw,
+         len(regexp_extract_all(tx, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))
+           AS nbpe
+  FROM t),
+g AS (
+  SELECT grp, COUNT(*) AS n_docs, SUM(nb) AS n_bytes, SUM(nc) AS n_chars,
+         SUM(nw) AS n_ws_tokens, SUM(nbpe) AS n_bpe_tokens
+  FROM c GROUP BY grp)
+SELECT grp, n_docs, n_bytes, n_chars, n_ws_tokens, n_bpe_tokens,
+       CASE WHEN n_bpe_tokens > 0
+            THEN round(CAST(n_bytes AS DOUBLE) / n_bpe_tokens, 6) END
+         AS bytes_per_bpe,
+       CASE WHEN n_ws_tokens > 0
+            THEN round(CAST(n_chars AS DOUBLE) / n_ws_tokens, 6) END
+         AS chars_per_ws,
+       CASE WHEN n_ws_tokens > 0
+            THEN round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6) END
+         AS fertility
+FROM g
+"""
+
+
+def q_kg_split_transductive(spark, sf_dir):
+    """Transductive KG split (triples.transductive_split) over the
+    orders triple set: md5-coined 80/10/10 with valid/test triples
+    demoted to train when an endpoint entity is train-unseen; the
+    oracle replays the coin and the demotion joins."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    t = o.select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 200).cast("string")).alias(
+            "subj"
+        ),
+        F.lit("ordered").alias("pred"),
+        # objects repeat (~7x) so the coin produces real valid/test
+        # rows AND some eval triples still hit train-unseen entities
+        # (the demotion branch is exercised, not vacuous)
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 700).cast("string")).alias(
+            "obj"
+        ),
+    )
+    return _triples.transductive_split(t)
+
+
+def _oracle_kg_split_transductive(seed: int = 42) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH t AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey % 200 AS VARCHAR) AS subj,
+         'ordered' AS pred,
+         'o' || CAST(o_orderkey % 700 AS VARCHAR) AS obj
+  FROM orders WHERE o_orderkey % 3 = 0),
+h AS (
+  SELECT subj, pred, obj,
+         substring(md5(subj || '|' || pred || '|' || obj || '|{seed}'),
+                   1, 8) AS h8
+  FROM t),
+raw AS (
+  SELECT subj, pred, obj,
+         CASE WHEN ({poly}) % 100 < 10 THEN 'test'
+              WHEN ({poly}) % 100 < 20 THEN 'valid'
+              ELSE 'train' END AS r
+  FROM h),
+te AS (
+  SELECT subj AS e FROM raw WHERE r = 'train'
+  UNION SELECT obj FROM raw WHERE r = 'train')
+SELECT subj, pred, obj,
+       CASE WHEN r <> 'train'
+              AND (subj NOT IN (SELECT e FROM te)
+                   OR obj NOT IN (SELECT e FROM te))
+            THEN 'train' ELSE r END AS split
+FROM raw
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -9074,6 +9287,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_transe_rank": q_kg_transe_rank,
     "text_stem": q_text_stem,
     "web_frontier": q_web_frontier,
+    # round-4 session-18c additions: SimRank, sampled harmonic
+    # centrality, tokenizer fertility, transductive KG split (four
+    # more tail-of-window rows rotate out under the same policy).
+    "graph_simrank": q_graph_simrank,
+    "graph_harmonic": q_graph_harmonic,
+    "text_fertility": q_text_fertility,
+    "kg_split_transductive": q_kg_split_transductive,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -9375,6 +9595,10 @@ ORACLES: dict[str, str] = {
     "kg_transe_rank": _oracle_kg_transe_rank(),
     "text_stem": ORACLE_TEXT_STEM,
     "web_frontier": _oracle_web_frontier(),
+    "graph_simrank": ORACLE_GRAPH_SIMRANK,
+    "graph_harmonic": ORACLE_GRAPH_HARMONIC,
+    "text_fertility": ORACLE_TEXT_FERTILITY,
+    "kg_split_transductive": _oracle_kg_split_transductive(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -1956,3 +1956,193 @@ def reciprocity(edges: DataFrame, decimals: int = 6) -> DataFrame:
             ),
         )
     )
+
+
+def simrank_pairs(
+    edges: DataFrame,
+    c: float = 0.8,
+    min_common: int = 1,
+    max_degree: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-iteration SimRank (Jeh & Widom KDD'02) over the undirected
+    graph, scored for the candidate pairs that share at least
+    ``min_common`` neighbors:
+
+        s1(a,b) = c * |N(a) ∩ N(b)| / (|N(a)| |N(b)|)
+        s2(a,b) = c / (|N(a)||N(b)|) * Σ_{i∈N(a), j∈N(b)} s1'(i,j)
+
+    with s1'(i,i) = 1 (the SimRank base case).  Two iterations is the
+    published sweet spot for similarity RANKING (scores order
+    stabilizes long before values converge).
+
+    Determinism: s1 is rounded to 9dp and summed as DECIMAL, so the
+    neighbor-pair accumulation is order-exact; s2 rounds to
+    ``decimals``.
+
+    -> (a, b, common, s1, s2) for a < b.
+
+    Scale shape: candidates come from ONE wedge self-join keyed on the
+    middle vertex (the linkpred shape, O(Σ deg²) bounded); the s2 sum
+    fans out da x db per candidate — the published SimRank cost — so
+    ``max_degree`` caps each vertex's neighbor list to its
+    ``min(deg, max_degree)`` md5-smallest neighbors (deterministic,
+    partition-invariant) before the quadratic stage; leave None only
+    on pre-filtered subgraphs.  All sums are keyed partial aggregates;
+    no windows.
+    """
+    und = _undirected(edges)  # canonical (a, b), a < b
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if max_degree is not None:
+        w = Window.partitionBy("u").orderBy(
+            F.md5(F.concat_ws("|", F.col("u"), F.col("v"))).asc()
+        )
+        adj = (
+            adj.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_degree)
+            .drop("_r")
+        )
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    x = adj.select(F.col("u").alias("mid"), F.col("v").alias("a"))
+    y = adj.select(F.col("u").alias("mid"), F.col("v").alias("b"))
+    cand = (
+        x.join(y, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("db"))
+    cand = cand.join(da, "a").join(db, "b")
+    s1 = cand.select(
+        "a",
+        "b",
+        F.round(
+            F.lit(c) * F.col("common") / (F.col("da") * F.col("db")), 9
+        )
+        .cast("decimal(20,9)")
+        .alias("s1"),
+    )
+    # symmetric s1 lookup table for the neighbor-pair sum
+    s1s = s1.unionByName(
+        s1.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "s1"
+        )
+    )
+    ai = adj.select(F.col("u").alias("a"), F.col("v").alias("i"))
+    bj = adj.select(F.col("u").alias("b"), F.col("v").alias("j"))
+    pairs = (
+        cand.select("a", "b")
+        .join(ai, "a")
+        .join(bj, "b")
+        .filter(F.col("i") != F.col("j"))
+    )
+    off = (
+        pairs.join(
+            s1s.select(
+                F.col("a").alias("i"), F.col("b").alias("j"), "s1"
+            ),
+            ["i", "j"],
+            "left",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.coalesce(F.col("s1"), F.lit(0).cast("decimal(20,9)")))
+            .alias("_off")
+        )
+    )
+    out = (
+        cand.join(off, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.lit(c) * F.col("common") / (F.col("da") * F.col("db")),
+                decimals,
+            ).alias("s1"),
+            F.round(
+                F.lit(c)
+                / (F.col("da") * F.col("db"))
+                * (
+                    F.col("common")
+                    + F.coalesce(
+                        F.col("_off"), F.lit(0).cast("decimal(20,9)")
+                    ).cast("double")
+                ),
+                decimals,
+            ).alias("s2"),
+        )
+    )
+    return out
+
+
+def harmonic_centrality_sampled(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_hops: int = 4,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna's centrality family):
+    exact multi-source BFS from the ``n_sources`` md5-smallest
+    vertices (deterministic sample), harmonic sum Σ 1/d(s, v) over
+    reached (source, vertex) pairs within ``max_hops``.
+
+    Per-term 1/d is rounded to 9dp DECIMAL before summing, so the
+    aggregate is order-exact and the recursive-CTE oracle replays it.
+
+    -> (id, n_reached, harmonic) — vertices reached by at least one
+    sampled source.
+
+    Scale shape: the frontier carries (source, vertex) keys — state is
+    O(n_sources x |V_reached|), the standard multi-source BFS
+    trade; each round is one frontier-keyed join + one anti-join
+    against the visited set with per-round localCheckpoint (the CC
+    loop's lineage hygiene).  Sources are TakeOrdered-selected (no
+    global sort materialization).
+    """
+    cu = _undirected(edges)  # canonical (a, b), a < b
+    und = cu.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(cu.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    verts = und.select(F.col("src").alias("id")).distinct()
+    srcs = (
+        verts.orderBy(
+            F.md5(F.concat_ws("|", F.col("id"), F.lit(str(seed)))).asc()
+        )
+        .limit(n_sources)
+        .select(F.col("id").alias("s"))
+    )
+    frontier = srcs.select("s", F.col("s").alias("v"), F.lit(0).alias("d"))
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["v"] == und["src"])
+            .select("s", F.col("dst").alias("v"), F.lit(hop).alias("d"))
+            .distinct()
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    reached = visited.filter(F.col("d") > 0)
+    return (
+        reached.groupBy(F.col("v").alias("id"))
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("d"), 9).cast(
+                        "decimal(20,9)"
+                    )
+                ).cast("double"),
+                decimals,
+            ).alias("harmonic"),
+        )
+    )

@@ -974,3 +974,53 @@ def stem_vocab(
         .orderBy(F.col("n_occurrences").desc(), F.col("stem").asc())
         .limit(top)
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Tokenizer fertility / byte-economics per corpus segment (the
+    multilingual budgeting table: how many BPE-ish tokens a byte of
+    each language/source buys — Scao et al.'s fertility metric): per
+    group, document / byte / char / whitespace-token / BPE-pre-token
+    totals and the derived ratios.
+
+    -> (group, n_docs, n_bytes, n_chars, n_ws_tokens, n_bpe_tokens,
+       bytes_per_bpe, chars_per_ws, fertility) where fertility =
+       bpe tokens per ws token (subword splits per word).
+
+    Scale shape: pure codegen counting expressions feeding ONE
+    group-keyed partial aggregate; integer sums are order-exact, so
+    the ratios (rounded) replay cross-engine.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length(t)).alias("n_bytes"),
+        F.sum(F.length(t)).alias("n_chars"),
+        F.sum(token_count(t)).alias("n_ws_tokens"),
+        F.sum(bpe_token_count(t)).alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "grp",
+        "n_docs",
+        "n_bytes",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("n_bytes") / F.col("n_bpe_tokens"), decimals),
+        ).alias("bytes_per_bpe"),
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.round(F.col("n_chars") / F.col("n_ws_tokens"), decimals),
+        ).alias("chars_per_ws"),
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), decimals),
+        ).alias("fertility"),
+    )

@@ -1054,3 +1054,78 @@ def transe_rank(
             (F.coalesce(rank, F.lit(1)) <= 10).alias("hit10"),
         )
     )
+
+
+def transductive_split(
+    triples: DataFrame,
+    valid_pct: int = 10,
+    test_pct: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-aware KG train/valid/test split (the TransE-family
+    evaluation protocol): triples are coined into splits by an md5
+    function of the whole triple (partition-invariant, SQL-replayable
+    — the group_split convention), then valid/test triples whose subj
+    OR obj never appears in train are DEMOTED to train (the
+    transductive requirement: evaluation entities must be trainable;
+    dropping them wastes signal, so they train instead).
+
+    -> (subj, pred, obj, split) with split in {train, valid, test}.
+
+    Scale shape: the coin is a zero-shuffle scalar expression; the
+    entity-coverage check is two broadcast-able semi-join-shaped LEFT
+    joins against the train-entity projection (distinct entity set —
+    vocabulary-sized, not corpus-sized); no windows.
+    """
+    if valid_pct + test_pct >= 100:
+        raise ValueError("valid_pct + test_pct must be < 100")
+    t = triples.select("subj", "pred", "obj").distinct()
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", "subj", "pred", "obj", F.lit(str(seed))),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    raw = t.withColumn(
+        "_raw",
+        F.when(coin < F.lit(test_pct), F.lit("test"))
+        .when(coin < F.lit(test_pct + valid_pct), F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )
+    train_ents = (
+        raw.filter(F.col("_raw") == "train")
+        .select(F.col("subj").alias("_e"))
+        .unionByName(
+            raw.filter(F.col("_raw") == "train").select(
+                F.col("obj").alias("_e")
+            )
+        )
+        .distinct()
+    )
+    se = train_ents.select(F.col("_e").alias("_se"))
+    oe = train_ents.select(F.col("_e").alias("_oe"))
+    flagged = (
+        raw.join(se, raw["subj"] == se["_se"], "left")
+        .join(oe, raw["obj"] == oe["_oe"], "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.when(
+                (F.col("_raw") != "train")
+                & (F.col("_se").isNull() | F.col("_oe").isNull()),
+                F.lit("train"),
+            )
+            .otherwise(F.col("_raw"))
+            .alias("split"),
+        )
+    )
+    return flagged

@@ -240,3 +240,93 @@ def test_crawl_frontier_politeness(spark):
     # slot is a pure function of (host, wave)
     out2 = crawl_frontier(d.repartition(5), "url", "priority", max_per_host=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_simrank_square_graph(spark):
+    from graph_importer_spark.operators.analytics import simrank_pairs
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = {(r.a, r.b): r for r in simrank_pairs(e, c=0.8, min_common=1).collect()}
+    # 4-cycle: N(1)=N(4)={2,3}, N(2)=N(3)={1,4}
+    assert out[(1, 4)].common == 2 and out[(1, 4)].s1 == pytest.approx(0.4)
+    assert out[(2, 3)].s1 == pytest.approx(0.4)
+    # s2(1,4) = 0.2 * (2 + s1(2,3) + s1(3,2)) = 0.2 * 2.8 = 0.56
+    assert out[(1, 4)].s2 == pytest.approx(0.56)
+    assert out[(2, 3)].s2 == pytest.approx(0.56)
+
+
+def test_simrank_degree_cap_is_deterministic(spark):
+    from graph_importer_spark.operators.analytics import simrank_pairs
+
+    rows = [(0, i) for i in range(1, 9)] + [(9, i) for i in range(1, 9)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted(map(tuple, simrank_pairs(e, max_degree=3).collect()))
+    b = sorted(
+        map(tuple, simrank_pairs(e.repartition(7), max_degree=3).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_harmonic_path_graph(spark):
+    from graph_importer_spark.operators.analytics import (
+        harmonic_centrality_sampled,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {
+        r.id: r
+        for r in harmonic_centrality_sampled(
+            e, n_sources=4, max_hops=3
+        ).collect()
+    }
+    # all 4 vertices are sources; path 1-2-3-4
+    assert out[2].harmonic == pytest.approx(1 + 1 + 0.5)   # from 1,3,4
+    assert out[1].harmonic == pytest.approx(1 + 0.5 + 1 / 3, abs=1e-6)
+    assert out[1].n_reached == 3
+
+
+def test_tokenizer_fertility_totals(spark):
+    from graph_importer_spark.operators.textstats import tokenizer_fertility
+
+    d = spark.createDataFrame(
+        [("en", "ab cd"), ("en", "x,y"), ("de", ""), ("de", None)],
+        "source string, text string",
+    )
+    out = {r.grp: r for r in tokenizer_fertility(d, "source", "text").collect()}
+    # 'ab cd' -> 2 ws tokens, 2 bpe; 'x,y' -> 1 ws token, 3 bpe (x , y)
+    assert out["en"].n_ws_tokens == 3 and out["en"].n_bpe_tokens == 5
+    assert out["en"].n_chars == 8 and out["en"].n_docs == 2
+    assert out["en"].fertility == pytest.approx(5 / 3, abs=1e-6)
+    assert out["de"].n_ws_tokens == 0 and out["de"].fertility is None
+
+
+def test_transductive_split_demotes_unseen_entities(spark):
+    from graph_importer_spark.triples import transductive_split
+
+    t = spark.createDataFrame(
+        [(f"s{i % 37}", "p", f"o{i % 23}") for i in range(400)]
+        + [("lonely_subj", "p", "lonely_obj")],
+        "subj string, pred string, obj string",
+    )
+    out = transductive_split(t).collect()
+    assert len(out) == t.distinct().count()
+    # the lonely triple's entities appear nowhere else: whatever its
+    # coin said, it must end up train (demotion or coin)
+    lonely = [r for r in out if r.subj == "lonely_subj"][0]
+    assert lonely.split == "train"
+    splits = {r.split for r in out}
+    assert splits == {"train", "valid", "test"}
+    train_ents = {r.subj for r in out if r.split == "train"} | {
+        r.obj for r in out if r.split == "train"
+    }
+    # transductive invariant: every eval entity is trainable
+    for r in out:
+        if r.split != "train":
+            assert r.subj in train_ents and r.obj in train_ents
+    # partition invariance
+    out2 = transductive_split(t.repartition(11)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
