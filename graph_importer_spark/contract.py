@@ -9204,6 +9204,155 @@ FROM raw
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18d: perceptual-hash media near-dup, Luby's MIS
+# ---------------------------------------------------------------------------
+
+
+def q_mm_phash_pairs(spark, sf_dir):
+    """Perceptual-hash media dedup (multimodal.phash64 +
+    phash_near_dup_pairs): doc payloads plus planted one-byte-mutated
+    clones; pigeonhole block join, xor+bit_count verify.  The oracle
+    recomputes every hash from the ASCII text (all-integer bit rule)
+    and brute-forces all pairs — matching it proves the block join
+    COMPLETE for Hamming <= 6, not just plausible."""
+    from graph_importer_spark.operators.multimodal import (
+        phash64,
+        phash_near_dup_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").cast("binary").alias("payload"),
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1000).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("Z"),
+                F.col("text").substr(F.lit(2), F.length("text")),
+            ),
+            "UTF-8",
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    hashes = phash64(base.unionByName(clones))
+    return phash_near_dup_pairs(hashes, max_hamming=6)
+
+
+ORACLE_MM_PHASH_PAIRS = r"""
+WITH m AS (
+  SELECT doc_id AS media_id, text AS tx FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 1000, 'Z' || substring(text, 2)
+  FROM documents WHERE doc_id < 120 AND doc_id % 9 = 0),
+par AS (SELECT media_id, tx, strlen(tx) // 64 AS s FROM m),
+b AS (
+  SELECT media_id, (i - 1) // s AS cell, ascii(substring(tx, i, 1)) AS v
+  FROM par, UNNEST(generate_series(1, 64 * s)) u(i) WHERE s > 0),
+cs AS (SELECT media_id, cell, SUM(v) AS cv FROM b GROUP BY media_id, cell),
+tot AS (SELECT media_id, SUM(cv) AS t FROM cs GROUP BY media_id),
+bits AS (
+  SELECT cs.media_id, cell,
+         CASE WHEN 64 * cv > t THEN 1 ELSE 0 END AS bit
+  FROM cs JOIN tot USING (media_id)),
+hl AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN cell < 32
+                       THEN bit * CAST(power(2, 31 - cell) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN cell >= 32
+                       THEN bit * CAST(power(2, 63 - cell) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY media_id),
+hl_all AS (
+  SELECT * FROM hl
+  UNION ALL
+  SELECT media_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM par WHERE s = 0)
+SELECT a.media_id AS id1, c.media_id AS id2,
+       bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) AS hamming
+FROM hl_all a JOIN hl_all c ON a.media_id < c.media_id
+WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 6
+"""
+
+
+def q_graph_mis(spark, sf_dir):
+    """Luby's maximal independent set (analytics.luby_mis) on the
+    l_orderkey<600 co-purchase subgraph, md5 priorities, 5 unrolled
+    rounds; the oracle replays every round's select/dominate/deactivate
+    step."""
+    from graph_importer_spark.operators.analytics import luby_mis
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 600)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return luby_mis(e, max_rounds=5)
+
+
+def _oracle_graph_mis(rounds: int = 5, seed: int = 42) -> str:
+    parts = [
+        """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 600),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+act1 AS MATERIALIZED (SELECT DISTINCT u AS id FROM adj)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+pri{r} AS MATERIALIZED (
+  SELECT id, md5(CAST(id AS VARCHAR) || '|{r}|{seed}') AS p FROM act{r}),
+nb{r} AS MATERIALIZED (
+  SELECT adj.u AS id, MIN(pv.p) AS mp
+  FROM adj JOIN act{r} au ON au.id = adj.u
+           JOIN act{r} av ON av.id = adj.v
+           JOIN pri{r} pv ON pv.id = adj.v
+  GROUP BY adj.u),
+sel{r} AS MATERIALIZED (
+  SELECT pri{r}.id FROM pri{r} LEFT JOIN nb{r} USING (id)
+  WHERE nb{r}.mp IS NULL OR pri{r}.p < nb{r}.mp),
+dom{r} AS MATERIALIZED (
+  SELECT DISTINCT adj.v AS id FROM adj JOIN sel{r} s ON s.id = adj.u
+  WHERE adj.v NOT IN (SELECT id FROM sel{r})
+    AND adj.v IN (SELECT id FROM act{r})),
+act{r + 1} AS MATERIALIZED (
+  SELECT id FROM act{r}
+  WHERE id NOT IN (SELECT id FROM sel{r})
+    AND id NOT IN (SELECT id FROM dom{r}))"""
+        )
+    sel_rows = "\nUNION ALL\n".join(
+        f"SELECT id, 'in_mis' AS status, CAST({r} AS INT) AS round FROM sel{r}"
+        f"\nUNION ALL\n"
+        f"SELECT id, 'dominated', CAST({r} AS INT) FROM dom{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+{sel_rows}
+UNION ALL
+SELECT id, 'undecided', CAST(NULL AS INT) FROM act{rounds + 1}"""
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -9294,6 +9443,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_harmonic": q_graph_harmonic,
     "text_fertility": q_text_fertility,
     "kg_split_transductive": q_kg_split_transductive,
+    # round-4 session-18d additions: perceptual-hash media near-dup,
+    # Luby's maximal independent set (two more tail-of-window rows
+    # rotate out under the same policy).
+    "mm_phash_pairs": q_mm_phash_pairs,
+    "graph_mis": q_graph_mis,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -9599,6 +9753,8 @@ ORACLES: dict[str, str] = {
     "graph_harmonic": ORACLE_GRAPH_HARMONIC,
     "text_fertility": ORACLE_TEXT_FERTILITY,
     "kg_split_transductive": _oracle_kg_split_transductive(),
+    "mm_phash_pairs": ORACLE_MM_PHASH_PAIRS,
+    "graph_mis": _oracle_graph_mis(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -2146,3 +2146,93 @@ def harmonic_centrality_sampled(
             ).alias("harmonic"),
         )
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    max_rounds: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Luby's maximal-independent-set algorithm (Luby STOC'85), the
+    canonical O(log n)-round parallel symmetry breaker, with md5
+    priorities instead of per-round RNG so every round is a pure
+    function of (vertex, round, seed) — partition-invariant and
+    SQL-replayable.
+
+    Round r: every still-active vertex draws priority
+    md5(id|r|seed) (full hex, string order); a vertex joins the MIS
+    iff its priority is strictly smaller than every active
+    neighbor's (isolated actives always join); MIS vertices and their
+    neighbors deactivate.  Runs exactly ``max_rounds`` rounds (the
+    published expected-round bound is O(log n)); anything still
+    active after that is emitted as ``undecided`` rather than looped
+    on — callers size ``max_rounds`` to their graph.
+
+    -> (id, status, round): status in {in_mis, dominated, undecided},
+    ``round`` = 1-based deactivation round (NULL for undecided).
+
+    Scale shape: per round, ONE neighbor-min aggregate (partial-agg
+    absorbs hub fan-in) + two anti-joins, frontier-checkpointed like
+    the CC loop; the MIS/dominated outputs accumulate out-of-loop.
+    """
+    cu = _undirected(edges)
+    adj = cu.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        cu.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    active = (
+        adj.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    out = None
+    for r in range(1, max_rounds + 1):
+        pri = active.select(
+            "id",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("id"), F.lit(str(r)), F.lit(str(seed))
+                )
+            ).alias("_p"),
+        )
+        # active adjacency this round (both endpoints active)
+        aa = adj.join(active.select(F.col("id").alias("u")), "u").join(
+            active.select(F.col("id").alias("v")), "v"
+        )
+        nbmin = (
+            aa.join(pri.select(F.col("id").alias("v"), F.col("_p").alias("_pv")), "v")
+            .groupBy("u")
+            .agg(F.min("_pv").alias("_mp"))
+        )
+        sel = (
+            pri.join(nbmin, pri["id"] == nbmin["u"], "left")
+            .filter(F.col("_mp").isNull() | (F.col("_p") < F.col("_mp")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        dominated = (
+            adj.join(sel.select(F.col("id").alias("u")), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(sel, "id", "left_anti")
+            .join(active, "id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rows = sel.select(
+            "id", F.lit("in_mis").alias("status"), F.lit(r).alias("round")
+        ).unionByName(
+            dominated.select(
+                "id", F.lit("dominated").alias("status"), F.lit(r).alias("round")
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+        active = (
+            active.join(sel, "id", "left_anti")
+            .join(dominated, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if active.isEmpty():
+            break
+    undecided = active.select(
+        "id",
+        F.lit("undecided").alias("status"),
+        F.lit(None).cast("int").alias("round"),
+    )
+    return out.unionByName(undecided) if out is not None else undecided

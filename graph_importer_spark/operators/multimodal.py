@@ -221,3 +221,125 @@ def resize_media(
             yield out
 
     return media.mapInPandas(run, media.schema)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("hi", LongType()),
+        StructField("lo", LongType()),
+    ]
+)
+
+
+def phash64(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Average-hash perceptual fingerprint over the decoded byte stream
+    (the aHash member of the pHash family): the payload (stand-in for
+    decoded pixels — a real codec call slots in before the grid step,
+    exactly like frame_sample's boundary) is truncated to 64 equal
+    cells; bit i is set iff cell i's mean exceeds the global mean.
+
+    The comparison is ALL-INTEGER (64 * cell_sum > total_sum — equal
+    cell sizes cancel the denominators), so the bit pattern is exact
+    and SQL-replayable; payloads shorter than 64 bytes hash to 0.
+
+    -> (media_id, n_bytes, hi, lo): the 64 bits packed as two
+    non-negative 32-bit halves (cells 0-31 -> hi, MSB-first; 32-63 ->
+    lo) — xor + bit_count on the halves gives Hamming distance without
+    int64 sign traps.
+
+    Scale shape: one mapInPandas pass, numpy-vectorized per Arrow
+    batch, no shuffle.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = (1 << np.arange(31, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = b"" if payload is None else bytes(payload)
+                n = len(b)
+                s = n // 64
+                if s == 0:
+                    rows.append((mid, n, 0, 0))
+                    continue
+                arr = np.frombuffer(b[: 64 * s], dtype=np.uint8)
+                cells = arr.reshape(64, s).sum(axis=1, dtype=np.int64)
+                total = int(cells.sum())
+                bits = (64 * cells > total).astype(np.int64)
+                hi = int((bits[:32] * w).sum())
+                lo = int((bits[32:] * w).sum())
+                rows.append((mid, n, hi, lo))
+            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "hi", "lo"])
+
+    return media.select("media_id", payload_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, n_blocks: int | None = None
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance
+    (Manku-style pigeonhole blocking, the dedup.simhash_near_dup_pairs
+    argument transplanted to the 64-bit aHash): two hashes within
+    ``max_hamming`` bits MUST agree on at least one of
+    ``max_hamming + 1`` disjoint bit blocks, so candidate generation
+    is (k+1) equi-joins on ~9-bit block keys — complete, never an
+    all-pairs scan; the verify step is xor + bit_count codegen per
+    candidate.
+
+    -> (id1, id2, hamming) with id1 < id2, hamming <= max_hamming.
+    """
+    k = max_hamming
+    nb = n_blocks or (k + 1)
+    if nb < k + 1:
+        raise ValueError("need at least max_hamming + 1 blocks")
+    h = hashes.select(
+        F.col("media_id").alias("id"), "hi", "lo"
+    )
+    # block b covers bits [b*64//nb, (b+1)*64//nb) of the 64-bit key
+    bounds = [b * 64 // nb for b in range(nb)] + [64]
+
+    def block_key(b: int):
+        s, e = bounds[b], bounds[b + 1]
+
+        def bits_of(col, lo_bit, hi_bit):
+            # bits [lo_bit, hi_bit) of a 32-bit half, MSB-first layout
+            if lo_bit >= hi_bit:
+                return F.lit(0).cast("bigint")
+            shift = 32 - hi_bit
+            width = hi_bit - lo_bit
+            return F.shiftrightunsigned(col.cast("bigint"), shift) % F.lit(
+                1 << width
+            )
+
+        hi_part = bits_of(F.col("hi"), min(s, 32), min(e, 32))
+        lo_part = bits_of(F.col("lo"), max(s - 32, 0), max(e - 32, 0))
+        lo_width = max(e, 32) - max(s, 32) if e > 32 else 0
+        return hi_part * F.lit(1 << max(lo_width, 0)) + lo_part
+
+    cands = None
+    for b in range(nb):
+        a = h.select(
+            F.col("id").alias("id1"),
+            F.col("hi").alias("hi1"),
+            F.col("lo").alias("lo1"),
+            block_key(b).alias("_bk"),
+        )
+        c = h.select(
+            F.col("id").alias("id2"),
+            F.col("hi").alias("hi2"),
+            F.col("lo").alias("lo2"),
+            block_key(b).alias("_bk"),
+        )
+        p = a.join(c, "_bk").filter(F.col("id1") < F.col("id2")).drop("_bk")
+        cands = p if cands is None else cands.unionByName(p)
+    ham = F.bit_count(
+        F.col("hi1").bitwiseXOR(F.col("hi2"))
+    ) + F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
+    return (
+        cands.dropDuplicates(["id1", "id2"])
+        .select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= k)
+    )

@@ -330,3 +330,90 @@ def test_transductive_split_demotes_unseen_entities(spark):
     # partition invariance
     out2 = transductive_split(t.repartition(11)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_phash64_bits_and_short_payloads(spark):
+    from graph_importer_spark.operators.multimodal import phash64
+
+    rows = [
+        (1, bytes(range(128))),          # ascending bytes: top cells set
+        (2, b"\x00" * 128),              # constant: no cell exceeds mean
+        (3, b"ab"),                      # < 64 bytes -> zero hash
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in phash64(df).collect()}
+    assert out[3].hi == 0 and out[3].lo == 0 and out[3].n_bytes == 2
+    assert out[4].hi == 0 and out[4].n_bytes == 0
+    assert out[2].hi == 0 and out[2].lo == 0
+    # ascending stream: exactly the upper half of cells above the mean
+    assert out[1].hi == 0 and out[1].lo == (1 << 32) - 1
+    assert 0 <= out[1].hi < 1 << 32 and 0 <= out[1].lo < 1 << 32
+
+
+def test_phash_pairs_complete_vs_brute(spark):
+    from graph_importer_spark.operators.multimodal import (
+        phash64,
+        phash_near_dup_pairs,
+    )
+
+    # clones with tiny perturbations + unrelated payloads
+    import random
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(640))
+    rows = [(0, base)]
+    for i in range(1, 4):  # mutate i bytes
+        b = bytearray(base)
+        for j in range(i):
+            b[j * 64] = (b[j * 64] + 128) % 256
+        rows.append((i, bytes(b)))
+    rows += [
+        (10 + i, bytes(rng.randrange(256) for _ in range(640)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = phash64(df)
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in phash_near_dup_pairs(h, max_hamming=8).collect()
+    }
+    # brute force reference
+    hs = {r.media_id: (r.hi, r.lo) for r in h.collect()}
+    ids = sorted(hs)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                hs[a][1] ^ hs[b][1]
+            ).count("1")
+            if d <= 8:
+                want[(a, b)] = d
+    assert got == want
+    assert (0, 1) in got  # the 1-byte mutation stays within 8 bits
+
+
+def test_luby_mis_is_maximal_independent(spark):
+    from graph_importer_spark.operators.analytics import luby_mis
+
+    rows = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 5) % 20) for i in range(20)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    out = luby_mis(e, max_rounds=8).collect()
+    status = {r.id: r.status for r in out}
+    mis = {i for i, s in status.items() if s == "in_mis"}
+    assert mis and "undecided" not in set(status.values())
+    adj = {}
+    for a, b in rows:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    # independence
+    for v in mis:
+        assert not (adj[v] & mis)
+    # maximality: every non-MIS vertex has a MIS neighbor
+    for v in set(adj) - mis:
+        assert adj[v] & mis
+    # determinism under repartition
+    out2 = luby_mis(e.repartition(9), max_rounds=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
