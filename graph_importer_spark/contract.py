@@ -9353,6 +9353,95 @@ SELECT id, 'undecided', CAST(NULL AS INT) FROM act{rounds + 1}"""
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18e: semantic benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_emb_decontam(spark, sf_dir):
+    """Semantic decontamination (decontam.semantic_overlap): corpus =
+    embeddings vec_id<400, benchmark = vec_id>=400 plus planted
+    0.9-scaled copies of every 7th corpus vector (cosine 1.0 with
+    their source — the paraphrase-leak stand-in); IVF-bucketed
+    corpus x benchmark probe with the benchmark side broadcast.  The
+    oracle replays the quantizer, both assignments, the bucketed
+    pairs, and the per-doc argmax."""
+    from graph_importer_spark.operators.decontam import semantic_overlap
+
+    emb = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = emb.filter(F.col("vec_id") < 400).select(
+        "vec_id", v.alias("embedding")
+    )
+    bench = (
+        emb.filter(F.col("vec_id") >= 400)
+        .select("vec_id", v.alias("embedding"))
+        .unionAll(
+            emb.filter((F.col("vec_id") < 400) & (F.col("vec_id") % 7 == 0))
+            .select(
+                (F.col("vec_id") + 5000).alias("vec_id"),
+                F.transform(v, lambda x: x * F.lit(0.9)).alias("embedding"),
+            )
+        )
+    )
+    return semantic_overlap(
+        corpus, bench, threshold=0.95, n_centroids=20
+    )
+
+
+def _oracle_emb_decontam(
+    threshold: float = 0.95, n_centroids: int = 20, seed: int = 42
+) -> str:
+    cos = "round({d} / ({na} * {nb}), 6)".format(
+        d=_DOT.format(a="{a}", b="{b}"),
+        na=_NORM.format(v="{a}"),
+        nb=_NORM.format(v="{b}"),
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 400),
+b AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 400
+  UNION ALL
+  SELECT vec_id + 5000, list_transform(embedding::DOUBLE[], x -> x * 0.9)
+  FROM embeddings WHERE vec_id < 400 AND vec_id % 7 = 0),
+cents AS (
+  SELECT neighbor_id AS centroid_id, cv AS pv FROM c
+  ORDER BY ((neighbor_id % {_sim._M}) * {_sim._A} + {seed}) % {_sim._M},
+           neighbor_id
+  LIMIT {n_centroids}),
+ca AS (
+  SELECT neighbor_id, cv, centroid_id AS list_id FROM (
+    SELECT c.neighbor_id, c.cv, cents.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY {cos.format(a='c.cv', b='cents.pv')} DESC,
+                 cents.centroid_id ASC) AS rn
+    FROM c, cents) WHERE rn = 1),
+ba AS (
+  SELECT neighbor_id, cv, centroid_id AS list_id FROM (
+    SELECT b.neighbor_id, b.cv, cents.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY b.neighbor_id
+        ORDER BY {cos.format(a='b.cv', b='cents.pv')} DESC,
+                 cents.centroid_id ASC) AS rn
+    FROM b, cents) WHERE rn = 1),
+hits AS (
+  SELECT ca.neighbor_id AS id, ba.neighbor_id AS bid,
+         {cos.format(a='ca.cv', b='ba.cv')} AS cos
+  FROM ca JOIN ba USING (list_id)),
+kept AS (SELECT * FROM hits WHERE cos >= {threshold}),
+pick AS (
+  SELECT id, bid, ROW_NUMBER() OVER (PARTITION BY id
+           ORDER BY cos DESC, bid ASC) AS rn
+  FROM kept)
+SELECT k.id, COUNT(*) AS n_bench_hits, MAX(k.cos) AS max_cosine,
+       MAX(p.bid) AS bench_id
+FROM kept k JOIN pick p ON p.id = k.id AND p.rn = 1
+GROUP BY k.id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -9448,6 +9537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate out under the same policy).
     "mm_phash_pairs": q_mm_phash_pairs,
     "graph_mis": q_graph_mis,
+    # round-4 session-18e addition: semantic benchmark decontamination
+    "emb_decontam": q_emb_decontam,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -9755,6 +9846,7 @@ ORACLES: dict[str, str] = {
     "kg_split_transductive": _oracle_kg_split_transductive(),
     "mm_phash_pairs": ORACLE_MM_PHASH_PAIRS,
     "graph_mis": _oracle_graph_mis(),
+    "emb_decontam": _oracle_emb_decontam(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

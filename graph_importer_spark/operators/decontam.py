@@ -78,3 +78,80 @@ def contamination(
             (F.coalesce("n_gram_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semantic_overlap(
+    corpus_emb,
+    bench_emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int | None = None,
+    seed: int = 42,
+):
+    """Semantic (embedding-space) benchmark decontamination — the
+    companion to the 13-gram exact rule above: a corpus document is
+    contaminated when its embedding lies within ``threshold`` cosine
+    of ANY benchmark item (the paraphrase leak the n-gram probe
+    misses).
+
+    -> (id, n_bench_hits, max_cosine, bench_id) — corpus rows with at
+    least one benchmark neighbor; ``bench_id`` is the strongest match
+    (ties to the smaller id).
+
+    Scale shape: centroids come from the CORPUS (the big side, same
+    deterministic quantizer as the SemDeDup path); both sides assign
+    with one broadcast-centroid max_by scan each; the probe is an
+    equi-join on list_id with the BENCHMARK side broadcast (benchmark
+    suites are 10^3-10^5 rows — dimension-table territory), so the
+    corpus never shuffles.  The cross-cluster miss is the published
+    IVF approximation, stated not silent; raise n_centroids' nprobe
+    analog by unioning bench assignments under the 2nd-best centroid
+    if tighter recall is needed.
+    """
+    from graph_importer_spark.operators.similarity import (
+        cosine,
+        default_n_centroids,
+        ivf_assign,
+        ivf_centroids,
+        with_norm,
+    )
+
+    c = with_norm(corpus_emb, id_col, vec_col, "neighbor_id", "cv", "cn")
+    if n_centroids is None:
+        c = c.persist()
+        n_centroids = default_n_centroids(c.count())
+    cents = ivf_centroids(c, n_centroids, seed)
+    ca = ivf_assign(c, cents)
+    b = with_norm(
+        bench_emb, bench_id_col, bench_vec_col, "neighbor_id", "cv", "cn"
+    )
+    ba = ivf_assign(b, cents)
+    left = ca.select(
+        "list_id",
+        F.col("neighbor_id").alias("id"),
+        F.col("cv").alias("v1"),
+        F.col("cn").alias("n1"),
+    )
+    right = ba.select(
+        "list_id",
+        F.col("neighbor_id").alias("bid"),
+        F.col("cv").alias("v2"),
+        F.col("cn").alias("n2"),
+    )
+    hits = (
+        left.join(F.broadcast(right), "list_id")
+        .select(
+            "id",
+            "bid",
+            F.round(cosine("v1", "v2", "n1", "n2"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return hits.groupBy("id").agg(
+        F.count("*").alias("n_bench_hits"),
+        F.max("cos").alias("max_cosine"),
+        F.expr("max_by(bid, struct(cos, -bid))").alias("bench_id"),
+    )
