@@ -197,6 +197,22 @@ HEADLINE = [
     "graph_reciprocity",
     "kg_literal_norm",
     "kg_truthfinder",
+    # round 4, session 18
+    "events_retention",
+    "orders_rfm",
+    "text_toxicity",
+    "emb_whiten",
+    "events_attribution",
+    "kg_transe_rank",
+    "text_stem",
+    "web_frontier",
+    "graph_simrank",
+    "graph_harmonic",
+    "text_fertility",
+    "kg_split_transductive",
+    "mm_phash_pairs",
+    "graph_mis",
+    "emb_decontam",
 ]
 
 

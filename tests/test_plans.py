@@ -460,3 +460,60 @@ def test_split_leakage_single_aggregate(spark):
     assert P.shuffle_exchange_count(df) == 1
     assert "Join" not in P.physical_plan(df)
     assert P.python_eval_count(df) == 0
+
+
+def test_lexicon_hits_is_zero_shuffle_codegen(spark):
+    from graph_importer_spark.operators.textstats import lexicon_hits
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = lexicon_hits(d, "doc_id", "text", ["crash", "leak"])
+    assert P.exchange_count(out) == 0
+    assert P.python_eval_count(out) == 0
+    (schema,) = P.read_schemas(out)
+    assert "lang" not in schema  # untouched columns pruned
+
+
+def test_cohort_retention_no_window_no_python(spark):
+    from graph_importer_spark.operators.timeseries import cohort_retention
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = cohort_retention(e, "user_id", "ts")
+    plan = P.physical_plan(out)
+    assert "Window" not in plan  # aggregates only, no sort-based window
+    assert P.python_eval_count(out) == 0
+
+
+def test_transe_rank_no_window_no_nested_loop(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from graph_importer_spark.triples import transe_rank
+
+    t = spark.createDataFrame(
+        [(f"s{i % 5}", "p", f"o{i % 11}") for i in range(30)],
+        "subj string, pred string, obj string",
+    )
+    ranks = (
+        t.select(F.col("obj").alias("_ent"))
+        .distinct()
+        .select(
+            "_ent", (F.row_number().over(W.orderBy("_ent")) - 1).alias("_rank")
+        )
+    )
+    out = transe_rank(t, entity_ranks=ranks, dim=4, n_candidates=4)
+    plan = P.physical_plan(out)
+    # the scoring/rank path is agg + join only (the rank table's
+    # fixture window is the caller's, not the operator's)
+    assert not P.has_nested_loop_join(out)
+    assert P.python_eval_count(out) == 0
+
+
+def test_whiten_mean_is_broadcast_not_window(spark):
+    from graph_importer_spark.operators.quantize import whiten
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = whiten(emb)
+    plan = P.physical_plan(out)
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # 1-row mean table broadcast
+    assert P.python_eval_count(out) == 0
