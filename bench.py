@@ -213,6 +213,11 @@ HEADLINE = [
     "mm_phash_pairs",
     "graph_mis",
     "emb_decontam",
+    "orders_rules",
+    "er_fs_em",
+    "graph_diameter",
+    "eval_ece",
+    "eval_regression",
 ]
 
 

@@ -9442,6 +9442,304 @@ GROUP BY k.id
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18f: association rules, FS-EM training, double-sweep
+# diameter, calibration + regression eval
+# ---------------------------------------------------------------------------
+
+
+def q_orders_rules(spark, sf_dir):
+    """A-priori 2-itemset association rules (itemsets.pair_rules) over
+    lineitem baskets (items = l_partkey % 250 so pairs repeat), with
+    the max_item_freq ubiquity guard exercised; the oracle replays the
+    distinct basket-item collapse, the cap, the pair counting, and
+    every ratio."""
+    from graph_importer_spark.operators.itemsets import pair_rules
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    b = li.select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 250).alias("item"),
+    )
+    return pair_rules(
+        b, "basket", "item", min_support=4, max_item_freq=60
+    )
+
+
+ORACLE_ORDERS_RULES = r"""
+WITH bi0 AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey % 250 AS it
+  FROM lineitem WHERE l_orderkey < 2000),
+freq0 AS (SELECT it, COUNT(*) AS n FROM bi0 GROUP BY it),
+bi AS (
+  SELECT bk, it FROM bi0
+  WHERE it NOT IN (SELECT it FROM freq0 WHERE n > 60)),
+freq AS (SELECT it, n FROM freq0 WHERE n <= 60),
+tot AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM bi),
+pairs AS (
+  SELECT x.it AS a, y.it AS b, COUNT(*) AS n_ab
+  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY x.it, y.it HAVING COUNT(*) >= 4)
+SELECT p.a, p.b, p.n_ab, fa.n AS n_a, fb.n AS n_b, tot.n_baskets,
+       round(CAST(p.n_ab AS DOUBLE) / tot.n_baskets, 6) AS support,
+       round(CAST(p.n_ab AS DOUBLE) / fa.n, 6) AS conf_a_b,
+       round(CAST(p.n_ab AS DOUBLE) / fb.n, 6) AS conf_b_a,
+       round(CAST(p.n_ab AS DOUBLE) * tot.n_baskets / (fa.n * fb.n), 6)
+         AS lift
+FROM pairs p JOIN freq fa ON fa.it = p.a JOIN freq fb ON fb.it = p.b, tot
+"""
+
+
+_FS_EM_M = {"a1": 0.9, "a2": 0.8, "a3": 0.7}
+_FS_EM_U = {"a1": 0.1, "a2": 0.2, "a3": 0.3}
+
+
+def q_er_fs_em(spark, sf_dir):
+    """One Fellegi-Sunter EM iteration (linkage.fs_em_step) over a
+    deterministic comparison-vector table built from orders; the
+    oracle replays the <=8-pattern collapse, the 9dp-DECIMAL
+    posteriors, and each field's weighted re-estimate."""
+    from graph_importer_spark.operators.linkage import fs_em_step
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    pairs = o.select(
+        (F.col("o_orderkey") % 3 == 0).alias("a1"),
+        (F.col("o_orderkey") % 5 == 0).alias("a2"),
+        (F.col("o_custkey") % 2 == 0).alias("a3"),
+    )
+    return fs_em_step(pairs, ["a1", "a2", "a3"], _FS_EM_M, _FS_EM_U, p=0.2)
+
+
+def _oracle_er_fs_em() -> str:
+    wm = "0.2"
+    wu = "0.8"
+    for c, mc in _FS_EM_M.items():
+        uc = _FS_EM_U[c]
+        wm += f" * (CASE WHEN {c} THEN {mc} ELSE {round(1 - mc, 10)} END)"
+        wu += f" * (CASE WHEN {c} THEN {uc} ELSE {round(1 - uc, 10)} END)"
+    fields = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS field,
+       round(CAST(SUM(CASE WHEN {c} THEN g * n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(g * n) AS DOUBLE), 6) AS m_new,
+       round(CAST(SUM(CASE WHEN {c} THEN (1 - g) * n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM((1 - g) * n) AS DOUBLE), 6) AS u_new
+FROM pat"""
+        for c in _FS_EM_M
+    )
+    return f"""
+WITH pv AS (
+  SELECT o_orderkey % 3 = 0 AS a1, o_orderkey % 5 = 0 AS a2,
+         o_custkey % 2 = 0 AS a3
+  FROM orders WHERE o_orderkey < 3000),
+pat0 AS (
+  SELECT a1, a2, a3, COUNT(*) AS n FROM pv GROUP BY a1, a2, a3),
+pat AS (
+  SELECT a1, a2, a3, n,
+         CAST(round(({wm}) / (({wm}) + ({wu})), 9) AS DECIMAL(28,9)) AS g
+  FROM pat0)
+{fields}
+UNION ALL
+SELECT '__prior__',
+       round(CAST(SUM(g * n) AS DOUBLE) / SUM(n), 6),
+       round(CAST(SUM(g * n) AS DOUBLE) / SUM(n), 6)
+FROM pat
+"""
+
+
+def q_graph_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound (analytics.
+    double_sweep_diameter) on the l_orderkey<600 co-purchase subgraph;
+    the oracle replays both BFS sweeps as recursive CTEs plus the
+    (d, -id) argmax tie-break."""
+    from graph_importer_spark.operators.analytics import double_sweep_diameter
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 600)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return double_sweep_diameter(e, max_hops=8)
+
+
+ORACLE_GRAPH_DIAMETER = r"""
+WITH RECURSIVE
+li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 600),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+s1 AS MATERIALIZED (
+  SELECT u AS id FROM (SELECT DISTINCT u FROM adj)
+  ORDER BY md5(CAST(u AS VARCHAR) || '|42') ASC LIMIT 1),
+bfs1(id, d) AS (
+  SELECT id, 0 FROM s1
+  UNION
+  SELECT adj.v, b.d + 1 FROM bfs1 b JOIN adj ON adj.u = b.id WHERE b.d < 8),
+m1 AS (SELECT id, MIN(d) AS d FROM bfs1 GROUP BY id),
+far AS MATERIALIZED (
+  SELECT id, d AS ecc1 FROM m1 ORDER BY d DESC, id ASC LIMIT 1),
+bfs2(id, d) AS (
+  SELECT id, 0 FROM far
+  UNION
+  SELECT adj.v, b.d + 1 FROM bfs2 b JOIN adj ON adj.u = b.id WHERE b.d < 8),
+m2 AS (SELECT id, MIN(d) AS d FROM bfs2 GROUP BY id)
+SELECT s1.id AS start, far.id AS far, far.ecc1,
+       (SELECT MAX(d) FROM m2) AS diameter_lb,
+       (SELECT COUNT(*) FROM m2) AS n_reached_2
+FROM s1, far
+"""
+
+
+def q_eval_ece(spark, sf_dir):
+    """Calibration bins + ECE contributions (evalmetrics.
+    calibration_bins) over a deterministic Bernoulli(score) prediction
+    table (integer md5 coins — perfectly calibrated up to sampling
+    noise, so contribs are small but nonzero); the oracle replays the
+    clamped binning and the 9dp DECIMAL sums."""
+    from graph_importer_spark.operators.evalmetrics import calibration_bins
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 8000)
+
+    def u32(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.lit(prefix), F.col("o_orderkey").cast("string")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    k = u32("s") % 1000001
+    preds = o.select(
+        (k / F.lit(1000000.0)).alias("score"),
+        ((u32("l") % 1000000) < k).cast("int").alias("label"),
+    )
+    return calibration_bins(preds, n_bins=10)
+
+
+def _oracle_eval_ece() -> str:
+    def poly(var):
+        return " + ".join(
+            f"CAST(strpos('0123456789abcdef', substring({var}, {j + 1}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    return f"""
+WITH h AS (
+  SELECT substring(md5('s' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hs,
+         substring(md5('l' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hl
+  FROM orders WHERE o_orderkey < 8000),
+k AS (
+  SELECT ({poly('hs')}) % 1000001 AS ks, ({poly('hl')}) % 1000000 AS kl
+  FROM h),
+p AS (
+  SELECT ks / 1000000.0 AS score,
+         CASE WHEN kl < ks THEN 1 ELSE 0 END AS label
+  FROM k),
+b AS (
+  SELECT LEAST(CAST(floor(score * 10) AS INT), 9) AS bin,
+         CAST(round(score, 9) AS DECIMAL(28,9)) AS s, label
+  FROM p),
+per AS (
+  SELECT bin, COUNT(*) AS n, SUM(s) AS ss, SUM(label) AS sy
+  FROM b GROUP BY bin),
+tot AS (SELECT SUM(n) AS nn FROM per)
+SELECT bin, n,
+       round(CAST(ss AS DOUBLE) / n, 6) AS avg_conf,
+       round(CAST(sy AS DOUBLE) / n, 6) AS frac_pos,
+       round(abs(CAST(sy AS DOUBLE) / n - CAST(ss AS DOUBLE) / n)
+             * n / nn, 6) AS contrib
+FROM per, tot
+"""
+
+
+def q_eval_regression(spark, sf_dir):
+    """Scalar regression eval (evalmetrics.regression_metrics) over
+    deterministically-perturbed order totals; the oracle replays the
+    9dp DECIMAL error sums and the sumsq R² identity."""
+    from graph_importer_spark.operators.evalmetrics import regression_metrics
+
+    o = T(spark, sf_dir, "orders")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit("r"), F.col("o_orderkey").cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    noise = (u32 % 2001 - 1000) / F.lit(10000.0)
+    preds = o.select(
+        (F.col("o_totalprice") * (F.lit(1.0) + noise)).alias("pred"),
+        F.col("o_totalprice").alias("actual"),
+    )
+    return regression_metrics(preds)
+
+
+def _oracle_eval_regression() -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH h AS (
+  SELECT o_totalprice,
+         substring(md5('r' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS h8
+  FROM orders),
+p AS (
+  SELECT CAST(o_totalprice AS DOUBLE)
+           * (1.0 + (({poly}) % 2001 - 1000) / 10000.0) AS pred,
+         CAST(o_totalprice AS DOUBLE) AS actual
+  FROM h),
+a AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(round((pred - actual) * (pred - actual), 9)
+                  AS DECIMAL(38,9))) AS sse,
+         SUM(CAST(round(abs(pred - actual), 9) AS DECIMAL(38,9))) AS sae,
+         SUM(CAST(round(pred - actual, 9) AS DECIMAL(38,9))) AS sbias,
+         SUM(CAST(round(actual, 9) AS DECIMAL(38,9))) AS sa,
+         SUM(CAST(round(actual * actual, 9) AS DECIMAL(38,9))) AS saa
+  FROM p)
+SELECT n,
+       round(sqrt(CAST(sse AS DOUBLE) / n), 6) AS rmse,
+       round(CAST(sae AS DOUBLE) / n, 6) AS mae,
+       round(CAST(sbias AS DOUBLE) / n, 6) AS bias,
+       CASE WHEN CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n > 0
+            THEN round(1.0 - CAST(sse AS DOUBLE)
+                 / (CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n), 6)
+       END AS r2
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -9539,6 +9837,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_mis": q_graph_mis,
     # round-4 session-18e addition: semantic benchmark decontamination
     "emb_decontam": q_emb_decontam,
+    # round-4 session-18f additions: association rules, FS-EM
+    # parameter training, double-sweep diameter, calibration +
+    # regression eval (five more tail-of-window rows rotate out).
+    "orders_rules": q_orders_rules,
+    "er_fs_em": q_er_fs_em,
+    "graph_diameter": q_graph_diameter,
+    "eval_ece": q_eval_ece,
+    "eval_regression": q_eval_regression,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -9847,6 +10153,11 @@ ORACLES: dict[str, str] = {
     "mm_phash_pairs": ORACLE_MM_PHASH_PAIRS,
     "graph_mis": _oracle_graph_mis(),
     "emb_decontam": _oracle_emb_decontam(),
+    "orders_rules": ORACLE_ORDERS_RULES,
+    "er_fs_em": _oracle_er_fs_em(),
+    "graph_diameter": ORACLE_GRAPH_DIAMETER,
+    "eval_ece": _oracle_eval_ece(),
+    "eval_regression": _oracle_eval_regression(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -2236,3 +2236,70 @@ def luby_mis(
         F.lit(None).cast("int").alias("round"),
     )
     return out.unionByName(undecided) if out is not None else undecided
+
+
+def double_sweep_diameter(
+    edges: DataFrame,
+    max_hops: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (the Magnien/Latapy/Habib
+    heuristic, tight on web-shaped graphs): BFS from the md5-smallest
+    vertex, take the farthest vertex reached (ties to the smaller id),
+    BFS again from there — the second eccentricity is the classic
+    diameter lower bound, usually exact in practice.
+
+    -> one row (start, far, ecc1, diameter_lb, n_reached_2): ``ecc1``
+    is sweep 1's eccentricity (bounded by ``max_hops`` — raise it if
+    ecc1 == max_hops, the bound may be truncated), ``n_reached_2``
+    sweep 2's reach for a connectivity sanity check.
+
+    Scale shape: two BFS loops of the k_hop kind (frontier join +
+    visited anti-join, localCheckpoint per round) — each round is one
+    shuffle of the frontier, the full corpus never re-shuffles; the
+    per-sweep argmax is a 1-row scalar aggregate (max_by), not a
+    sort.
+    """
+    cu = _undirected(edges)
+    und = cu.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(cu.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+    def bfs(start_df):
+        frontier = start_df.select(F.col("id"), F.lit(0).alias("d"))
+        visited = frontier
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(und, frontier["id"] == und["src"])
+                .select(F.col("dst").alias("id"), F.lit(hop).alias("d"))
+                .distinct()
+                .join(visited.select("id"), ["id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited
+
+    verts = und.select(F.col("src").alias("id")).distinct()
+    start = (
+        verts.orderBy(
+            F.md5(F.concat_ws("|", F.col("id"), F.lit(str(seed)))).asc()
+        )
+        .limit(1)
+    )
+    v1 = bfs(start)
+    far = v1.groupBy().agg(
+        F.expr("max_by(id, struct(d, -id))").alias("id"),
+        F.max("d").alias("ecc1"),
+    )
+    v2 = bfs(far.select("id"))
+    s2 = v2.groupBy().agg(
+        F.max("d").alias("diameter_lb"), F.count("*").alias("n_reached_2")
+    )
+    return (
+        start.select(F.col("id").alias("start"))
+        .crossJoin(far.select(F.col("id").alias("far"), "ecc1"))
+        .crossJoin(s2)
+    )

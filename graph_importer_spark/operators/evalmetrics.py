@@ -217,3 +217,97 @@ def mrr_hits(
         ],
     )
     return out
+
+
+def calibration_bins(
+    preds: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error contributions
+    (Guo et al. 2017): scores bucketed into ``n_bins`` equal-width
+    bins; per bin the mean confidence, the empirical positive rate,
+    and the |acc - conf| * n/N ECE contribution (sum the column for
+    ECE).
+
+    Determinism: scores are rounded to 9dp DECIMAL before the bin
+    sums, so the means replay cross-engine; score 1.0 lands in the
+    top bin (clamped), matching the published binning.
+
+    -> (bin, n, avg_conf, frac_pos, contrib).
+
+    Scale shape: ONE hash aggregate on the bin key (<= n_bins groups,
+    map-side partials) + a 1-row total broadcast.
+    """
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    sd = F.round(s, 9).cast("decimal(28,9)")
+    per = (
+        preds.select(
+            b.alias("bin"),
+            sd.alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_s").alias("_ss"),
+            F.sum("_y").alias("_sy"),
+        )
+    )
+    tot = per.groupBy().agg(F.sum("n").alias("_nn"))
+    conf = F.col("_ss").cast("double") / F.col("n")
+    acc = F.col("_sy").cast("double") / F.col("n")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(conf, decimals).alias("avg_conf"),
+        F.round(acc, decimals).alias("frac_pos"),
+        F.round(
+            F.abs(acc - conf) * F.col("n") / F.col("_nn"), decimals
+        ).alias("contrib"),
+    )
+
+
+def regression_metrics(
+    preds: DataFrame,
+    pred_col: str = "pred",
+    actual_col: str = "actual",
+    decimals: int = 6,
+) -> DataFrame:
+    """Scalar regression eval: RMSE, MAE, mean bias, and R² in one
+    pass.  Errors are rounded to 9dp DECIMAL before summing (order-
+    exact aggregates, replayable); R² uses the two-pass-free identity
+    1 - SSE/SST with SST from the same aggregate via sum/sumsq.
+
+    -> one row (n, rmse, mae, bias, r2); r2 is NULL when the actuals
+    have zero variance (no fake 0 — the degree_assortativity rule).
+
+    Scale shape: ONE scalar aggregate over the predictions; every
+    term has map-side partials.
+    """
+    pr = F.col(pred_col).cast("double")
+    ac = F.col(actual_col).cast("double")
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    agg = preds.agg(
+        F.count("*").alias("n"),
+        F.sum(d9((pr - ac) * (pr - ac))).alias("_sse"),
+        F.sum(d9(F.abs(pr - ac))).alias("_sae"),
+        F.sum(d9(pr - ac)).alias("_sbias"),
+        F.sum(d9(ac)).alias("_sa"),
+        F.sum(d9(ac * ac)).alias("_saa"),
+    )
+    n = F.col("n")
+    sse = F.col("_sse").cast("double")
+    sst = F.col("_saa").cast("double") - (
+        F.col("_sa").cast("double") * F.col("_sa").cast("double") / n
+    )
+    return agg.select(
+        "n",
+        F.round(F.sqrt(sse / n), decimals).alias("rmse"),
+        F.round(F.col("_sae").cast("double") / n, decimals).alias("mae"),
+        F.round(F.col("_sbias").cast("double") / n, decimals).alias("bias"),
+        F.when(sst > 0, F.round(F.lit(1.0) - sse / sst, decimals)).alias("r2"),
+    )

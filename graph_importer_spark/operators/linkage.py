@@ -139,3 +139,89 @@ def golden_record(
         ]
     )
     return base.join(modes, cluster_col, "left")
+
+
+def fs_em_step(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    p: float = 0.1,
+    decimals: int = 6,
+) -> DataFrame:
+    """One EM iteration of Fellegi-Sunter parameter estimation
+    (Winkler's unsupervised training of the m/u probabilities that
+    ``fs_score`` consumes): E-step computes each comparison pattern's
+    match posterior g under the current (m, u, p); M-step re-estimates
+    every field's m/u and the match prior from the g-weighted counts.
+
+    -> one row per field (field, m_new, u_new) plus the ('__prior__',
+    p_new, p_new) row.
+
+    Determinism: posteriors are rounded to 9dp DECIMAL before the
+    weighted sums, so the aggregates are order-exact and the oracle
+    replays them.
+
+    Scale shape: the corpus-sized work is ONE aggregate collapsing
+    pairs to their <= 2^k agreement patterns (k = len(agree_cols), a
+    plan constant); the E and M steps run on that pattern summary —
+    iterating EM to convergence costs one cheap job per round, never a
+    second pass over the pairs.
+    """
+    if not agree_cols:
+        raise ValueError("need at least one agreement column")
+    pat = pairs.groupBy(
+        *[F.col(c).cast("boolean").alias(c) for c in agree_cols]
+    ).agg(F.count("*").alias("_n"))
+    wm = F.lit(float(p))
+    wu = F.lit(1.0 - float(p))
+    for c in agree_cols:
+        mc, uc = float(m[c]), float(u[c])
+        wm = wm * F.when(F.col(c), F.lit(mc)).otherwise(F.lit(1.0 - mc))
+        wu = wu * F.when(F.col(c), F.lit(uc)).otherwise(F.lit(1.0 - uc))
+    g = F.round(wm / (wm + wu), 9).cast("decimal(28,9)")
+    pat = pat.withColumn("_g", g)
+    tot = pat.agg(
+        F.sum(F.col("_g") * F.col("_n")).alias("_sg"),
+        F.sum((F.lit(1).cast("decimal(28,9)") - F.col("_g")) * F.col("_n")).alias(
+            "_su"
+        ),
+        F.sum("_n").alias("_nn"),
+    )
+    rows = None
+    for c in agree_cols:
+        num = pat.agg(
+            F.sum(
+                F.when(F.col(c), F.col("_g") * F.col("_n")).otherwise(
+                    F.lit(0).cast("decimal(38,9)")
+                )
+            ).alias("_am"),
+            F.sum(
+                F.when(
+                    F.col(c),
+                    (F.lit(1).cast("decimal(28,9)") - F.col("_g")) * F.col("_n"),
+                ).otherwise(F.lit(0).cast("decimal(38,9)"))
+            ).alias("_au"),
+        )
+        r = num.crossJoin(F.broadcast(tot)).select(
+            F.lit(c).alias("field"),
+            F.round(
+                F.col("_am").cast("double") / F.col("_sg").cast("double"),
+                decimals,
+            ).alias("m_new"),
+            F.round(
+                F.col("_au").cast("double") / F.col("_su").cast("double"),
+                decimals,
+            ).alias("u_new"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    prior = tot.select(
+        F.lit("__prior__").alias("field"),
+        F.round(
+            F.col("_sg").cast("double") / F.col("_nn").cast("double"), decimals
+        ).alias("m_new"),
+        F.round(
+            F.col("_sg").cast("double") / F.col("_nn").cast("double"), decimals
+        ).alias("u_new"),
+    )
+    return rows.unionByName(prior)

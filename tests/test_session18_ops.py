@@ -452,3 +452,108 @@ def test_semantic_overlap_finds_planted_leaks(spark):
         corpus.repartition(5), bench, threshold=0.999, n_centroids=8
     ).collect()
     assert sorted(r.id for r in out2) == sorted(out)
+
+
+def test_pair_rules_counts_and_lift(spark):
+    from graph_importer_spark.operators.itemsets import pair_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"), (4, "b"),  # dup item in basket ignored
+    ]
+    b = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r.a, r.b): r for r in pair_rules(b, "basket", "item", min_support=2).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.n_ab == 2 and ab.n_a == 3 and ab.n_b == 3 and ab.n_baskets == 4
+    assert ab.support == pytest.approx(0.5)
+    assert ab.conf_a_b == pytest.approx(2 / 3, abs=1e-6)
+    assert ab.lift == pytest.approx(2 * 4 / 9, abs=1e-6)
+    assert ("b", "c") in out and ("a", "c") in out
+    # ubiquity guard drops the hot item entirely
+    capped = pair_rules(b, "basket", "item", min_support=2, max_item_freq=2).collect()
+    assert all("a" not in (r.a, r.b) and "b" not in (r.a, r.b) for r in capped)
+
+
+def test_fs_em_step_matches_hand_em(spark):
+    from graph_importer_spark.operators.linkage import fs_em_step
+
+    rows = [(True, True), (True, False), (False, False), (False, False)]
+    pairs = spark.createDataFrame(rows, "a1 boolean, a2 boolean")
+    m = {"a1": 0.9, "a2": 0.8}
+    u = {"a1": 0.2, "a2": 0.1}
+    p = 0.3
+    out = {r.field: r for r in fs_em_step(pairs, ["a1", "a2"], m, u, p).collect()}
+
+    # hand EM over the 4 rows
+    import itertools
+
+    def lik(a1, a2, mm, uu):
+        wm = p
+        wu = 1 - p
+        for c, v in (("a1", a1), ("a2", a2)):
+            wm *= mm[c] if v else 1 - mm[c]
+            wu *= uu[c] if v else 1 - uu[c]
+        return wm / (wm + wu)
+
+    gs = [round(lik(a1, a2, m, u), 9) for a1, a2 in rows]
+    sg = sum(gs)
+    su = sum(1 - g for g in gs)
+    for c, idx in (("a1", 0), ("a2", 1)):
+        mn = sum(g for g, r in zip(gs, rows) if r[idx]) / sg
+        un = sum(1 - g for g, r in zip(gs, rows) if r[idx]) / su
+        assert out[c].m_new == pytest.approx(mn, abs=1e-6)
+        assert out[c].u_new == pytest.approx(un, abs=1e-6)
+    assert out["__prior__"].m_new == pytest.approx(sg / 4, abs=1e-6)
+
+
+def test_double_sweep_on_path_graph(spark):
+    from graph_importer_spark.operators.analytics import double_sweep_diameter
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    r = double_sweep_diameter(e, max_hops=10).collect()[0]
+    # a path of 7 vertices: double sweep finds the true diameter 6
+    assert r.diameter_lb == 6
+    assert r.n_reached_2 == 7
+    assert r.far in (0, 6) or r.ecc1 <= 6
+
+
+def test_calibration_bins_known_values(spark):
+    from graph_importer_spark.operators.evalmetrics import calibration_bins
+
+    rows = [(0.05, 0), (0.08, 0), (0.95, 1), (0.92, 0), (1.0, 1)]
+    p = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bin: r for r in calibration_bins(p, n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n == 2 and out[0].frac_pos == 0.0
+    assert out[0].avg_conf == pytest.approx(0.065)
+    # score 1.0 clamps into bin 9
+    assert out[9].n == 3
+    assert out[9].frac_pos == pytest.approx(2 / 3, abs=1e-6)
+    ece = sum(r.contrib for r in out.values())
+    assert ece > 0
+
+
+def test_regression_metrics_perfect_and_biased(spark):
+    from graph_importer_spark.operators.evalmetrics import regression_metrics
+
+    perfect = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (5.0, 5.0)], "pred double, actual double"
+    )
+    r = regression_metrics(perfect).collect()[0]
+    assert r.rmse == 0.0 and r.mae == 0.0 and r.bias == 0.0 and r.r2 == 1.0
+    biased = spark.createDataFrame(
+        [(2.0, 1.0), (3.0, 2.0), (6.0, 5.0)], "pred double, actual double"
+    )
+    r2 = regression_metrics(biased).collect()[0]
+    assert r2.rmse == pytest.approx(1.0) and r2.bias == pytest.approx(1.0)
+    const = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 3.0)], "pred double, actual double"
+    )
+    r3 = regression_metrics(const).collect()[0]
+    assert r3.r2 is None  # zero variance -> NULL, not a fake 0
