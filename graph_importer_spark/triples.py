@@ -993,7 +993,10 @@ def transe_rank(
         )
         return -F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
 
-    pos = triples.select("subj", "pred", "obj").distinct()
+    # both the candidate fan-out and the final join read the distinct
+    # positives; persist (lazily) so the dedup shuffle runs once, not
+    # twice — same rationale as semantic_dup_pairs' assignment persist
+    pos = triples.select("subj", "pred", "obj").distinct().persist()
     fanned = pos.select(
         "subj",
         "pred",
