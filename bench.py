@@ -218,6 +218,10 @@ HEADLINE = [
     "graph_diameter",
     "eval_ece",
     "eval_regression",
+    "er_soundex",
+    "kg_path_alt",
+    "sim_ann_multiprobe",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -9740,6 +9740,243 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18g: soundex blocking, SPARQL alternation chains,
+# multi-probe LSH, content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+_SDX_NAMES = [
+    "robert", "rupert", "smith", "smyth", "johnson", "jonson", "tymczak",
+    "pfister", "ashcraft", "ashcroft", "jackson", "jaxon", "miller",
+    "muller", "honeyman", "hanman",
+]
+
+
+def q_er_soundex(spark, sf_dir):
+    """Simplified-Soundex blocking keys (blocking.soundex_key) over a
+    deterministic name column (16 classic confusable surnames indexed
+    by custkey); the oracle replays the translate + collapse + strip
+    chain clause for clause."""
+    from graph_importer_spark.operators.blocking import soundex_key
+
+    c = T(spark, sf_dir, "customer")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _SDX_NAMES]),
+        (F.col("c_custkey") % 16 + 1).cast("int"),
+    )
+    return c.select(
+        "c_custkey", name.alias("name"), soundex_key(name).alias("sdx")
+    )
+
+
+def _oracle_er_soundex() -> str:
+    names_arr = "[" + ", ".join(f"'{n}'" for n in _SDX_NAMES) + "]"
+    collapsed = "translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    for _ in range(5):
+        for d in "123456":
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    return f"""
+WITH c AS (
+  SELECT c_custkey, ({names_arr})[CAST(c_custkey % 16 + 1 AS INT)] AS name
+  FROM customer),
+u0 AS (
+  SELECT c_custkey, name,
+         upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+  FROM c),
+t AS (
+  SELECT c_custkey, name, u,
+         replace(substring({collapsed}, 2), '0', '') AS tail
+  FROM u0)
+SELECT c_custkey, name,
+       CASE WHEN u = '' THEN NULL
+            ELSE substring(u, 1, 1) || rpad(substring(tail, 1, 3), 3, '0')
+       END AS sdx
+FROM t
+"""
+
+
+def q_kg_path_alt(spark, sf_dir):
+    """SPARQL chain with predicate alternation (triples.
+    alt_chain_pattern): customer -(placed|rushed)-> order
+    -(has_status|in_month)-> value; matched predicates exposed per
+    hop; the oracle replays both hops' IN-filters and the join."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200)
+    hop1 = o.select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 150).cast("string")).alias(
+            "subj"
+        ),
+        F.when(
+            F.col("o_orderpriority").startswith("1"), F.lit("rushed")
+        )
+        .otherwise(F.lit("placed"))
+        .alias("pred"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("obj"),
+    )
+    hop2 = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("has_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+    ).unionByName(
+        o.select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("in_month").alias("pred"),
+            F.month("o_orderdate").cast("string").alias("obj"),
+        )
+    )
+    t = hop1.unionByName(hop2)
+    return _triples.alt_chain_pattern(
+        t, [["placed", "rushed"], ["has_status", "in_month"]]
+    )
+
+
+ORACLE_KG_PATH_ALT = r"""
+WITH t AS (
+  SELECT 'c' || CAST(o_custkey % 150 AS VARCHAR) AS subj,
+         CASE WHEN o_orderpriority LIKE '1%' THEN 'rushed'
+              ELSE 'placed' END AS pred,
+         'o' || CAST(o_orderkey AS VARCHAR) AS obj
+  FROM orders WHERE o_orderkey < 1200
+  UNION ALL
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'has_status', o_orderstatus
+  FROM orders WHERE o_orderkey < 1200
+  UNION ALL
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'in_month',
+         CAST(month(o_orderdate) AS VARCHAR)
+  FROM orders WHERE o_orderkey < 1200),
+h1 AS (
+  SELECT DISTINCT subj AS v0, pred AS p1, obj AS v1
+  FROM t WHERE pred IN ('placed', 'rushed')),
+h2 AS (
+  SELECT DISTINCT subj AS v1, pred AS p2, obj AS v2
+  FROM t WHERE pred IN ('has_status', 'in_month'))
+SELECT v0, p1, v1, p2, v2 FROM h1 JOIN h2 USING (v1)
+"""
+
+
+def q_sim_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (similarity.ann_topk_lsh_multiprobe):
+    sim_ann_lsh's fixture with each query additionally probing the
+    buckets of its 2 least-confident signature bits; the oracle
+    replays the margin ranking (printf keys), the xor flips, and the
+    re-rank."""
+    from graph_importer_spark.operators.similarity import (
+        ann_topk_lsh_multiprobe,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk_lsh_multiprobe(emb, queries, k=3, n_bits=8, n_probes=3)
+
+
+def _oracle_sim_ann_multiprobe(
+    n_bits: int = 8, n_probes: int = 3, seed: int = 42
+) -> str:
+    projs = []
+    for b in range(n_bits):
+        h = (
+            f"(CASE WHEN (((i - 1 + {b * 7919}) % {_sim._M}) * {_sim._A} + {seed})"
+            f" % {_sim._M} < {_sim._M // 2} THEN -1.0 ELSE 1.0 END)"
+        )
+        projs.append(
+            f"list_reduce(list_transform(range(1, len(qv) + 1),"
+            f" i -> CAST(qv[i] AS DOUBLE) * {h}), (p, q) -> p + q)"
+        )
+    keys = ", ".join(
+        f"printf('%012.6f', round(abs(p{b}), 6)) || '|' || lpad('{b}', 2, '0')"
+        for b in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN p{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    pcols = ", ".join(f"{e} AS p{b}" for b, e in enumerate(projs))
+    return f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5),
+qp AS (SELECT query_id, qv, {pcols} FROM q0),
+qk AS (
+  SELECT query_id, qv, ({sig}) AS sig,
+         list_sort([{keys}]) AS keys
+  FROM qp),
+qf AS (
+  SELECT query_id, qv, sig,
+         list_transform(list_slice(keys, 1, {n_probes - 1}),
+                        s -> CAST(right(s, 2) AS INT)) AS flips
+  FROM qk),
+qb AS (
+  SELECT query_id, qv, u.bucket
+  FROM qf, UNNEST(list_prepend(sig,
+         list_transform(flips,
+                        b -> xor(sig, CAST(power(2, b) AS BIGINT))))) u(bucket)),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_dk_lsh_bucket('embedding')} AS bucket
+  FROM embeddings),
+scored AS (
+  SELECT DISTINCT qb.query_id, c.neighbor_id,
+    round({_DOT.format(a='qb.qv', b='c.cv')} /
+          ({_NORM.format(v='qb.qv')} * {_NORM.format(v='c.cv')}), 6) AS cosine
+  FROM qb JOIN c USING (bucket)
+  WHERE c.neighbor_id <> qb.query_id),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (dedup.cdc_chunks) over the corpus
+    normal form; the oracle replays the rolling-window cut rule, the
+    end-of-doc sentinel, and every chunk md5."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return _dedup.cdc_chunks(d, "doc_id", "text", mask_bits=6, window=16)
+
+
+def _oracle_dedup_cdc(mask_bits: int = 6, window: int = 16) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    m = 1 << mask_bits
+    w = window
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_NF_SQL} AS nf FROM documents
+  WHERE doc_id < 150 AND length({_NF_SQL}) >= 1),
+pos AS (
+  SELECT doc_id, i,
+         substring(md5(substr(nf, i - {w} + 1, {w})), 1, 8) AS h8
+  FROM d, UNNEST(generate_series({w}, length(nf))) u(i)),
+cut AS (
+  SELECT doc_id, i FROM pos WHERE ({poly}) % {m} = 0),
+cl AS (SELECT doc_id, list(i ORDER BY i) AS cuts FROM cut GROUP BY doc_id),
+el AS (
+  SELECT d.doc_id, d.nf,
+         CASE WHEN cl.cuts IS NULL THEN [length(d.nf)]
+              WHEN list_contains(cl.cuts, length(d.nf)) THEN cl.cuts
+              ELSE list_append(cl.cuts, length(d.nf)) END AS ends
+  FROM d LEFT JOIN cl USING (doc_id)),
+ch AS (
+  SELECT doc_id, nf, ends, j
+  FROM el, UNNEST(generate_series(1, len(ends))) u(j))
+SELECT doc_id AS id, j - 1 AS chunk_idx,
+       CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS start,
+       ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END) AS chunk_len,
+       md5(substr(nf, CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+                  ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)))
+         AS chunk_md5
+FROM ch
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -9845,6 +10082,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_diameter": q_graph_diameter,
     "eval_ece": q_eval_ece,
     "eval_regression": q_eval_regression,
+    # round-4 session-18g additions: soundex blocking, predicate
+    # alternation chains, multi-probe LSH, content-defined chunking.
+    "er_soundex": q_er_soundex,
+    "kg_path_alt": q_kg_path_alt,
+    "sim_ann_multiprobe": q_sim_ann_multiprobe,
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -10158,6 +10401,10 @@ ORACLES: dict[str, str] = {
     "graph_diameter": ORACLE_GRAPH_DIAMETER,
     "eval_ece": _oracle_eval_ece(),
     "eval_regression": _oracle_eval_regression(),
+    "er_soundex": _oracle_er_soundex(),
+    "kg_path_alt": ORACLE_KG_PATH_ALT,
+    "sim_ann_multiprobe": _oracle_sim_ann_multiprobe(),
+    "dedup_cdc_chunks": _oracle_dedup_cdc(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -204,3 +204,32 @@ def blocking_quality(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def soundex_key(name: Column | str) -> Column:
+    """Simplified American Soundex blocking key (H/W treated as
+    vowels — the one documented deviation from the archival standard,
+    which lets the collapse step stay a backreference-free replace
+    chain both engines evaluate identically; RE2 has no backrefs).
+
+    Steps: strip non-letters, uppercase; translate letters to digit
+    codes (vowels/H/W/Y -> 0); collapse adjacent equal digits
+    (repeated two-char replaces — closed after ceil(log2(len))
+    passes); drop the first code (it belongs to the kept letter);
+    strip zeros; first letter + first 3 digits, zero-padded.
+    """
+    n = F.col(name) if isinstance(name, str) else name
+    u = F.upper(F.regexp_replace(n, "[^A-Za-z]", ""))
+    digits = F.translate(
+        u,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "01230120022455012623010202",
+    )
+    collapsed = digits
+    for _ in range(5):  # handles runs up to 2^5 per pass pair
+        for d in "123456":
+            collapsed = F.regexp_replace(collapsed, d + d, d)
+    tail = F.regexp_replace(F.substring(collapsed, 2, 1 << 20), "0", "")
+    return F.when(u == "", F.lit(None).cast("string")).otherwise(
+        F.concat(F.substring(u, 1, 1), F.rpad(F.substring(tail, 1, 3), 3, "0"))
+    )

@@ -1005,3 +1005,68 @@ def diverse_sample(
         F.min(id_col).alias("keeper"),
         F.count("*").alias("n_docs"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_bits: int = 6,
+    window: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the rolling-window storage-dedup
+    primitive behind rsync/LBFS/restic): a cut falls AFTER position i
+    whenever the hash of the ``window`` chars ending at i is 0 mod
+    2^mask_bits — boundaries move WITH the content, so an insertion
+    re-chunks only its neighborhood (fixed-size chunking would shift
+    every later chunk).  Expected chunk length = 2^mask_bits chars.
+    Deliberately the clamp-free textbook form: FastCDC's min/max
+    clamps are sequential (each boundary depends on the previous
+    cut), which would serialize the per-doc scan for a ~5% dedup gain
+    — a stated cut.
+
+    -> (id, chunk_idx, start, chunk_len, chunk_md5), start 1-based
+    over the dedup normal form; join chunk_md5 across documents for
+    shared-chunk storage stats.
+
+    Scale shape: the whole boundary selection is one per-document
+    array expression (the winnowing let-binding shape — zero shuffle,
+    no per-char explode); only the final chunk rows explode,
+    ~len/2^mask_bits per doc.
+    """
+    from graph_importer_spark.operators.textstats import normalize_text
+
+    m = 1 << mask_bits
+    w = int(window)
+    expr = (
+        "transform(array(__t), t -> "
+        " transform(array(array_distinct(concat("
+        f"   filter(sequence({w}, length(t)), i -> "
+        f"     conv(substring(md5(substr(t, i - {w} + 1, {w})), 1, 8), 16, 10)"
+        f"       % {m} = 0),"
+        "   array(length(t))))), ends -> "
+        "  transform(sequence(1, size(ends)), j -> struct("
+        "    j - 1 AS chunk_idx,"
+        "    CASE WHEN j = 1 THEN 1"
+        "         ELSE element_at(ends, j - 1) + 1 END AS start,"
+        "    element_at(ends, j)"
+        "      - (CASE WHEN j = 1 THEN 0 ELSE element_at(ends, j - 1) END)"
+        "      AS chunk_len,"
+        "    md5(substr(t,"
+        "      CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,"
+        "      element_at(ends, j)"
+        "        - (CASE WHEN j = 1 THEN 0"
+        "           ELSE element_at(ends, j - 1) END))) AS chunk_md5"
+        "  )))[0])[0]"
+    )
+    d = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("__t"),
+    ).filter(F.length("__t") >= 1)
+    return d.select("id", F.explode(F.expr(expr)).alias("_c")).select(
+        "id",
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.start").alias("start"),
+        F.col("_c.chunk_len").alias("chunk_len"),
+        F.col("_c.chunk_md5").alias("chunk_md5"),
+    )

@@ -538,3 +538,115 @@ def cosine_prefix_pairs(
         .filter(F.col("_dot") >= threshold)
         .select("id1", "id2", F.round("_dot", decimals).alias("cosine"))
     )
+
+
+def lsh_projections(
+    vec_col: str | Column, n_bits: int = 8, seed: int = 42
+) -> Column:
+    """Per-bit hyperplane projections (array<double>) — the margins
+    behind ``lsh_signature``'s sign bits; multi-probe uses them to
+    rank which bits are least confident."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    # NB: a two-arg lambda passed to F.transform receives
+    # (element, index) — binding the bit via a default arg would be
+    # silently shadowed by the array index, so close over it instead
+    def _plane(bit: int):
+        return lambda i: _hyperplane(bit, i, seed)
+
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(v) - 1), _plane(b)
+                    ),
+                    lambda x, h: (x * h).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for b in range(n_bits)
+        ]
+    )
+
+
+def ann_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. VLDB'07): each query probes its
+    own bucket PLUS the buckets reached by flipping its
+    ``n_probes - 1`` least-confident signature bits (smallest
+    |projection| margin, ties to the lower bit) — the published recall
+    repair for hyperplane LSH without adding tables.
+
+    Determinism: margins round to 6dp and order via a printf string
+    key, so the flipped-bit choice replays in SQL; everything else is
+    the ann_topk_lsh plan.
+
+    Scale shape: identical to ann_topk_lsh with the QUERY side (the
+    broadcast side) fanned out x n_probes — the corpus is still probed
+    by bucket equi-join, touching ~n_probes * n/2^bits rows.  The
+    margin expressions re-evaluate per reference on the interpreted
+    HOF path; that cost lives on the tiny query side only.
+    """
+    c = with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn").withColumn(
+        "bucket", lsh_signature("cv", n_bits, seed)
+    )
+    q0 = with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
+    projs = lsh_projections("qv", n_bits, seed)
+    sig = lsh_signature("qv", n_bits, seed)
+    keys = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda b: F.concat(
+                F.format_string(
+                    "%012.6f", F.round(F.abs(F.element_at(projs, b + 1)), 6)
+                ),
+                F.lit("|"),
+                F.lpad(b.cast("string"), 2, "0"),
+            ),
+        )
+    )
+    flips = F.transform(
+        F.slice(keys, 1, n_probes - 1),
+        lambda s: F.substring(s, -2, 2).cast("int"),
+    )
+    probes = F.concat(
+        F.array(sig),
+        F.transform(
+            # shiftleft needs a literal bit count; 2^b via pow is exact
+            # for b < 31 and keeps the flip a pure column expression
+            flips,
+            lambda b: sig.bitwiseXOR(F.pow(F.lit(2.0), b).cast("int")),
+        ),
+    )
+    q = q0.select(
+        "query_id", "qv", "qn", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qv", "cv", "qn", "cn"), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1132,3 +1132,39 @@ def transductive_split(
         )
     )
     return flagged
+
+
+def alt_chain_pattern(
+    triples: DataFrame, pred_sets: list[list[str]], distinct: bool = True
+) -> DataFrame:
+    """SPARQL chain with per-hop predicate ALTERNATION
+    (``?v0 (p1a|p1b) ?v1 . ?v1 (p2a|...) ?v2 ...``) — the property-path
+    '|' operator composed with the chain BGP; completes the path
+    algebra next to ``chain_pattern`` (single-pred chains),
+    ``star_pattern`` (+OPTIONAL) and ``transitive_closure`` ('+').
+
+    -> (v0, p1, v1, p2, v2, ...): the matched predicate of every hop
+    is exposed, so callers can post-filter or group by route.
+
+    Scale shape: identical to chain_pattern — each hop's ``pred IN
+    (...)`` filter pushes to the (pred-partitioned) triple scan before
+    its equi-join; with ``distinct``, hops dedup to distinct
+    (subj, pred, obj) facts first so evidence multiplicity never
+    multiplies across the join.
+    """
+    if not pred_sets:
+        raise ValueError("need at least one hop")
+    out = None
+    for i, ps in enumerate(pred_sets):
+        hop = triples.filter(F.col("pred").isin(list(ps))).select(
+            F.col("subj").alias(f"v{i}"),
+            F.col("pred").alias(f"p{i + 1}"),
+            F.col("obj").alias(f"v{i + 1}"),
+        )
+        if distinct:
+            hop = hop.distinct()
+        out = hop if out is None else out.join(hop, f"v{i}")
+    cols = ["v0"]
+    for i in range(len(pred_sets)):
+        cols += [f"p{i + 1}", f"v{i + 1}"]
+    return out.select(*cols)

@@ -557,3 +557,89 @@ def test_regression_metrics_perfect_and_biased(spark):
     )
     r3 = regression_metrics(const).collect()[0]
     assert r3.r2 is None  # zero variance -> NULL, not a fake 0
+
+
+def test_soundex_classic_values(spark):
+    from graph_importer_spark.operators.blocking import soundex_key
+
+    pairs = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Smith": "S530",
+        "Smyth": "S530",
+        "Jackson": "J250",
+        "": None,
+        "123": None,
+        "Lee": "L000",
+    }
+    df = spark.createDataFrame([(n,) for n in pairs], "name string")
+    got = {r.name: r.sdx for r in df.select("name", soundex_key("name").alias("sdx")).collect()}
+    assert got == pairs
+
+
+def test_alt_chain_exposes_predicates(spark):
+    from graph_importer_spark.triples import alt_chain_pattern
+
+    t = spark.createDataFrame(
+        [
+            ("a", "p1", "b"), ("a", "p1x", "b2"), ("a", "zz", "b3"),
+            ("b", "q1", "c"), ("b2", "q2", "c2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        (r.v0, r.p1, r.v1, r.p2, r.v2)
+        for r in alt_chain_pattern(t, [["p1", "p1x"], ["q1", "q2"]]).collect()
+    }
+    assert out == {
+        ("a", "p1", "b", "q1", "c"),
+        ("a", "p1x", "b2", "q2", "c2"),
+    }
+
+
+def test_multiprobe_recall_superset_of_single_bucket(spark):
+    from graph_importer_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_lsh_multiprobe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    single = ann_topk_lsh(emb, q, k=5, n_bits=8)
+    multi = ann_topk_lsh_multiprobe(emb, q, k=5, n_bits=8, n_probes=4)
+    # multiprobe's candidate pool is a superset: for every query its
+    # worst returned cosine is >= the single-bucket run's
+    s = {r.query_id: r for r in single.groupBy("query_id").agg(
+        F.min("cosine").alias("mn"), F.count("*").alias("n")).collect()}
+    m = {r.query_id: r for r in multi.groupBy("query_id").agg(
+        F.min("cosine").alias("mn"), F.count("*").alias("n")).collect()}
+    for qid, row in s.items():
+        assert m[qid].n >= row.n
+        if m[qid].n == row.n == 5:
+            assert m[qid].mn >= row.mn
+
+
+def test_cdc_chunks_shift_robust(spark):
+    from graph_importer_spark.operators.dedup import cdc_chunks
+
+    import random
+
+    rng = random.Random(5)
+    txt = "".join(rng.choice("abcdefghij ") for _ in range(1500))
+    d = spark.createDataFrame(
+        [(1, txt), (2, txt[:200] + "INSERT" + txt[200:])],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(d, "doc_id", "text", mask_bits=5).collect()
+    c1 = [r for r in out if r.id == 1]
+    c2 = [r for r in out if r.id == 2]
+    # chunk lengths tile the document exactly
+    assert sum(r.chunk_len for r in c1) == len(" ".join(txt.split()))
+    # content-defined: most chunks survive an insertion
+    shared = {r.chunk_md5 for r in c1} & {r.chunk_md5 for r in c2}
+    assert len(shared) >= len(c1) - 3
+    # partition invariance
+    out2 = cdc_chunks(d.repartition(3), "doc_id", "text", mask_bits=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
