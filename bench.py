@@ -222,6 +222,10 @@ HEADLINE = [
     "kg_path_alt",
     "sim_ann_multiprobe",
     "dedup_cdc_chunks",
+    "imp_quarantine",
+    "drift_psi",
+    "orders_ltv",
+    "dedup_savings",
 ]
 
 

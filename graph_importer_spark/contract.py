@@ -9977,6 +9977,207 @@ FROM ch
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18h: importer quarantine, PSI drift, cohort LTV,
+# dedup storage savings
+# ---------------------------------------------------------------------------
+
+
+def q_imp_quarantine(spark, sf_dir):
+    """Dead-letter edge parsing (importer.parse_edges_quarantine):
+    lineitem-derived lines with planted comments, blanks, short and
+    non-numeric rows — every line accounted for as ok / comment /
+    quarantined(reason); the oracle replays the CASE routing and the
+    smart-key synthesis."""
+    from graph_importer_spark.importer.graphalytics import (
+        parse_edges_quarantine,
+    )
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    m = F.col("l_linenumber") % 7
+    line = (
+        F.when(m == 0, F.concat(F.lit("# c"), F.col("l_orderkey").cast("string")))
+        .when(m == 1, F.lit(""))
+        .when(m == 2, F.col("l_orderkey").cast("string"))
+        .when(
+            m == 3,
+            F.concat_ws(
+                " ", F.col("l_orderkey").cast("string"), F.lit("xbad")
+            ),
+        )
+        .when(m == 4, F.concat_ws(" ", "l_orderkey", "l_partkey"))
+        .otherwise(
+            F.concat_ws(" ", "l_orderkey", "l_partkey", "l_suppkey")
+        )
+    )
+    return parse_edges_quarantine(li.select(line.alias("line")), "vertices")
+
+
+ORACLE_IMP_QUARANTINE = r"""
+WITH lines AS (
+  SELECT CASE
+    WHEN l_linenumber % 7 = 0 THEN '# c' || CAST(l_orderkey AS VARCHAR)
+    WHEN l_linenumber % 7 = 1 THEN ''
+    WHEN l_linenumber % 7 = 2 THEN CAST(l_orderkey AS VARCHAR)
+    WHEN l_linenumber % 7 = 3 THEN CAST(l_orderkey AS VARCHAR) || ' xbad'
+    WHEN l_linenumber % 7 = 4
+      THEN l_orderkey || ' ' || l_partkey
+    ELSE l_orderkey || ' ' || l_partkey || ' ' || l_suppkey END AS line
+  FROM lineitem WHERE l_orderkey < 3000),
+r AS (
+  SELECT line, string_split(trim(line), ' ') AS t,
+         regexp_matches(line, '^[#/%]') AS is_comment,
+         length(trim(line)) = 0 AS is_blank
+  FROM lines),
+s AS (
+  SELECT line, t, is_comment, is_blank,
+         len(t) < 2 AS too_few,
+         NOT (regexp_matches(t[1], '^[0-9]+$')
+              AND regexp_matches(COALESCE(t[2], ''), '^[0-9]+$')) AS bad_id
+  FROM r),
+c AS (
+  SELECT line,
+         CASE WHEN is_comment THEN 'comment'
+              WHEN is_blank OR too_few OR bad_id THEN 'quarantined'
+              ELSE 'ok' END AS status,
+         CASE WHEN is_blank THEN 'blank'
+              WHEN too_few THEN 'too_few_tokens'
+              WHEN bad_id AND NOT is_comment THEN 'bad_id' END AS reason0,
+         t
+  FROM s)
+SELECT line, status,
+       CASE WHEN status = 'quarantined' THEN reason0 END AS reason,
+       CASE WHEN status = 'ok'
+            THEN 'vertices/' || t[1] || ':' || t[1] END AS _from,
+       CASE WHEN status = 'ok'
+            THEN 'vertices/' || t[2] || ':' || t[2] END AS _to,
+       CASE WHEN status = 'ok' AND len(t) >= 3 THEN t[3] END AS weight
+FROM c
+"""
+
+
+def q_drift_psi(spark, sf_dir):
+    """PSI drift monitor (profiling.psi_drift): order totals before
+    1998 as reference vs 1.15x-inflated totals from 1998 on as the
+    drifted current snapshot; fixed [0, 600000] cutpoints; the oracle
+    replays the clamped binning and the smoothed log terms."""
+    from graph_importer_spark.operators.profiling import psi_drift
+
+    o = T(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        (F.col("o_totalprice") * 1.15).alias("v")
+    )
+    return psi_drift(ref, cur, "v", lo=0.0, hi=600000.0, n_bins=10)
+
+
+ORACLE_DRIFT_PSI = r"""
+WITH ref AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+cur AS (
+  SELECT CAST(o_totalprice AS DOUBLE) * 1.15 AS v FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+rb AS (
+  SELECT LEAST(GREATEST(CAST(floor(v / 60000.0) AS INT), 0), 9) AS bin,
+         COUNT(*) AS n_ref
+  FROM ref GROUP BY 1),
+cb AS (
+  SELECT LEAST(GREATEST(CAST(floor(v / 60000.0) AS INT), 0), 9) AS bin,
+         COUNT(*) AS n_cur
+  FROM cur GROUP BY 1),
+bins AS (SELECT CAST(u.b AS INT) AS bin FROM UNNEST(generate_series(0, 9)) u(b)),
+j AS (
+  SELECT bins.bin, COALESCE(rb.n_ref, 0) AS n_ref,
+         COALESCE(cb.n_cur, 0) AS n_cur
+  FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+SELECT bin, n_ref, n_cur,
+       round((n_ref + 0.5) / (tr + 5.0), 6) AS p_ref,
+       round((n_cur + 0.5) / (tc + 5.0), 6) AS p_cur,
+       round(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+             * ln(((n_ref + 0.5) / (tr + 5.0))
+                  / ((n_cur + 0.5) / (tc + 5.0))), 6) AS contrib
+FROM j, tot
+"""
+
+
+def q_orders_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves (timeseries.cohort_ltv) at 90-day
+    periods over the order stream; the oracle replays the DECIMAL
+    spend matrix and the bounded cumulative window."""
+    from graph_importer_spark.operators.timeseries import cohort_ltv
+
+    o = T(spark, sf_dir, "orders")
+    return cohort_ltv(
+        o, "o_custkey", "o_orderdate", "o_totalprice",
+        period_seconds=90 * 86400,
+    )
+
+
+ORACLE_ORDERS_LTV = r"""
+WITH per AS (
+  SELECT o_custkey AS k,
+         CAST(floor(epoch(o_orderdate) / 7776000) AS BIGINT) AS p,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY 1, 2),
+first AS (SELECT k, MIN(p) AS cohort FROM per GROUP BY k),
+cells AS (
+  SELECT cohort, per.p - cohort AS "offset", COUNT(*) AS n_buyers,
+         SUM(spend) AS ps
+  FROM per JOIN first USING (k) GROUP BY cohort, per.p - cohort),
+sizes AS (
+  SELECT cohort, n_buyers AS cohort_size FROM cells WHERE "offset" = 0),
+cum AS (
+  SELECT cohort, "offset", n_buyers, ps,
+         SUM(ps) OVER (PARTITION BY cohort ORDER BY "offset"
+                       ROWS UNBOUNDED PRECEDING) AS cs
+  FROM cells)
+SELECT c.cohort, c."offset", c.n_buyers,
+       round(CAST(c.ps AS DOUBLE), 2) AS period_spend,
+       round(CAST(c.cs AS DOUBLE), 2) AS cum_spend,
+       s.cohort_size,
+       round(CAST(c.cs AS DOUBLE) / s.cohort_size, 6) AS ltv
+FROM cum c JOIN sizes s USING (cohort)
+"""
+
+
+def q_dedup_savings(spark, sf_dir):
+    """Exact-dedup storage savings audit (dedup.dedup_savings) with
+    byte-identical clones planted (the dedup_exact treatment) so
+    group sizes > 1 exist; all-integer byte accounting."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    return _dedup.dedup_savings(d.unionByName(clones), "doc_id", "text")
+
+
+ORACLE_DEDUP_SAVINGS = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 2000, text FROM documents
+  WHERE doc_id < 300 AND doc_id % 9 = 0),
+f AS (
+  SELECT md5({_NF_SQL}) AS fp,
+         strlen(COALESCE(text, '')) AS b
+  FROM corpus),
+g AS (
+  SELECT fp, COUNT(*) AS group_size, SUM(b) AS bytes, MIN(b) AS keep
+  FROM f GROUP BY fp)
+SELECT group_size, COUNT(*) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_docs,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+       CAST(SUM(bytes - keep) AS BIGINT) AS bytes_saved
+FROM g GROUP BY group_size
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -10088,6 +10289,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_path_alt": q_kg_path_alt,
     "sim_ann_multiprobe": q_sim_ann_multiprobe,
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
+    # round-4 session-18h additions: importer dead-letter routing,
+    # PSI drift monitor, cohort LTV curves, dedup storage savings.
+    "imp_quarantine": q_imp_quarantine,
+    "drift_psi": q_drift_psi,
+    "orders_ltv": q_orders_ltv,
+    "dedup_savings": q_dedup_savings,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -10405,6 +10612,10 @@ ORACLES: dict[str, str] = {
     "kg_path_alt": ORACLE_KG_PATH_ALT,
     "sim_ann_multiprobe": _oracle_sim_ann_multiprobe(),
     "dedup_cdc_chunks": _oracle_dedup_cdc(),
+    "imp_quarantine": ORACLE_IMP_QUARANTINE,
+    "drift_psi": ORACLE_DRIFT_PSI,
+    "orders_ltv": ORACLE_ORDERS_LTV,
+    "dedup_savings": ORACLE_DEDUP_SAVINGS,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

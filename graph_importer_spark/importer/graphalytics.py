@@ -138,3 +138,58 @@ def import_graphalytics(
                 f"edges {got_e}!={exp_e}"
             )
     return written
+
+
+def parse_edges_quarantine(
+    lines: DataFrame, vertices_coll: str, smart: bool = True
+) -> DataFrame:
+    """Dead-letter variant of ``parse_edges``: every input line is
+    accounted for — parsed into an edge, dropped as a comment, or
+    QUARANTINED with a reason instead of silently vanishing (the
+    reference raises midway through a bulk on malformed input,
+    general.py:118-119, losing the rest of the batch; a 10^12-row
+    import needs the bad rows routed, not fatal).
+
+    Reasons: ``blank`` (empty after trim), ``too_few_tokens`` (< 2),
+    ``bad_id`` (either endpoint not a natural number — the
+    Graphalytics id contract, README.md:81-89).
+
+    -> (line, status, reason, _from, _to, weight): status in
+    {ok, comment, quarantined}; edge columns NULL except on ok rows.
+
+    Scale shape: one pass of pure codegen CASE logic, zero shuffle;
+    writers split the stream with two pushdown-able status filters.
+    """
+    t = F.trim(F.col("line"))
+    p = F.split(t, " ", 3)
+    f_, t_ = F.element_at(p, 1), F.element_at(p, 2)
+    is_comment = F.col("line").rlike(_COMMENT_RE)
+    is_blank = F.length(t) == 0
+    too_few = F.size(p) < 2
+    nat = r"^[0-9]+$"
+    bad_id = ~f_.rlike(nat) | ~t_.rlike(nat)
+    status = (
+        F.when(is_comment, F.lit("comment"))
+        .when(is_blank | too_few | bad_id, F.lit("quarantined"))
+        .otherwise(F.lit("ok"))
+    )
+    reason = F.when(is_blank, F.lit("blank")).when(
+        too_few, F.lit("too_few_tokens")
+    ).when(bad_id & ~is_comment, F.lit("bad_id"))
+    if smart:
+        from_c = idx_to_smart_vertex(vertices_coll, f_)
+        to_c = idx_to_smart_vertex(vertices_coll, t_)
+    else:
+        from_c = F.concat(F.lit(vertices_coll + "/"), f_)
+        to_c = F.concat(F.lit(vertices_coll + "/"), t_)
+    ok = status == "ok"
+    return lines.select(
+        "line",
+        status.alias("status"),
+        F.when(status == "quarantined", reason).alias("reason"),
+        F.when(ok, from_c).alias("_from"),
+        F.when(ok, to_c).alias("_to"),
+        F.when(
+            ok & (F.size(p) >= 3), F.element_at(p, 3)
+        ).alias("weight"),
+    )

@@ -1070,3 +1070,44 @@ def cdc_chunks(
         F.col("_c.chunk_len").alias("chunk_len"),
         F.col("_c.chunk_md5").alias("chunk_md5"),
     )
+
+
+def dedup_savings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Storage-savings audit of exact deduplication: documents group
+    by content fingerprint; for each duplicate-group SIZE, how many
+    groups exist, how many documents and bytes they hold, and how
+    many bytes exact dedup reclaims (every copy beyond the first).
+    The before/after table a dedup rollout is judged on.
+
+    -> (group_size, n_groups, n_docs, bytes_total, bytes_saved)
+    — all exact integers (byte counts over the raw text).
+
+    Scale shape: one fingerprint-keyed aggregate (md5 normal form,
+    map-side partials) + one size-keyed rollup over the group table
+    (bounded by distinct group sizes); no windows.
+    """
+    g = (
+        df.select(
+            fingerprint(F.col(text_col)).alias("_fp"),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "_b"
+            ),
+        )
+        .groupBy("_fp")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.sum("_b").alias("_bytes"),
+            F.min("_b").alias("_keep"),
+        )
+    )
+    return (
+        g.groupBy("group_size")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("group_size").alias("n_docs"),
+            F.sum("_bytes").alias("bytes_total"),
+            F.sum(F.col("_bytes") - F.col("_keep")).alias("bytes_saved"),
+        )
+    )

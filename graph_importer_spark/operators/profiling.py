@@ -131,3 +131,72 @@ def column_match(
             ).alias("jaccard"),
         )
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column (the standard production drift
+    monitor; PSI > 0.2 = investigate, > 0.25 = act).  Equal-width bins
+    over the CALLER-pinned [lo, hi] (fixed cutpoints are the point —
+    re-deriving bins from the drifted data hides the drift);
+    out-of-range values clamp into the edge bins.
+
+    Fractions use (n + 0.5) / (N + 0.5 * bins) additive smoothing so
+    empty bins contribute finitely (the standard PSI zero-cell fix),
+    deterministically.
+
+    -> (bin, n_ref, n_cur, p_ref, p_cur, contrib); PSI =
+    sum(contrib).
+
+    Scale shape: each snapshot pays ONE bin-keyed aggregate
+    (<= n_bins groups, map-side partials); the bin join is
+    broadcast-trivial.
+    """
+    width = (hi - lo) / n_bins
+
+    def binned(df, out):
+        v = F.col(value_col).cast("double")
+        b = F.least(
+            F.greatest(
+                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias(out)
+        )
+    spark = ref.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    j = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.groupBy().agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    out = j.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + 0.5) / (F.col("_tr") + 0.5 * n_bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("_tc") + 0.5 * n_bins)
+    return out.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, decimals).alias("p_ref"),
+        F.round(q, decimals).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), decimals).alias("contrib"),
+    )

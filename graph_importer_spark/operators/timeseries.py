@@ -465,3 +465,74 @@ def linear_attribution(
         .filter(F.col("n_conversions") > 0)
     )
     return attributed.unionByName(direct)
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    period_seconds: int = 30 * 86400,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cohort lifetime-value curves: keys cohort by first-purchase
+    period (cohort_retention's rule); each (cohort, offset) cell sums
+    that period's spend (exact DECIMAL) and carries the running
+    cumulative; ``ltv`` divides by cohort size — the
+    revenue-per-acquired-customer curve growth teams read.
+
+    -> (cohort, offset, n_buyers, period_spend, cum_spend,
+       cohort_size, ltv).
+
+    Scale shape: ONE (key, period) aggregate collapses the order
+    stream (DECIMAL partials map-side); cohort assignment and the
+    matrix rollup run on that summary; the single window (cumulative
+    over offset) orders <= |periods| rows per cohort — metadata-scale
+    by construction, the documented window exception.
+    """
+    p = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(period_seconds))
+    amt = F.col(amount_col).cast("decimal(18,4)")
+    per = (
+        orders.select(
+            F.col(key_col).alias("_k"), p.alias("_p"), amt.alias("_a")
+        )
+        .groupBy("_k", "_p")
+        .agg(F.sum("_a").alias("_spend"))
+    )
+    first = per.groupBy("_k").agg(F.min("_p").alias("cohort"))
+    cells = (
+        per.join(first, "_k")
+        .select(
+            "cohort",
+            (F.col("_p") - F.col("cohort")).alias("offset"),
+            "_spend",
+        )
+        .groupBy("cohort", "offset")
+        .agg(
+            F.count("*").alias("n_buyers"),
+            F.sum("_spend").alias("_ps"),
+        )
+    )
+    sizes = cells.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_buyers").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("_ps").over(w)
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_buyers",
+            F.round(F.col("_ps").cast("double"), 2).alias("period_spend"),
+            F.round(cum.cast("double"), 2).alias("cum_spend"),
+            "cohort_size",
+            F.round(
+                cum.cast("double") / F.col("cohort_size"), decimals
+            ).alias("ltv"),
+        )
+    )

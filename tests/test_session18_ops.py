@@ -643,3 +643,80 @@ def test_cdc_chunks_shift_robust(spark):
     # partition invariance
     out2 = cdc_chunks(d.repartition(3), "doc_id", "text", mask_bits=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_quarantine_accounts_for_every_line(spark):
+    from graph_importer_spark.importer.graphalytics import (
+        parse_edges_quarantine,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ("1 2 0.5",), ("3 4",), ("# comment",), ("",), ("5",),
+            ("a b",), ("6 b",), ("% other comment",),
+        ],
+        "line string",
+    )
+    out = parse_edges_quarantine(lines, "v").collect()
+    assert len(out) == 8
+    by = {r.line: r for r in out}
+    assert by["1 2 0.5"].status == "ok" and by["1 2 0.5"].weight == "0.5"
+    assert by["3 4"].status == "ok" and by["3 4"].weight is None
+    assert by["3 4"]._from == "v/3:3" and by["3 4"]._to == "v/4:4"
+    assert by["# comment"].status == "comment"
+    assert by[""].status == "quarantined" and by[""].reason == "blank"
+    assert by["5"].reason == "too_few_tokens"
+    assert by["a b"].reason == "bad_id" and by["6 b"].reason == "bad_id"
+    # quarantined rows carry no edge columns
+    assert by["a b"]._from is None and by["a b"].weight is None
+
+
+def test_psi_detects_planted_shift(spark):
+    from graph_importer_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = psi_drift(ref, ref, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert sum(r.contrib for r in same) == pytest.approx(0.0, abs=1e-9)
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 30.0,) for i in range(1000)], "v double"
+    )
+    drift = psi_drift(ref, shifted, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert sum(r.contrib for r in drift) > 0.25  # "act" threshold
+    assert len(drift) == 10
+    # clamped: out-of-range values land in the edge bin, rows conserved
+    assert sum(r.n_cur for r in drift) == 1000
+
+
+def test_cohort_ltv_cumulative(spark):
+    from graph_importer_spark.operators.timeseries import cohort_ltv
+
+    rows = [
+        (1, _ts(1), 10.0), (1, _ts(2), 20.0),   # periods 0, 1
+        (2, _ts(1), 5.0),
+    ]
+    o = spark.createDataFrame(rows, "c long, d timestamp, amt double")
+    out = {
+        (r.cohort, r.offset): r
+        for r in cohort_ltv(o, "c", "d", "amt", period_seconds=86400).collect()
+    }
+    c0 = min(c for c, _ in out)
+    assert out[(c0, 0)].period_spend == 15.0
+    assert out[(c0, 0)].cohort_size == 2
+    assert out[(c0, 0)].ltv == pytest.approx(7.5)
+    assert out[(c0, 1)].cum_spend == 35.0
+    assert out[(c0, 1)].ltv == pytest.approx(17.5)
+
+
+def test_dedup_savings_exact_bytes(spark):
+    from graph_importer_spark.operators.dedup import dedup_savings
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  world"), (3, "unique"), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    # docs 1, 2, 4 share the normal form (whitespace collapse)
+    out = {r.group_size: r for r in dedup_savings(d, "doc_id", "text").collect()}
+    assert out[3].n_groups == 1 and out[3].n_docs == 3
+    # bytes: 11 + 12 + 11 = 34 total, keep the smallest (11) -> 23 saved
+    assert out[3].bytes_total == 34 and out[3].bytes_saved == 23
+    assert out[1].n_groups == 1 and out[1].bytes_saved == 0
