@@ -226,6 +226,9 @@ HEADLINE = [
     "drift_psi",
     "orders_ltv",
     "dedup_savings",
+    "text_postings_delta",
+    "text_summary",
+    "events_churn",
 ]
 
 

@@ -10178,6 +10178,133 @@ FROM g GROUP BY group_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18i: posting-list delta compression, extractive
+# summarization, churn label builder
+# ---------------------------------------------------------------------------
+
+
+def q_text_postings_delta(spark, sf_dir):
+    """Delta+varint posting compression audit (retrieval.
+    postings_delta) with min_df/max_df guards live; all-integer byte
+    accounting replayed by the oracle."""
+    from graph_importer_spark.operators.retrieval import postings_delta
+
+    d = T(spark, sf_dir, "documents")
+    return postings_delta(d, "doc_id", "text", min_df=2, max_df=395)
+
+
+ORACLE_TEXT_POSTINGS_DELTA = rf"""
+WITH dt AS (
+  SELECT DISTINCT doc_id AS doc, tok AS term
+  FROM (SELECT doc_id, UNNEST(string_split({_NF_SQL}, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+per AS (
+  SELECT term, list(doc ORDER BY doc) AS ids, COUNT(*) AS df
+  FROM dt GROUP BY term),
+f AS (SELECT * FROM per WHERE df BETWEEN 2 AND 395),
+g AS (
+  SELECT term, df,
+         list_transform(range(1, len(ids) + 1),
+           j -> ids[j] - (CASE WHEN j = 1 THEN 0 ELSE ids[j - 1] END))
+           AS gaps
+  FROM f),
+v AS (
+  SELECT term, df,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(gaps, x -> CAST(
+             CASE WHEN x < 128 THEN 1 WHEN x < 16384 THEN 2
+                  WHEN x < 2097152 THEN 3 WHEN x < 268435456 THEN 4
+                  ELSE 5 END AS BIGINT))),
+           (a, b) -> a + b) AS vb
+  FROM g)
+SELECT term, df, df * 8 AS raw_bytes, vb AS varint_bytes,
+       round(vb / (df * 8.0), 6) AS ratio
+FROM v
+"""
+
+
+def q_text_summary(spark, sf_dir):
+    """Degree-centrality extractive summarization (retrieval.
+    extractive_summary): 10-token units, top-2 per document; the
+    oracle replays the chunking, the within-doc overlap pair sums,
+    and the (score desc, position) pick."""
+    from graph_importer_spark.operators.retrieval import extractive_summary
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return extractive_summary(d, "doc_id", "text", unit_tokens=10, top_k=2)
+
+
+ORACLE_TEXT_SUMMARY = rf"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split({_NF_SQL}, ' '), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 120),
+u AS (
+  SELECT id, CAST(j AS BIGINT) AS unit_idx,
+         list_slice(t, j * 10 + 1, j * 10 + 10) AS unit
+  FROM d, UNNEST(generate_series(0,
+         CAST(floor((len(t) - 1) / 10) AS BIGINT))) s(j)
+  WHERE len(t) > 0),
+units AS (
+  SELECT id, unit_idx, list_distinct(unit) AS dl,
+         array_to_string(unit, ' ') AS unit_text
+  FROM u),
+sc AS (
+  SELECT a.id, a.unit_idx, a.unit_text,
+         SUM(len(list_intersect(a.dl, b.dl))) AS score
+  FROM units a JOIN units b
+    ON a.id = b.id AND a.unit_idx <> b.unit_idx
+  GROUP BY a.id, a.unit_idx, a.unit_text),
+r AS (
+  SELECT id, unit_idx, score, unit_text,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY score DESC, unit_idx ASC) AS rn
+  FROM sc)
+SELECT id, CAST(unit_idx AS INT) AS unit_idx, score, unit_text
+FROM r WHERE rn <= 2
+"""
+
+
+_CHURN_CUTOFF = 1705708800  # 2024-01-20T00:00:00Z
+
+
+def q_events_churn(spark, sf_dir):
+    """Leakage-safe churn label table (timeseries.churn_labels):
+    features strictly before the 2024-01-20 cutoff, label = silent
+    for the next 10 days; the oracle replays both cutoff aggregates
+    and the anti-presence label."""
+    from graph_importer_spark.operators.timeseries import churn_labels
+
+    e = T(spark, sf_dir, "events")
+    return churn_labels(
+        e, "user_id", "ts", _CHURN_CUTOFF, 10 * 86400, value_col="value"
+    )
+
+
+ORACLE_EVENTS_CHURN = rf"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events),
+pre AS (
+  SELECT user_id AS key, COUNT(*) AS n_events,
+         COUNT(DISTINCT t // 86400) AS n_active_days,
+         MAX(t) AS last_t,
+         SUM(CAST(round(value, 9) AS DECIMAL(28,9))) AS tv
+  FROM e WHERE t < {_CHURN_CUTOFF} GROUP BY user_id),
+post AS (
+  SELECT DISTINCT user_id AS key FROM e
+  WHERE t >= {_CHURN_CUTOFF} AND t < {_CHURN_CUTOFF + 10 * 86400})
+SELECT p.key, p.n_events, p.n_active_days,
+       CAST(floor(({_CHURN_CUTOFF} - p.last_t) / 86400.0) AS BIGINT)
+         AS days_since_last,
+       round(CAST(p.tv AS DOUBLE), 6) AS total_value,
+       post.key IS NULL AS churned
+FROM pre p LEFT JOIN post USING (key)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -10295,6 +10422,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi": q_drift_psi,
     "orders_ltv": q_orders_ltv,
     "dedup_savings": q_dedup_savings,
+    # round-4 session-18i additions: posting delta compression,
+    # extractive summarization, churn label builder.
+    "text_postings_delta": q_text_postings_delta,
+    "text_summary": q_text_summary,
+    "events_churn": q_events_churn,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -10616,6 +10748,9 @@ ORACLES: dict[str, str] = {
     "drift_psi": ORACLE_DRIFT_PSI,
     "orders_ltv": ORACLE_ORDERS_LTV,
     "dedup_savings": ORACLE_DEDUP_SAVINGS,
+    "text_postings_delta": ORACLE_TEXT_POSTINGS_DELTA,
+    "text_summary": ORACLE_TEXT_SUMMARY,
+    "events_churn": ORACLE_EVENTS_CHURN,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -309,3 +309,143 @@ def build_postings(
     if max_df is not None:
         out = out.filter(F.col("df") <= max_df)
     return out
+
+
+def postings_delta(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Delta + varint compression audit of the inverted index (the
+    gap-encoding every posting-list format from VByte to PForDelta
+    builds on): per term, the doc-ordered posting list becomes first-id
+    + ascending gaps; bytes are costed under 7-bit varint vs raw
+    8-byte ids.
+
+    Byte counting is ALL-INTEGER (CASE thresholds at 2^7, 2^14, 2^21,
+    2^28 — no float log), so the audit replays exactly.
+
+    -> (term, df, raw_bytes, varint_bytes, ratio) with ratio rounded.
+
+    Scale shape: (doc, term) distinct + term-keyed collect bounded by
+    the same first-class ``max_df`` stopword guard as build_postings;
+    the gap/byte math is per-term array codegen.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    dt = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    per = dt.groupBy("term").agg(
+        F.sort_array(F.collect_list(F.col("doc").cast("bigint"))).alias("ids"),
+        F.count("*").alias("df"),
+    )
+    per = per.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        per = per.filter(F.col("df") <= max_df)
+    gaps = F.transform(
+        F.sequence(F.lit(1), F.size("ids")),
+        lambda j: F.element_at(F.col("ids"), j)
+        - F.when(j == 1, F.lit(0)).otherwise(
+            F.element_at(F.col("ids"), j - 1)
+        ),
+    )
+    vbytes = F.aggregate(
+        gaps,
+        F.lit(0).cast("bigint"),
+        lambda acc, g: acc
+        + F.when(g < 128, F.lit(1))
+        .when(g < 16384, F.lit(2))
+        .when(g < 2097152, F.lit(3))
+        .when(g < 268435456, F.lit(4))
+        .otherwise(F.lit(5)),
+    )
+    return per.select(
+        "term",
+        "df",
+        (F.col("df") * 8).alias("raw_bytes"),
+        vbytes.alias("varint_bytes"),
+        F.round(vbytes / (F.col("df") * 8.0), 6).alias("ratio"),
+    )
+
+
+def extractive_summary(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit_tokens: int = 10,
+    top_k: int = 2,
+) -> DataFrame:
+    """Extractive summarization, degree-centrality form (the first
+    TextRank iteration, which on similarity graphs this dense already
+    fixes the ranking): documents split into ``unit_tokens``-token
+    units; unit score = Σ over OTHER units of the distinct-token
+    overlap |Ti ∩ Tj|; top-``top_k`` units win (ties to the earlier
+    unit) — the units other units keep re-stating are the summary.
+
+    -> (id, unit_idx, score, unit_text), ``top_k`` rows per document.
+
+    Scale shape: chunking is zero-shuffle array codegen; the pair
+    stage joins UNITS WITHIN A DOCUMENT only (doc-keyed equi-join,
+    ~ (len/unit)^2 rows per doc — bounded by document length, never
+    cross-corpus); ranking is a per-doc window over those bounded
+    units.
+    """
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    units = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.when(
+                            F.size("_t") > 0,
+                            F.floor((F.size("_t") - 1) / unit_tokens),
+                        ).otherwise(F.lit(-1)),
+                    ),
+                    lambda j: F.slice("_t", j * unit_tokens + 1, unit_tokens),
+                )
+            ).alias("unit_idx", "_u"),
+        )
+        .select(
+            "id",
+            "unit_idx",
+            F.array_distinct("_u").alias("_d"),
+            F.array_join("_u", " ").alias("unit_text"),
+        )
+    )
+    a = units.select(
+        "id",
+        F.col("unit_idx").alias("ui"),
+        F.col("_d").alias("da"),
+        F.col("unit_text").alias("ta"),
+    )
+    b = units.select(
+        "id", F.col("unit_idx").alias("uj"), F.col("_d").alias("db")
+    )
+    scored = (
+        a.join(b, "id")
+        .filter(F.col("ui") != F.col("uj"))
+        .groupBy("id", "ui", "ta")
+        .agg(
+            F.sum(F.size(F.array_intersect("da", "db"))).alias("score")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("ui"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_k)
+        .select(
+            "id",
+            F.col("ui").alias("unit_idx"),
+            "score",
+            F.col("ta").alias("unit_text"),
+        )
+    )

@@ -536,3 +536,63 @@ def cohort_ltv(
             ).alias("ltv"),
         )
     )
+
+
+def churn_labels(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cutoff_epoch: int,
+    horizon_seconds: int,
+    value_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Leakage-safe churn training-table builder: features summarize
+    each key's activity STRICTLY BEFORE the cutoff instant; the label
+    is whether the key had NO event in [cutoff, cutoff + horizon) —
+    the point-in-time discipline that keeps the label's future out of
+    the features (the asof_join/feature-store correctness rule, batch
+    form).
+
+    -> (key, n_events, n_active_days, days_since_last, total_value,
+       churned); keys with no pre-cutoff activity are excluded (no
+    features to learn from).
+
+    Scale shape: one key-keyed aggregate per side of the cutoff (both
+    filters push to the scan) + one left join; label NULL never
+    occurs — absence of post-cutoff rows IS the positive label.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    val = (
+        F.round(F.col(value_col), 9).cast("decimal(28,9)")
+        if value_col
+        else F.lit(1).cast("decimal(28,9)")
+    )
+    pre = (
+        events.filter(t < cutoff_epoch)
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.floor(t / 86400)).alias("n_active_days"),
+            F.max(t).alias("_last"),
+            F.sum(val).alias("_tv"),
+        )
+    )
+    post = (
+        events.filter(
+            (t >= cutoff_epoch) & (t < cutoff_epoch + horizon_seconds)
+        )
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn("_active", F.lit(1))
+    )
+    return pre.join(post, "key", "left").select(
+        "key",
+        "n_events",
+        "n_active_days",
+        F.floor((F.lit(cutoff_epoch) - F.col("_last")) / 86400).alias(
+            "days_since_last"
+        ),
+        F.round(F.col("_tv").cast("double"), decimals).alias("total_value"),
+        F.col("_active").isNull().alias("churned"),
+    )

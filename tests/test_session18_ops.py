@@ -720,3 +720,66 @@ def test_dedup_savings_exact_bytes(spark):
     # bytes: 11 + 12 + 11 = 34 total, keep the smallest (11) -> 23 saved
     assert out[3].bytes_total == 34 and out[3].bytes_saved == 23
     assert out[1].n_groups == 1 and out[1].bytes_saved == 0
+
+
+def test_postings_delta_varint_math(spark):
+    from graph_importer_spark.operators.retrieval import postings_delta
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (200, "alpha beta"), (40000, "alpha")],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in postings_delta(d, "doc_id", "text", min_df=2).collect()}
+    a = out["alpha"]
+    # gaps: 1, 1, 198, 39800 -> varint bytes 1 + 1 + 2 + 3 = 7
+    assert a.df == 4 and a.raw_bytes == 32 and a.varint_bytes == 7
+    b = out["beta"]
+    # gaps: 1, 199 -> 1 + 2 = 3
+    assert b.varint_bytes == 3
+    assert b.ratio == pytest.approx(3 / 16, abs=1e-6)
+
+
+def test_extractive_summary_prefers_restated_unit(spark):
+    from graph_importer_spark.operators.retrieval import extractive_summary
+
+    # unit 0 shares tokens with units 1 and 2; unit 3 is disjoint
+    text = " ".join(
+        ["cat dog fox owl bat elk hen ram sow ewe"]      # unit 0
+        + ["cat dog fox owl bat one two three four five"]  # unit 1
+        + ["elk hen ram sow ewe six seven eight nine ten"]  # unit 2
+        + ["zz yy xx ww vv uu tt ss rr qq"]               # unit 3
+    )
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extractive_summary(d, "doc_id", "text", unit_tokens=10, top_k=2).collect()
+    got = {(r.unit_idx, r.score) for r in out}
+    # unit 0 overlaps 5 + 5 = 10; units 1 and 2 overlap 5 each
+    assert (0, 10) in got
+    assert all(r.unit_idx != 3 for r in out)
+    # ties broken by position: second place is unit 1 (5), not unit 2
+    assert (1, 5) in got
+
+
+def test_churn_labels_point_in_time(spark):
+    from graph_importer_spark.operators.timeseries import churn_labels
+
+    cutoff = int(dt.datetime(2024, 1, 20).timestamp())
+    rows = [
+        (1, dt.datetime(2024, 1, 10), 2.0),   # active pre, silent post -> churned
+        (2, dt.datetime(2024, 1, 15), 3.0),
+        (2, dt.datetime(2024, 1, 22), 1.0),   # returns within horizon
+        (3, dt.datetime(2024, 1, 25), 9.0),   # post-only -> excluded
+        (4, dt.datetime(2024, 1, 1), 1.0),
+        (4, dt.datetime(2024, 2, 5), 1.0),    # returns AFTER horizon -> churned
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        r.key: r
+        for r in churn_labels(
+            e, "user_id", "ts", cutoff, 10 * 86400, value_col="value"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}  # user 3 has no pre-cutoff features
+    assert out[1].churned and not out[2].churned and out[4].churned
+    assert out[1].days_since_last == 10
+    assert out[2].total_value == 3.0  # post-cutoff value never leaks
+    assert out[4].n_events == 1
