@@ -229,6 +229,10 @@ HEADLINE = [
     "text_postings_delta",
     "text_summary",
     "events_churn",
+    "events_json_schema",
+    "graph_quotient",
+    "graph_shortest_path",
+    "eval_kappa",
 ]
 
 

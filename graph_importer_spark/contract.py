@@ -10305,6 +10305,257 @@ FROM pre p LEFT JOIN post USING (key)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18j: JSON schema inference, quotient graph,
+# shortest-path trace, Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def q_events_json_schema(spark, sf_dir):
+    """Semi-structured schema inference (profiling.
+    json_schema_profile) over four synthesized payload variants with
+    a planted type conflict and a JSON null; the oracle replays the
+    key census and the majority-type election."""
+    from graph_importer_spark.operators.profiling import json_schema_profile
+
+    e = T(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    i = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    j = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"a": '), s(i % 50), F.lit(', "b": "s'), s(i % 7),
+                F.lit('", "c": true}'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('{"a": '), s(i % 50), F.lit(', "b": "s'), s(i % 7),
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(F.lit('{"a": "notnum", "d": '), s(i % 9), F.lit("}")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"a": '), s(i % 50), F.lit(', "c": false, "e": null}')
+            )
+        )
+    )
+    return json_schema_profile(e.select(j.alias("payload")), "payload")
+
+
+ORACLE_EVENTS_JSON_SCHEMA = r"""
+WITH e AS (
+  SELECT CASE
+    WHEN event_id % 4 = 0 THEN '{"a": ' || CAST(event_id % 50 AS VARCHAR)
+      || ', "b": "s' || CAST(event_id % 7 AS VARCHAR) || '", "c": true}'
+    WHEN event_id % 4 = 1 THEN '{"a": ' || CAST(event_id % 50 AS VARCHAR)
+      || ', "b": "s' || CAST(event_id % 7 AS VARCHAR) || '"}'
+    WHEN event_id % 4 = 2 THEN '{"a": "notnum", "d": '
+      || CAST(event_id % 9 AS VARCHAR) || '}'
+    ELSE '{"a": ' || CAST(event_id % 50 AS VARCHAR)
+      || ', "c": false, "e": null}' END AS j
+  FROM events),
+tot AS (SELECT COUNT(*) AS n FROM e),
+kv AS (
+  SELECT u.k AS key, json_extract_string(e.j, '$.' || u.k) AS v
+  FROM e, UNNEST(json_keys(e.j)) u(k)),
+per AS (
+  SELECT key, COUNT(*) AS n_present,
+         SUM(CASE WHEN regexp_matches(COALESCE(v, ''),
+                   '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS n_number,
+         SUM(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END) AS n_bool,
+         SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+         SUM(CASE WHEN v IS NOT NULL AND v NOT IN ('true', 'false')
+                   AND NOT regexp_matches(v, '^-?[0-9]+(\.[0-9]+)?$')
+                  THEN 1 ELSE 0 END) AS n_string
+  FROM kv GROUP BY key),
+w AS (
+  SELECT key, n_present, n_number, n_bool, n_null, n_string,
+         GREATEST(n_number, n_bool, n_null, n_string) AS mx
+  FROM per)
+SELECT key, n_present,
+       round(CAST(n_present AS DOUBLE) / tot.n, 6) AS presence,
+       n_number, n_bool, n_null, n_string,
+       CASE WHEN n_bool = mx THEN 'boolean'
+            WHEN n_null = mx THEN 'null'
+            WHEN n_number = mx THEN 'number'
+            ELSE 'string' END AS inferred_type
+FROM w, tot
+"""
+
+
+def q_graph_quotient(spark, sf_dir):
+    """Community contraction (analytics.quotient_graph): the
+    co-purchase graph collapsed under a deterministic 8-community
+    assignment; the oracle replays the endpoint mapping and the
+    canonical (ca<=cb) pair counts."""
+    from graph_importer_spark.operators.analytics import quotient_graph
+
+    e = _copurchase_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    assign = verts.select("id", (F.col("id") % 8).alias("community"))
+    return quotient_graph(e, assign, "id", "community")
+
+
+ORACLE_GRAPH_QUOTIENT = f"""
+WITH {_COPURCHASE_SQL}
+SELECT LEAST(a % 8, b % 8) AS ca, GREATEST(a % 8, b % 8) AS cb,
+       COUNT(*) AS n_edges
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_graph_shortest_path(spark, sf_dir):
+    """Deterministic shortest-path trace (analytics.
+    shortest_path_trace) between the min and max vertices of the
+    l_orderkey<600 co-purchase subgraph; the oracle replays the BFS
+    layers, the min-predecessor parents, and the backtrack walk."""
+    from graph_importer_spark.operators.analytics import shortest_path_trace
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 600)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    ends = e.agg(
+        F.least(F.min("src"), F.min("dst")).alias("lo"),
+        F.greatest(F.max("src"), F.max("dst")).alias("hi"),
+    ).collect()[0]
+    return shortest_path_trace(e, ends.lo, ends.hi, max_hops=8)
+
+
+ORACLE_GRAPH_SHORTEST_PATH = r"""
+WITH RECURSIVE
+li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 600),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+sd AS MATERIALIZED (
+  SELECT MIN(u) AS s, MAX(u) AS t FROM (SELECT DISTINCT u FROM adj)),
+bfs(id, d) AS (
+  SELECT s, 0 FROM sd
+  UNION
+  SELECT adj.v, b.d + 1 FROM bfs b JOIN adj ON adj.u = b.id WHERE b.d < 8),
+m AS MATERIALIZED (SELECT id, MIN(d) AS d FROM bfs GROUP BY id),
+par AS MATERIALIZED (
+  SELECT mv.id, MIN(adj.u) AS parent
+  FROM adj JOIN m mu ON mu.id = adj.u JOIN m mv ON mv.id = adj.v
+  WHERE mu.d = mv.d - 1 GROUP BY mv.id),
+wk(step, v) AS (
+  SELECT 0, t FROM sd WHERE EXISTS (SELECT 1 FROM m, sd WHERE m.id = sd.t)
+  UNION ALL
+  SELECT wk.step + 1, par.parent
+  FROM wk JOIN par ON par.id = wk.v, sd
+  WHERE wk.v <> sd.s)
+SELECT sd.s AS src, sd.t AS dst,
+       CAST((SELECT d FROM m, sd WHERE m.id = sd.t) AS INT) AS dist,
+       (SELECT list(v ORDER BY step DESC) FROM wk) AS path
+FROM sd
+WHERE EXISTS (SELECT 1 FROM m, sd WHERE m.id = sd.t)
+"""
+
+
+def q_eval_kappa(spark, sf_dir):
+    """Cohen's kappa (evalmetrics.cohen_kappa) over two md5-coined
+    annotator columns with planted 70% agreement; exact integer
+    count ratios, rounded kappa."""
+    from graph_importer_spark.operators.evalmetrics import cohen_kappa
+
+    o = T(spark, sf_dir, "orders")
+
+    def u32(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(prefix), F.col("o_orderkey").cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    la = u32("x") % 3
+    lb = F.when(u32("y") % 10 < 7, la).otherwise((la + 1) % 3)
+    preds = o.select(
+        F.concat(F.lit("L"), la.cast("string")).alias("a"),
+        F.concat(F.lit("L"), lb.cast("string")).alias("b"),
+    )
+    return cohen_kappa(preds, "a", "b")
+
+
+def _oracle_eval_kappa() -> str:
+    def poly(var):
+        return " + ".join(
+            f"CAST(strpos('0123456789abcdef', substring({var}, {j + 1}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    return f"""
+WITH h AS (
+  SELECT substring(md5('x' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hx,
+         substring(md5('y' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hy
+  FROM orders),
+l AS (
+  SELECT ({poly('hx')}) % 3 AS la0, ({poly('hy')}) % 10 AS coin
+  FROM h),
+p AS (
+  SELECT 'L' || CAST(la0 AS VARCHAR) AS a,
+         'L' || CAST(CASE WHEN coin < 7 THEN la0
+                          ELSE (la0 + 1) % 3 END AS VARCHAR) AS b
+  FROM l),
+pc AS (SELECT a, b, COUNT(*) AS n FROM p GROUP BY a, b),
+tot AS (
+  SELECT SUM(n) AS n,
+         SUM(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+  FROM pc),
+ma AS (SELECT a AS lbl, SUM(n) AS na FROM pc GROUP BY a),
+mb AS (SELECT b AS lbl, SUM(n) AS nb FROM pc GROUP BY b),
+pe AS (
+  SELECT SUM(COALESCE(na, 0) * COALESCE(nb, 0)) AS pp
+  FROM ma FULL JOIN mb USING (lbl))
+SELECT tot.n,
+       round(CAST(agree AS DOUBLE) / tot.n, 6) AS po,
+       round(CAST(pp AS DOUBLE) / (tot.n * tot.n), 6) AS pe,
+       CASE WHEN CAST(pp AS DOUBLE) / (tot.n * tot.n) < 1.0
+            THEN round((CAST(agree AS DOUBLE) / tot.n
+                        - CAST(pp AS DOUBLE) / (tot.n * tot.n))
+                       / (1.0 - CAST(pp AS DOUBLE) / (tot.n * tot.n)), 6)
+       END AS kappa
+FROM tot, pe
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -10427,6 +10678,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_postings_delta": q_text_postings_delta,
     "text_summary": q_text_summary,
     "events_churn": q_events_churn,
+    # round-4 session-18j additions: JSON schema inference, quotient
+    # graph, shortest-path trace, Cohen's kappa.
+    "events_json_schema": q_events_json_schema,
+    "graph_quotient": q_graph_quotient,
+    "graph_shortest_path": q_graph_shortest_path,
+    "eval_kappa": q_eval_kappa,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -10751,6 +11008,10 @@ ORACLES: dict[str, str] = {
     "text_postings_delta": ORACLE_TEXT_POSTINGS_DELTA,
     "text_summary": ORACLE_TEXT_SUMMARY,
     "events_churn": ORACLE_EVENTS_CHURN,
+    "events_json_schema": ORACLE_EVENTS_JSON_SCHEMA,
+    "graph_quotient": ORACLE_GRAPH_QUOTIENT,
+    "graph_shortest_path": ORACLE_GRAPH_SHORTEST_PATH,
+    "eval_kappa": _oracle_eval_kappa(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

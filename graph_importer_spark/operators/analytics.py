@@ -2303,3 +2303,104 @@ def double_sweep_diameter(
         .crossJoin(far.select(F.col("id").alias("far"), "ecc1"))
         .crossJoin(s2)
     )
+
+
+def quotient_graph(
+    edges: DataFrame,
+    assign: DataFrame,
+    id_col: str = "id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Community contraction: collapse a vertex->community assignment
+    (from lpa / slpa / cc / any clustering) into the quotient
+    super-graph — one row per community pair with the edge count
+    between them, self-pairs carrying the internal-edge count.  The
+    coarsening step of every multilevel graph algorithm (Louvain's
+    phase 2, METIS coarsening, graph summarization).
+
+    -> (ca, cb, n_edges) with ca <= cb (ca = cb for internal edges).
+
+    Scale shape: two id-keyed joins map endpoints to communities
+    (assignment tables are vertex-sized — broadcast when they fit,
+    AQE otherwise) + ONE (ca, cb) partial-agg count; the quotient has
+    at most |communities|^2 rows.
+    """
+    und = _undirected(edges)
+    sa = assign.select(
+        F.col(id_col).alias("a"), F.col(comm_col).alias("_ca")
+    )
+    sb = assign.select(
+        F.col(id_col).alias("b"), F.col(comm_col).alias("_cb")
+    )
+    j = und.join(sa, "a").join(sb, "b")
+    return (
+        j.select(
+            F.least("_ca", "_cb").alias("ca"),
+            F.greatest("_ca", "_cb").alias("cb"),
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def shortest_path_trace(
+    edges: DataFrame, src_id, dst_id, max_hops: int = 8
+) -> DataFrame:
+    """One explicit shortest path between two vertices with the hop
+    sequence reconstructed (the "how are X and Y connected?" KG
+    query; sssp/k_hop report distances only).  BFS layers record each
+    vertex's minimum-id predecessor; backtracking follows those
+    pointers, so the returned path is THE deterministic lexico-min
+    shortest path.
+
+    -> one row (src, dst, dist, path array<id>); no row when dst is
+    unreachable within ``max_hops``.
+
+    Scale shape: the BFS is the k_hop loop (frontier join + visited
+    anti-join + per-round checkpoint) carrying one extra min_by
+    (parent) column; backtracking joins the dist-keyed visited table
+    <= dist times on single-row frames.
+    """
+    cu = _undirected(edges)
+    und = cu.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(cu.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(src_id, 0, None)], "id long, d int, parent long"
+    )
+    visited = frontier
+    found = None
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["id"] == und["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(frontier["id"]).alias("parent"))
+            .withColumn("d", F.lit(hop))
+            .join(visited.select("id"), ["id"], "left_anti")
+            .select("id", "d", "parent")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        if nxt.filter(F.col("id") == dst_id).count() > 0:
+            found = hop
+            break
+    hit = visited.filter(F.col("id") == dst_id).collect()
+    if not hit and src_id != dst_id:
+        return spark.createDataFrame(
+            [], "src long, dst long, dist int, path array<bigint>"
+        )
+    dist = 0 if src_id == dst_id else hit[0].d
+    path = [dst_id]
+    cur = dst_id
+    for _ in range(dist):
+        cur = visited.filter(F.col("id") == cur).collect()[0].parent
+        path.append(cur)
+    path.reverse()
+    return spark.createDataFrame(
+        [(src_id, dst_id, dist, [int(p) for p in path])],
+        "src long, dst long, dist int, path array<bigint>",
+    )

@@ -311,3 +311,53 @@ def regression_metrics(
         F.round(F.col("_sbias").cast("double") / n, decimals).alias("bias"),
         F.when(sst > 0, F.round(F.lit(1.0) - sse / sst, decimals)).alias("r2"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame, a_col: str, b_col: str, decimals: int = 6
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement over two label columns:
+    observed agreement corrected for the chance agreement implied by
+    each rater's marginal label distribution — the label-quality gate
+    before training on human (or LLM-judge) annotations.
+
+    -> one row (n, po, pe, kappa); kappa NULL when pe = 1 (both
+    raters constant — agreement is undefined, not 1.0).
+
+    Determinism: po/pe are exact integer-count ratios; kappa rounds.
+
+    Scale shape: ONE (a, b) pair aggregate (bounded by |labels|^2)
+    does the corpus work; marginals and the scalar fold run on that
+    summary.
+    """
+    pairs = df.groupBy(
+        F.col(a_col).alias("la"), F.col(b_col).alias("lb")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    ma = pairs.groupBy(F.col("la").alias("lbl")).agg(F.sum("n").alias("na"))
+    mb = pairs.groupBy(F.col("lb").alias("lbl")).agg(F.sum("n").alias("nb"))
+    pe_tbl = (
+        ma.join(mb, "lbl", "full")
+        .select(
+            (
+                F.coalesce("na", F.lit(0)) * F.coalesce("nb", F.lit(0))
+            ).alias("_prod")
+        )
+        .agg(F.sum("_prod").alias("_pp"))
+    )
+    out = tot.crossJoin(F.broadcast(pe_tbl))
+    po = F.col("agree") / F.col("n")
+    pe = F.col("_pp") / (F.col("n") * F.col("n"))
+    return out.select(
+        "n",
+        F.round(po, decimals).alias("po"),
+        F.round(pe, decimals).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), decimals)).alias(
+            "kappa"
+        ),
+    )

@@ -200,3 +200,67 @@ def psi_drift(
         F.round(q, decimals).alias("p_cur"),
         F.round((p - q) * F.log(p / q), decimals).alias("contrib"),
     )
+
+
+def json_schema_profile(
+    df: DataFrame, json_col: str, decimals: int = 6
+) -> DataFrame:
+    """Schema inference over a semi-structured JSON column (the
+    event-properties / API-payload profiling step before a schema is
+    frozen): per key, presence across rows and the value-type census
+    (number / boolean / null / string from the serialized form),
+    with the majority type as the inferred column type (ties break to
+    the lexicographically smaller type name).
+
+    -> (key, n_present, presence, n_number, n_bool, n_null, n_string,
+       inferred_type).
+
+    Scale shape: one parse + explode of the key-value map (fan-out =
+    keys per row, payload-bounded) into ONE key-keyed partial
+    aggregate; the denominator is a 1-row broadcast count.
+    """
+    m = F.from_json(F.col(json_col), "map<string,string>")
+    kv = df.select(F.explode(m).alias("key", "v"))
+    is_null = F.col("v").isNull()
+    # null-safe predicates: rlike(NULL) is NULL, and summing NULL
+    # casts collapses an all-null key's count to NULL instead of 0
+    is_bool = F.coalesce(F.col("v").isin("true", "false"), F.lit(False))
+    is_num = F.coalesce(
+        F.col("v").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), F.lit(False)
+    )
+    per = kv.groupBy("key").agg(
+        F.count("*").alias("n_present"),
+        F.sum(is_num.cast("bigint")).alias("n_number"),
+        F.sum((is_bool & ~is_null).cast("bigint")).alias("n_bool"),
+        F.sum(is_null.cast("bigint")).alias("n_null"),
+        F.sum(
+            (~is_null & ~is_bool & ~is_num).cast("bigint")
+        ).alias("n_string"),
+    )
+    tot = df.select(F.count("*").alias("_n")).withColumn("_j", F.lit(1))
+    per = per.withColumn("_j", F.lit(1)).join(F.broadcast(tot), "_j").drop("_j")
+    counts = F.array(
+        F.struct(F.col("n_bool").alias("n"), F.lit("boolean").alias("t")),
+        F.struct(F.col("n_null").alias("n"), F.lit("null").alias("t")),
+        F.struct(F.col("n_number").alias("n"), F.lit("number").alias("t")),
+        F.struct(F.col("n_string").alias("n"), F.lit("string").alias("t")),
+    )
+    # majority type: max count, ties to the MIN type name (a reversed
+    # array_sort would reverse the tie order too — pick explicitly)
+    maxn = F.array_max(F.transform(counts, lambda s: s.getField("n")))
+    winner = F.array_min(
+        F.transform(
+            F.filter(counts, lambda s: s.getField("n") == maxn),
+            lambda s: s.getField("t"),
+        )
+    )
+    return per.select(
+        "key",
+        "n_present",
+        F.round(F.col("n_present") / F.col("_n"), decimals).alias("presence"),
+        "n_number",
+        "n_bool",
+        "n_null",
+        "n_string",
+        winner.alias("inferred_type"),
+    )

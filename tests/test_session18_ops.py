@@ -783,3 +783,73 @@ def test_churn_labels_point_in_time(spark):
     assert out[1].days_since_last == 10
     assert out[2].total_value == 3.0  # post-cutoff value never leaks
     assert out[4].n_events == 1
+
+
+def test_json_schema_profile_types(spark):
+    from graph_importer_spark.operators.profiling import json_schema_profile
+
+    rows = [
+        ('{"a": 1, "b": "x", "c": true}',),
+        ('{"a": 2.5, "b": "y"}',),
+        ('{"a": "oops", "d": null}',),
+        ('{"c": false}',),
+    ]
+    d = spark.createDataFrame(rows, "payload string")
+    out = {r.key: r for r in json_schema_profile(d, "payload").collect()}
+    assert out["a"].n_present == 3 and out["a"].n_number == 2
+    assert out["a"].inferred_type == "number" and out["a"].n_string == 1
+    assert out["b"].inferred_type == "string"
+    assert out["c"].n_bool == 2 and out["c"].inferred_type == "boolean"
+    assert out["d"].n_null == 1 and out["d"].inferred_type == "null"
+    assert out["c"].presence == pytest.approx(0.5)
+
+
+def test_quotient_graph_counts(spark):
+    from graph_importer_spark.operators.analytics import quotient_graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], "id long, community long"
+    )
+    out = {(r.ca, r.cb): r.n_edges for r in quotient_graph(e, assign).collect()}
+    assert out[(10, 10)] == 1   # 1-2
+    assert out[(20, 20)] == 1   # 3-4
+    assert out[(10, 20)] == 3   # 2-3, 4-1, 1-3
+
+
+def test_shortest_path_trace_on_path_graph(spark):
+    from graph_importer_spark.operators.analytics import shortest_path_trace
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)], "src long, dst long"
+    )
+    r = shortest_path_trace(e, 1, 4, max_hops=5).collect()[0]
+    assert r.dist == 2
+    # two shortest paths (1-3?-no; 1-2-3-4 is len 3; 1-5-4 len 2)
+    assert r.path == [1, 5, 4]
+    # unreachable -> empty frame
+    e2 = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    assert shortest_path_trace(e2, 1, 4, max_hops=4).count() == 0
+
+
+def test_cohen_kappa_bounds(spark):
+    from graph_importer_spark.operators.evalmetrics import cohen_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+    )
+    r = cohen_kappa(perfect, "a", "b").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+    constant = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    r2 = cohen_kappa(constant, "a", "b").collect()[0]
+    assert r2.kappa is None  # pe = 1 -> undefined, not 1.0
+    # independent raters -> kappa near 0 territory (just check range)
+    mixed = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")], "a string, b string"
+    )
+    r3 = cohen_kappa(mixed, "a", "b").collect()[0]
+    assert r3.po == 0.5 and r3.pe == 0.5 and r3.kappa == 0.0
