@@ -233,6 +233,10 @@ HEADLINE = [
     "graph_quotient",
     "graph_shortest_path",
     "eval_kappa",
+    "eval_confusion",
+    "text_hard_negatives",
+    "graph_cc_sizes",
+    "kg_redirects",
 ]
 
 

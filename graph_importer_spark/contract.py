@@ -10556,6 +10556,205 @@ FROM tot, pe
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18k: confusion metrics, hard-negative mining,
+# component size distribution, redirect resolution
+# ---------------------------------------------------------------------------
+
+
+def q_eval_confusion(spark, sf_dir):
+    """Per-class confusion metrics (evalmetrics.confusion_metrics)
+    over md5-coined 3-class labels with 70% agreement; exact counts,
+    NULL-not-zero undefined ratios."""
+    from graph_importer_spark.operators.evalmetrics import confusion_metrics
+
+    o = T(spark, sf_dir, "orders")
+
+    def u32(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(prefix), F.col("o_orderkey").cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    la = u32("cx") % 3
+    lb = F.when(u32("cy") % 10 < 7, la).otherwise((la + 1) % 3)
+    preds = o.select(
+        F.concat(F.lit("L"), la.cast("string")).alias("label"),
+        F.concat(F.lit("L"), lb.cast("string")).alias("pred"),
+    )
+    return confusion_metrics(preds, "label", "pred")
+
+
+def _oracle_eval_confusion() -> str:
+    def poly(var):
+        return " + ".join(
+            f"CAST(strpos('0123456789abcdef', substring({var}, {j + 1}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    return f"""
+WITH h AS (
+  SELECT substring(md5('cx' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hx,
+         substring(md5('cy' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hy
+  FROM orders),
+l AS (SELECT ({poly('hx')}) % 3 AS la0, ({poly('hy')}) % 10 AS coin FROM h),
+p AS (
+  SELECT 'L' || CAST(la0 AS VARCHAR) AS lbl,
+         'L' || CAST(CASE WHEN coin < 7 THEN la0
+                          ELSE (la0 + 1) % 3 END AS VARCHAR) AS prd
+  FROM l),
+m AS (SELECT lbl, prd, COUNT(*) AS n FROM p GROUP BY lbl, prd),
+diag AS (SELECT lbl AS cls, n AS tp FROM m WHERE lbl = prd),
+rows_ AS (SELECT lbl AS cls, SUM(n) AS support FROM m GROUP BY lbl),
+cols_ AS (SELECT prd AS cls, SUM(n) AS predicted FROM m GROUP BY prd),
+j AS (
+  SELECT COALESCE(rows_.cls, cols_.cls) AS cls,
+         COALESCE(tp, 0) AS tp,
+         COALESCE(predicted, 0) - COALESCE(tp, 0) AS fp,
+         COALESCE(support, 0) - COALESCE(tp, 0) AS fn,
+         COALESCE(support, 0) AS support
+  FROM rows_ FULL JOIN cols_ USING (cls) LEFT JOIN diag USING (cls))
+SELECT cls, tp, fp, fn, support,
+       CASE WHEN tp + fp > 0
+            THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       CASE WHEN support > 0
+            THEN round(CAST(tp AS DOUBLE) / support, 6) END AS recall,
+       CASE WHEN tp + fp > 0 AND support > 0
+             AND CAST(tp AS DOUBLE) / (tp + fp)
+                 + CAST(tp AS DOUBLE) / support > 0
+            THEN round(2 * (CAST(tp AS DOUBLE) / (tp + fp))
+                         * (CAST(tp AS DOUBLE) / support)
+                       / (CAST(tp AS DOUBLE) / (tp + fp)
+                          + CAST(tp AS DOUBLE) / support), 6) END AS f1
+FROM j
+"""
+
+
+_HN_TERMS = ("merge", "spark", "window")
+
+
+def q_text_hard_negatives(spark, sf_dir):
+    """BM25 hard-negative mining (retrieval.hard_negatives): the
+    relevance labels are an independent truth set (doc_id % 4 == 0 —
+    labels never come from the ranker itself), so the 5 best-ranked
+    UNLABELED documents are the hard negatives; the oracle replays
+    the full BM25 run, the rank numbering, and the re-numbering
+    after the anti-join."""
+    from graph_importer_spark.operators.retrieval import hard_negatives
+
+    d = T(spark, sf_dir, "documents")
+    rel = d.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return hard_negatives(
+        d, "doc_id", "text", list(_HN_TERMS), rel, k=20, n_neg=5
+    )
+
+
+def _oracle_text_hard_negatives() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, n_terms, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+           AS rank
+  FROM ({_oracle_bm25(_HN_TERMS, 20)})),
+rel AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+neg AS (
+  SELECT r.* FROM ranked r ANTI JOIN rel USING (doc_id))
+SELECT doc_id, n_terms, score, rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank) AS INT) AS neg_rank
+FROM neg QUALIFY neg_rank <= 5
+"""
+
+
+def q_graph_cc_sizes(spark, sf_dir):
+    """Component-size distribution (analytics.
+    component_size_distribution) over the cc_star labeling (customer +
+    their orders = one component each); the oracle computes each
+    component's size directly from the star structure."""
+    from graph_importer_spark.operators.analytics import (
+        component_size_distribution,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + 1000000).alias("dst"),
+    )
+    return component_size_distribution(connected_components(edges))
+
+
+ORACLE_GRAPH_CC_SIZES = """
+WITH sizes AS (
+  SELECT o_custkey, COUNT(DISTINCT o_orderkey) + 1 AS size
+  FROM orders GROUP BY o_custkey),
+tot AS (
+  SELECT COUNT(DISTINCT o_custkey) + COUNT(DISTINCT o_orderkey) AS n
+  FROM orders),
+dist AS (
+  SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY size)
+SELECT size, n_components, size * n_components AS n_nodes,
+       round(CAST(size * n_components AS DOUBLE) / tot.n, 6) AS frac_nodes
+FROM dist, tot
+"""
+
+
+def q_kg_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (analytics.
+    resolve_redirects): odd order keys chain toward 'n<key//7>' plus a
+    planted 3-cycle; the oracle replays ptr^64 with a step-bounded
+    recursive walk and the still-a-source cycle flag."""
+    from graph_importer_spark.operators.analytics import resolve_redirects
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 1)
+    chains = o.select(
+        F.concat(F.lit("n"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"), F.floor(F.col("o_orderkey") / 7).cast("string")
+        ).alias("dst"),
+    )
+    cyc = spark.range(3).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("c"), ((F.col("id") + 1) % 3).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return resolve_redirects(chains.unionByName(cyc), max_doubling=6)
+
+
+ORACLE_KG_REDIRECTS = r"""
+WITH RECURSIVE r AS (
+  SELECT 'n' || CAST(o_orderkey AS VARCHAR) AS src,
+         'n' || CAST(o_orderkey // 7 AS VARCHAR) AS dst
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'c' || CAST(u.i AS VARCHAR), 'c' || CAST((u.i + 1) % 3 AS VARCHAR)
+  FROM UNNEST(generate_series(0, 2)) u(i)),
+ptr AS MATERIALIZED (SELECT src, MIN(dst) AS dst FROM r GROUP BY src),
+wk(src, cur, step) AS (
+  SELECT src, dst, 1 FROM ptr
+  UNION ALL
+  SELECT wk.src, p.dst, wk.step + 1
+  FROM wk JOIN ptr p ON p.src = wk.cur WHERE wk.step < 64),
+fin AS (
+  SELECT src, MAX(step) AS ms FROM wk GROUP BY src)
+SELECT wk.src, wk.cur AS target,
+       wk.cur IN (SELECT src FROM ptr) AS is_cycle
+FROM wk JOIN fin ON fin.src = wk.src AND fin.ms = wk.step
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -10684,6 +10883,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_quotient": q_graph_quotient,
     "graph_shortest_path": q_graph_shortest_path,
     "eval_kappa": q_eval_kappa,
+    # round-4 session-18k additions: confusion metrics, hard-negative
+    # mining, component sizes, redirect resolution.
+    "eval_confusion": q_eval_confusion,
+    "text_hard_negatives": q_text_hard_negatives,
+    "graph_cc_sizes": q_graph_cc_sizes,
+    "kg_redirects": q_kg_redirects,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -11012,6 +11217,10 @@ ORACLES: dict[str, str] = {
     "graph_quotient": ORACLE_GRAPH_QUOTIENT,
     "graph_shortest_path": ORACLE_GRAPH_SHORTEST_PATH,
     "eval_kappa": _oracle_eval_kappa(),
+    "eval_confusion": _oracle_eval_confusion(),
+    "text_hard_negatives": _oracle_text_hard_negatives(),
+    "graph_cc_sizes": ORACLE_GRAPH_CC_SIZES,
+    "kg_redirects": ORACLE_KG_REDIRECTS,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -2404,3 +2404,77 @@ def shortest_path_trace(
         [(src_id, dst_id, dist, [int(p) for p in path])],
         "src long, dst long, dist int, path array<bigint>",
     )
+
+
+def component_size_distribution(labels: DataFrame) -> DataFrame:
+    """Connected-component health summary from a (id, component)
+    labeling (the cc/canonicalization output): how many components of
+    each size exist and what fraction of all vertices they hold — the
+    giant-component check run after every canonicalization pass
+    (a runaway GCC means the dedup/linking threshold is too loose).
+
+    -> (size, n_components, n_nodes, frac_nodes).
+
+    Scale shape: component-keyed partial count, then a size-keyed
+    rollup over the (bounded) component table + 1-row total broadcast.
+    """
+    sizes = labels.groupBy("component").agg(F.count("*").alias("size"))
+    dist = sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+    tot = labels.groupBy().agg(F.count("*").alias("_n"))
+    return dist.crossJoin(F.broadcast(tot)).select(
+        "size",
+        "n_components",
+        (F.col("size") * F.col("n_components")).alias("n_nodes"),
+        F.round(
+            F.col("size") * F.col("n_components") / F.col("_n"), 6
+        ).alias("frac_nodes"),
+    )
+
+
+def resolve_redirects(
+    redirects: DataFrame, max_doubling: int = 6
+) -> DataFrame:
+    """Redirect/alias-chain resolution by pointer doubling (the
+    wiki-redirect normal form a KG import needs before entity ids
+    stabilize): each source follows its UNIQUE out-pointer (enforced
+    by min-dst dedup) to the chain's terminal; ``max_doubling``
+    rounds resolve chains up to 2^rounds hops in log time — the
+    Wyllie list-ranking shape, not a per-hop loop.
+
+    Sources still pointing at another SOURCE after saturation are on
+    (or feed) a cycle: flagged ``is_cycle``, target = wherever
+    ptr^(2^rounds) landed — deterministic, replayable.
+
+    -> (src, target, is_cycle).
+
+    Scale shape: each doubling round is ONE self-join of the pointer
+    table on the current target (key-partitioned equi-join,
+    checkpointed); 6 rounds cover 64-hop chains — real redirect
+    chains are < 10.
+    """
+    ptr = (
+        redirects.groupBy(F.col("src"))
+        .agg(F.min("dst").alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+    state = ptr
+    for _ in range(max_doubling):
+        nxt = state.alias("a").join(
+            state.alias("b"),
+            F.col("a.cur") == F.col("b.src"),
+            "left",
+        ).select(
+            F.col("a.src").alias("src"),
+            F.coalesce(F.col("b.cur"), F.col("a.cur")).alias("cur"),
+        )
+        state = nxt.localCheckpoint(eager=True)
+    srcs = ptr.select(F.col("src").alias("_s")).withColumn(
+        "_is_src", F.lit(True)
+    )
+    return state.join(
+        srcs, state["cur"] == srcs["_s"], "left"
+    ).select(
+        "src",
+        F.col("cur").alias("target"),
+        F.coalesce("_is_src", F.lit(False)).alias("is_cycle"),
+    )

@@ -361,3 +361,65 @@ def cohen_kappa(
             "kappa"
         ),
     )
+
+
+def confusion_metrics(
+    df: DataFrame, label_col: str, pred_col: str, decimals: int = 6
+) -> DataFrame:
+    """Per-class confusion metrics for a multi-class classifier:
+    one row per class appearing in labels or predictions, with
+    tp / fp / fn, support, precision, recall and F1 — the slice-level
+    quality report behind a single accuracy number.
+
+    Undefined ratios are NULL, never a fake 0 or 1: precision with no
+    positive predictions, recall with no support, F1 when either is
+    NULL or both are 0.
+
+    Scale shape: ONE (label, pred) aggregate (bounded |classes|^2)
+    does the corpus work; the per-class rollups run on that matrix.
+    """
+    m = df.groupBy(
+        F.col(label_col).alias("lbl"), F.col(pred_col).alias("prd")
+    ).agg(F.count("*").alias("n"))
+    diag = m.filter(F.col("lbl") == F.col("prd")).select(
+        F.col("lbl").alias("cls"), F.col("n").alias("tp")
+    )
+    rows = m.groupBy(F.col("lbl").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    cols = m.groupBy(F.col("prd").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    j = (
+        rows.join(cols, "cls", "full")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("predicted", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias(
+                "fp"
+            ),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias(
+                "fn"
+            ),
+            F.coalesce("support", F.lit(0)).alias("support"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return j.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        F.round(prec, decimals).alias("precision"),
+        F.round(rec, decimals).alias("recall"),
+        F.round(f1, decimals).alias("f1"),
+    )

@@ -449,3 +449,44 @@ def extractive_summary(
             F.col("ta").alias("unit_text"),
         )
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    relevant: DataFrame,
+    k: int = 20,
+    n_neg: int = 5,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the BM25-negatives
+    recipe behind DPR/sentence-transformers training sets): run the
+    lexical ranker, drop the known-relevant documents, keep the
+    ``n_neg`` highest-ranked survivors — documents the ranker finds
+    plausible but the labels reject, exactly the gradient-rich
+    negatives.
+
+    ``relevant`` is a one-column DataFrame of relevant doc ids.
+
+    -> (doc id, score, rank, neg_rank): ``rank`` from the full run,
+    ``neg_rank`` 1..n_neg after the anti-join.
+
+    Scale shape: bm25_topk's one-scan plan + one anti-join against
+    the (broadcastable) relevant set; the re-rank window runs over
+    <= k rows.
+    """
+    top = bm25_topk(docs, id_col, text_col, query_terms, k=k, k1=k1, b=b)
+    # rank over the <= k returned rows (bm25_topk orders but does not
+    # number); window state is bounded by k
+    wr = Window.orderBy(F.desc("score"), F.asc(id_col))
+    ranked = top.withColumn("rank", F.row_number().over(wr))
+    rel = relevant.select(F.col(relevant.columns[0]).alias(id_col))
+    neg = ranked.join(F.broadcast(rel), id_col, "left_anti")
+    w = Window.orderBy(F.asc("rank"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+    )

@@ -853,3 +853,71 @@ def test_cohen_kappa_bounds(spark):
     )
     r3 = cohen_kappa(mixed, "a", "b").collect()[0]
     assert r3.po == 0.5 and r3.pe == 0.5 and r3.kappa == 0.0
+
+
+def test_confusion_metrics_multiclass(spark):
+    from graph_importer_spark.operators.evalmetrics import confusion_metrics
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")]
+    d = spark.createDataFrame(rows, "label string, pred string")
+    out = {r.cls: r for r in confusion_metrics(d, "label", "pred").collect()}
+    assert out["a"].tp == 1 and out["a"].fp == 1 and out["a"].fn == 1
+    assert out["a"].precision == 0.5 and out["a"].recall == 0.5
+    assert out["a"].f1 == 0.5
+    assert out["b"].tp == 2 and out["b"].fp == 1 and out["b"].support == 2
+    # class never predicted: precision NULL, recall 0, f1 NULL
+    assert out["c"].precision is None and out["c"].recall == 0.0
+    assert out["c"].f1 is None
+
+
+def test_hard_negatives_excludes_relevant(spark):
+    from graph_importer_spark.operators.retrieval import hard_negatives
+
+    d = spark.createDataFrame(
+        [(i, "spark window merge " * (10 - i % 5)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    rel = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    out = hard_negatives(
+        d, "doc_id", "text", ["spark", "window"], rel, k=10, n_neg=4
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert len(out) == 4
+    assert not ({0, 1, 2} & set(ids))
+    assert [r.neg_rank for r in out] == [1, 2, 3, 4]
+    # neg_rank preserves the original rank order
+    ranks = [r.rank for r in sorted(out, key=lambda r: r.neg_rank)]
+    assert ranks == sorted(ranks)
+
+
+def test_component_size_distribution(spark):
+    from graph_importer_spark.operators.analytics import (
+        component_size_distribution,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "id long, component long",
+    )
+    out = {r.size: r for r in component_size_distribution(labels).collect()}
+    assert out[3].n_components == 1 and out[3].n_nodes == 3
+    assert out[2].n_components == 1 and out[1].n_components == 1
+    assert out[3].frac_nodes == pytest.approx(0.5)
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    from graph_importer_spark.operators.analytics import resolve_redirects
+
+    r = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "final"),
+         ("x", "y"), ("y", "x"),
+         ("q", "x")],  # feeds a cycle
+        "src string, dst string",
+    )
+    out = {row.src: row for row in resolve_redirects(r, max_doubling=4).collect()}
+    assert out["a"].target == "final" and not out["a"].is_cycle
+    assert out["b"].target == "final" and out["c"].target == "final"
+    assert out["x"].is_cycle and out["y"].is_cycle and out["q"].is_cycle
+    # determinism under repartition
+    out2 = resolve_redirects(r.repartition(5), max_doubling=4).collect()
+    assert sorted(map(tuple, out.values())) == sorted(map(tuple, out2))
