@@ -237,6 +237,9 @@ HEADLINE = [
     "text_hard_negatives",
     "graph_cc_sizes",
     "kg_redirects",
+    "dedup_pr",
+    "graph_cocitation",
+    "events_dau",
 ]
 
 

@@ -10755,6 +10755,128 @@ FROM wk JOIN fin ON fin.src = wk.src AND fin.ms = wk.step
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18l: dedup P/R measurement, co-citation/coupling,
+# DAU/WAU/MAU
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_pr(spark, sf_dir):
+    """Measured precision/recall of the SimHash near-dup path against
+    its planted ground truth (dedup.pair_pr composing the
+    dedup_simhash fixture): the row that turns 'approximate' from an
+    adjective into a number — including the one planted clone that
+    legitimately exceeds the Hamming radius (recall < 1 by design).
+    The oracle replays the whole SimHash pipeline AND the P/R
+    arithmetic."""
+    from graph_importer_spark.operators.dedup import (
+        pair_pr,
+        simhash_near_dup_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" zzqx")).alias("text"),
+    )
+    found = simhash_near_dup_pairs(
+        d.unionAll(clones), "doc_id", "text", max_hamming=5
+    )
+    truth = d.filter(F.col("doc_id") % 9 == 0).select(
+        F.col("doc_id").alias("id1"),
+        (F.col("doc_id") + 300000).alias("id2"),
+    )
+    return pair_pr(found.select("id1", "id2"), truth)
+
+
+def _oracle_dedup_pr() -> str:
+    return f"""
+WITH f0 AS ({_oracle_dedup_simhash()}),
+f AS (
+  SELECT DISTINCT LEAST(id1, id2) AS p, GREATEST(id1, id2) AS q FROM f0),
+t AS (
+  SELECT doc_id AS p, doc_id + 300000 AS q FROM documents
+  WHERE doc_id < 200 AND doc_id % 9 = 0),
+h AS (SELECT f.p, f.q FROM f SEMI JOIN t USING (p, q)),
+c AS (
+  SELECT (SELECT COUNT(*) FROM f) AS n_found,
+         (SELECT COUNT(*) FROM t) AS n_truth,
+         (SELECT COUNT(*) FROM h) AS n_hit)
+SELECT n_found, n_truth, n_hit,
+       CASE WHEN n_found > 0
+            THEN round(CAST(n_hit AS DOUBLE) / n_found, 6) END AS precision,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall
+FROM c
+"""
+
+
+def q_graph_cocitation(spark, sf_dir):
+    """Co-citation + bibliographic coupling (analytics.
+    cocitation_coupling) over the order->part reference graph; the
+    oracle replays both wedge joins and the full-outer merge."""
+    from graph_importer_spark.operators.analytics import cocitation_coupling
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 800)
+    e = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    return cocitation_coupling(e, min_count=2)
+
+
+ORACLE_GRAPH_COCITATION = r"""
+WITH e AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey % 300 AS dst
+  FROM lineitem WHERE l_orderkey < 800),
+coc AS (
+  SELECT x.dst AS a, y.dst AS b, COUNT(*) AS cocitation
+  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY x.dst, y.dst),
+cpl AS (
+  SELECT x.src AS a, y.src AS b, COUNT(*) AS coupling
+  FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY x.src, y.src),
+j AS (
+  SELECT COALESCE(coc.a, cpl.a) AS a, COALESCE(coc.b, cpl.b) AS b,
+         COALESCE(cocitation, 0) AS cocitation,
+         COALESCE(coupling, 0) AS coupling
+  FROM coc FULL JOIN cpl ON coc.a = cpl.a AND coc.b = cpl.b)
+SELECT a, b, cocitation, coupling
+FROM j WHERE cocitation >= 2 OR coupling >= 2
+"""
+
+
+def q_events_dau(spark, sf_dir):
+    """DAU / WAU / MAU grid (timeseries.active_user_counts) over the
+    30-day clickstream; the oracle replays the (user, day) collapse
+    and the trailing-window distinct counts."""
+    from graph_importer_spark.operators.timeseries import active_user_counts
+
+    e = T(spark, sf_dir, "events")
+    return active_user_counts(e, "user_id", "ts", wau_days=7, mau_days=28)
+
+
+ORACLE_EVENTS_DAU = r"""
+WITH ud AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+grid AS (
+  SELECT CAST(u.day AS BIGINT) AS day
+  FROM span, UNNEST(generate_series(span.lo, span.hi)) u(day))
+SELECT g.day,
+       COUNT(DISTINCT CASE WHEN ud.d = g.day THEN ud.k END) AS dau,
+       COUNT(DISTINCT CASE WHEN ud.d > g.day - 7 THEN ud.k END) AS wau,
+       COUNT(DISTINCT ud.k) AS mau
+FROM grid g JOIN ud ON ud.d <= g.day AND ud.d > g.day - 28
+GROUP BY g.day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -10889,6 +11011,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hard_negatives": q_text_hard_negatives,
     "graph_cc_sizes": q_graph_cc_sizes,
     "kg_redirects": q_kg_redirects,
+    # round-4 session-18l additions: measured dedup P/R, co-citation/
+    # coupling, DAU/WAU/MAU.
+    "dedup_pr": q_dedup_pr,
+    "graph_cocitation": q_graph_cocitation,
+    "events_dau": q_events_dau,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -11221,6 +11348,9 @@ ORACLES: dict[str, str] = {
     "text_hard_negatives": _oracle_text_hard_negatives(),
     "graph_cc_sizes": ORACLE_GRAPH_CC_SIZES,
     "kg_redirects": ORACLE_KG_REDIRECTS,
+    "dedup_pr": _oracle_dedup_pr(),
+    "graph_cocitation": ORACLE_GRAPH_COCITATION,
+    "events_dau": ORACLE_EVENTS_DAU,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -1111,3 +1111,38 @@ def dedup_savings(
             F.sum(F.col("_bytes") - F.col("_keep")).alias("bytes_saved"),
         )
     )
+
+
+def pair_pr(found: DataFrame, truth: DataFrame) -> DataFrame:
+    """Precision/recall of a candidate PAIR set against a ground-truth
+    pair set, order-normalized — the measurement row every
+    approximate dedup path (LSH bands, SimHash blocks, IVF buckets)
+    owes its recall knobs.  Both inputs are (id1, id2) frames.
+
+    -> one row (n_found, n_truth, n_hit, precision, recall); ratios
+    NULL when a side is empty (undefined, not 0).
+
+    Scale shape: two canonicalizing projections + ONE pair-keyed join
+    + scalar counts; pair sets are tiny relative to the corpus by
+    construction.
+    """
+
+    def canon(df):
+        a, b = df.columns[0], df.columns[1]
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("p"),
+            F.greatest(F.col(a), F.col(b)).alias("q"),
+        ).distinct()
+
+    f, t = canon(found), canon(truth)
+    hit = f.join(t, ["p", "q"], "left_semi")
+    nf = f.count()
+    nt = t.count()
+    nh = hit.count()
+    spark = found.sparkSession
+    prec = round(nh / nf, 6) if nf else None
+    rec = round(nh / nt, 6) if nt else None
+    return spark.createDataFrame(
+        [(nf, nt, nh, prec, rec)],
+        "n_found long, n_truth long, n_hit long, precision double, recall double",
+    )

@@ -596,3 +596,59 @@ def churn_labels(
         F.round(F.col("_tv").cast("double"), decimals).alias("total_value"),
         F.col("_active").isNull().alias("churned"),
     )
+
+
+def active_user_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 28,
+) -> DataFrame:
+    """DAU / WAU / MAU per calendar day (epoch-day buckets): daily,
+    trailing-``wau_days`` and trailing-``mau_days`` DISTINCT active
+    keys — the product-analytics headline counts.  Exact form:
+    distinct users cannot be summed across days, so the trailing
+    counts re-join the (user, day) activity table against the day
+    grid.
+
+    -> (day, dau, wau, mau), day = epoch day number, one row per day
+    in [min, max] activity span.
+
+    Scale shape: the corpus collapses to ONE (key, day) distinct
+    aggregate; the trailing counts fan that table out x window_days
+    (28x here — bounded, stated) into a day-keyed count-distinct.
+    At 10^9-user scale swap the exact re-join for per-day HLL
+    sketches merged across the window (sketches.hll_build registers
+    are union-mergeable) — same grid, approximate counts.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    ud = (
+        events.select(F.col(key_col).alias("_k"), day.alias("_d"))
+        .distinct()
+    )
+    span = ud.agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    grid = span.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day")
+    )
+    fan = ud.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_d"), F.col("_d") + F.lit(mau_days - 1))
+        ).alias("day"),
+        F.col("_d").alias("_active_day"),
+    )
+    per = fan.join(grid, "day", "left_semi").groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("_active_day") == F.col("day"), F.col("_k"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("_active_day") > F.col("day") - wau_days, F.col("_k")
+            )
+        ).alias("wau"),
+        F.countDistinct("_k").alias("mau"),
+    )
+    return per

@@ -921,3 +921,58 @@ def test_resolve_redirects_chains_and_cycles(spark):
     # determinism under repartition
     out2 = resolve_redirects(r.repartition(5), max_doubling=4).collect()
     assert sorted(map(tuple, out.values())) == sorted(map(tuple, out2))
+
+
+def test_pair_pr_counts(spark):
+    from graph_importer_spark.operators.dedup import pair_pr
+
+    found = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], "id1 long, id2 long"
+    )
+    truth = spark.createDataFrame([(2, 1), (3, 4), (7, 8)], "a long, b long")
+    r = pair_pr(found, truth).collect()[0]
+    # found canonicalizes to 3 distinct pairs, 2 hits, truth 3
+    assert r.n_found == 3 and r.n_truth == 3 and r.n_hit == 2
+    assert r.precision == pytest.approx(2 / 3, abs=1e-6)
+    assert r.recall == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_cocitation_and_coupling(spark):
+    from graph_importer_spark.operators.analytics import cocitation_coupling
+
+    # docs 10, 11 both cite {1, 2}; doc 12 cites {2, 3}
+    e = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 2), (12, 3)],
+        "src long, dst long",
+    )
+    out = {
+        (r.a, r.b): r for r in cocitation_coupling(e, min_count=1).collect()
+    }
+    # refs 1,2 are co-cited by 10 and 11
+    assert out[(1, 2)].cocitation == 2
+    # docs 10,11 share refs 1 and 2 -> coupling 2
+    assert out[(10, 11)].coupling == 2
+    assert out[(10, 12)].coupling == 1 and out[(11, 12)].coupling == 1
+    assert out[(2, 3)].cocitation == 1
+
+
+def test_active_user_counts_windows(spark):
+    from graph_importer_spark.operators.timeseries import active_user_counts
+
+    rows = [
+        (1, _ts(1)), (2, _ts(1)),        # day X: users 1,2
+        (1, _ts(2)),                     # day X+1: user 1
+        (3, _ts(10)),                    # day X+9: user 3
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.day: r for r in active_user_counts(e, wau_days=7, mau_days=28).collect()}
+    d0 = min(out)
+    assert out[d0].dau == 2 and out[d0].wau == 2 and out[d0].mau == 2
+    assert out[d0 + 1].dau == 1 and out[d0 + 1].wau == 2
+    # day X+7: user 2's day-X activity aged out of (day-7, day]; user
+    # 1's day-X+1 activity is still inside
+    assert out[d0 + 7].wau == 1 and out[d0 + 7].mau == 2
+    assert out[d0 + 8].wau == 0
+    assert out[d0 + 9].dau == 1 and out[d0 + 9].wau == 1 and out[d0 + 9].mau == 3
+    # full grid: one row per day in span
+    assert len(out) == 10
