@@ -240,6 +240,10 @@ HEADLINE = [
     "dedup_pr",
     "graph_cocitation",
     "events_dau",
+    "graph_matching",
+    "events_ab_test",
+    "orders_checks",
+    "text_feature_hash",
 ]
 
 

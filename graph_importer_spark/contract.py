@@ -10877,6 +10877,257 @@ GROUP BY g.day
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18m: maximal matching, A/B test readout, dbt-style
+# table checks, feature hashing
+# ---------------------------------------------------------------------------
+
+
+def q_graph_matching(spark, sf_dir):
+    """Parallel maximal matching (analytics.maximal_matching) on the
+    l_orderkey<600 co-purchase subgraph, 4 unrolled rounds; the
+    oracle replays every round's local-minimum election and the
+    vertex-disjoint removal."""
+    from graph_importer_spark.operators.analytics import maximal_matching
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 600)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return maximal_matching(e, max_rounds=4)
+
+
+def _oracle_graph_matching(rounds: int = 4, seed: int = 42) -> str:
+    parts = [
+        """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 600),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+live1 AS MATERIALIZED (SELECT a, b FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+pri{r} AS MATERIALIZED (
+  SELECT a, b,
+         md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)
+             || '|{r}|{seed}') AS p
+  FROM live{r}),
+vm{r} AS MATERIALIZED (
+  SELECT v, MIN(p) AS mp FROM (
+    SELECT a AS v, p FROM pri{r}
+    UNION ALL SELECT b, p FROM pri{r}) GROUP BY v),
+sel{r} AS MATERIALIZED (
+  SELECT pri{r}.a, pri{r}.b
+  FROM pri{r} JOIN vm{r} ma ON ma.v = pri{r}.a
+              JOIN vm{r} mb ON mb.v = pri{r}.b
+  WHERE pri{r}.p = ma.mp AND pri{r}.p = mb.mp),
+mv{r} AS MATERIALIZED (
+  SELECT a AS v FROM sel{r} UNION SELECT b FROM sel{r}),
+live{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM live{r}
+  WHERE a NOT IN (SELECT v FROM mv{r})
+    AND b NOT IN (SELECT v FROM mv{r}))"""
+        )
+    sel_rows = "\nUNION ALL\n".join(
+        f"SELECT a, b, 'matched' AS status, CAST({r} AS INT) AS round"
+        f" FROM sel{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+{sel_rows}
+UNION ALL
+SELECT a, b, 'undecided', CAST(NULL AS INT) FROM live{rounds + 1}"""
+    )
+    return "".join(parts)
+
+
+def q_events_ab_test(spark, sf_dir):
+    """Two-proportion A/B readout (timeseries.ab_test_summary):
+    user-level arm assignment by md5 coin, conversion = any purchase
+    event, DECIMAL value sums; the oracle replays the user collapse
+    and the pooled z arithmetic."""
+    from graph_importer_spark.operators.timeseries import ab_test_summary
+
+    e = T(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.lit("ab"), F.col("user_id").cast("string")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    users = e.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    ).select("user_id", arm.alias("arm"), "converted")
+    return ab_test_summary(users, "arm", "converted")
+
+
+def _oracle_events_ab_test() -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         substring(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8) AS h8
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT CASE WHEN ({poly}) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         converted
+  FROM u),
+per AS (
+  SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+  FROM armed GROUP BY arm),
+j AS (
+  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+  FROM (SELECT * FROM per WHERE arm = 'A') a,
+       (SELECT * FROM per WHERE arm = 'B') b)
+SELECT n_a, conv_a, round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       n_b, conv_b, round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(CAST(conv_b AS DOUBLE) / n_b
+             - CAST(conv_a AS DOUBLE) / n_a, 6) AS lift,
+       CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)) > 0
+            THEN round((CAST(conv_b AS DOUBLE) / n_b
+                        - CAST(conv_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b)), 6)
+       END AS z
+FROM j
+"""
+
+
+def q_orders_checks(spark, sf_dir):
+    """dbt-style declarative table tests (profiling.table_checks)
+    over orders with PLANTED violations (duplicated keys, an
+    over-restricted accepted-values list, dangling FK rows) so every
+    check class reports non-vacuously; the oracle replays each
+    count."""
+    from graph_importer_spark.operators.profiling import table_checks
+
+    o = T(spark, sf_dir, "orders")
+    bad_fk = o.filter(F.col("o_orderkey") % 500 == 0).withColumn(
+        "o_custkey", F.col("o_custkey") + 1000000
+    )
+    dups = o.filter(F.col("o_orderkey") % 100 == 0)
+    fixture = o.unionByName(dups).unionByName(bad_fk)
+    cust = T(spark, sf_dir, "customer")
+    return table_checks(
+        fixture,
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey", "o_orderdate"],
+        accepted_values={"o_orderstatus": ["O", "F"]},
+        fk=[("o_custkey", cust, "c_custkey")],
+    )
+
+
+ORACLE_ORDERS_CHECKS = """
+WITH fixture AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey + 1000000, o_orderstatus, o_orderdate
+  FROM orders WHERE o_orderkey % 500 = 0),
+uq AS (
+  SELECT COALESCE(SUM(n - 1), 0) AS v FROM (
+    SELECT COUNT(*) AS n FROM fixture GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+nn1 AS (SELECT COUNT(*) AS v FROM fixture WHERE o_custkey IS NULL),
+nn2 AS (SELECT COUNT(*) AS v FROM fixture WHERE o_orderdate IS NULL),
+av AS (
+  SELECT COUNT(*) AS v FROM fixture
+  WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL),
+fk AS (
+  SELECT COUNT(*) AS v FROM fixture
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT DISTINCT c_custkey FROM customer))
+SELECT 'unique' AS check, 'o_orderkey' AS column,
+       CAST(v AS BIGINT) AS n_violations, v = 0 AS passed FROM uq
+UNION ALL
+SELECT 'not_null', 'o_custkey', v, v = 0 FROM nn1
+UNION ALL
+SELECT 'not_null', 'o_orderdate', v, v = 0 FROM nn2
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus', v, v = 0 FROM av
+UNION ALL
+SELECT 'foreign_key', 'o_custkey', v, v = 0 FROM fk
+"""
+
+
+def q_text_feature_hash(spark, sf_dir):
+    """Hashing-trick vectorizer (textstats.feature_hash): signed
+    8-bucket token hashing; the oracle replays every bucket's
+    membership filter and signed fold."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return _ts.feature_hash(d, "doc_id", "text", n_features=8, signed=True)
+
+
+def _oracle_text_feature_hash(n_features: int = 8) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef',"
+        f" substring(substring(md5(t), 1, 8), {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    buckets = ",\n       ".join(
+        f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(
+           list_filter(toks, t -> ({poly}) % {n_features} = {b}),
+           t -> CAST(CASE WHEN (({poly}) // {n_features}) % 2 = 0
+                          THEN 1 ELSE -1 END AS BIGINT))),
+         (x, y) -> x + y) AS f{b}"""
+        for b in range(n_features)
+    )
+    fcols = ", ".join(f"f{b}" for b in range(n_features))
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split({_NF_SQL}, ' '), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 100),
+b AS (
+  SELECT id, len(toks) AS n_tokens,
+       {buckets}
+  FROM d)
+SELECT id, n_tokens, [{fcols}] AS features FROM b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -11016,6 +11267,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pr": q_dedup_pr,
     "graph_cocitation": q_graph_cocitation,
     "events_dau": q_events_dau,
+    # round-4 session-18m additions: maximal matching, A/B readout,
+    # dbt-style checks, feature hashing.
+    "graph_matching": q_graph_matching,
+    "events_ab_test": q_events_ab_test,
+    "orders_checks": q_orders_checks,
+    "text_feature_hash": q_text_feature_hash,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -11351,6 +11608,10 @@ ORACLES: dict[str, str] = {
     "dedup_pr": _oracle_dedup_pr(),
     "graph_cocitation": ORACLE_GRAPH_COCITATION,
     "events_dau": ORACLE_EVENTS_DAU,
+    "graph_matching": _oracle_graph_matching(),
+    "events_ab_test": _oracle_events_ab_test(),
+    "orders_checks": ORACLE_ORDERS_CHECKS,
+    "text_feature_hash": _oracle_text_feature_hash(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -2554,3 +2554,83 @@ def cocitation_coupling(
         )
     )
     return out
+
+
+def maximal_matching(
+    edges: DataFrame,
+    max_rounds: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Parallel maximal matching, the edge-side sibling of luby_mis
+    (Israeli-Itai style): each round every live edge draws an md5
+    priority; an edge joins the matching iff its priority is strictly
+    smallest among all live edges touching either endpoint; matched
+    vertices (and their incident edges) leave.  Runs exactly
+    ``max_rounds`` rounds; leftovers emit as ``undecided`` (size the
+    rounds to the graph, expected O(log n)).
+
+    -> (a, b, status, round): status in {matched, undecided}; the
+    matched rows form a valid matching (vertex-disjoint) that is
+    maximal when nothing is undecided.
+
+    Scale shape: per round, one endpoint-keyed MIN aggregate over
+    live edges (partial agg absorbs hub fan-in), one broadcast-able
+    join of the two endpoint minima back to edges, and one anti-join
+    to drop dead edges — checkpointed like the CC loop.
+    """
+    live = (
+        _undirected(edges)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for r in range(1, max_rounds + 1):
+        pri = live.select(
+            "a",
+            "b",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("a"), F.col("b"), F.lit(str(r)), F.lit(str(seed))
+                )
+            ).alias("_p"),
+        )
+        va = pri.select(F.col("a").alias("v"), "_p")
+        vb = pri.select(F.col("b").alias("v"), "_p")
+        vmin = (
+            va.unionByName(vb)
+            .groupBy("v")
+            .agg(F.min("_p").alias("_mp"))
+        )
+        ma = vmin.select(F.col("v").alias("a"), F.col("_mp").alias("_ma"))
+        mb = vmin.select(F.col("v").alias("b"), F.col("_mp").alias("_mb"))
+        sel = (
+            pri.join(ma, "a")
+            .join(mb, "b")
+            .filter((F.col("_p") == F.col("_ma")) & (F.col("_p") == F.col("_mb")))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        rows = sel.select(
+            "a", "b", F.lit("matched").alias("status"), F.lit(r).alias("round")
+        )
+        out = rows if out is None else out.unionByName(rows)
+        matched_v = (
+            sel.select(F.col("a").alias("v"))
+            .unionByName(sel.select(F.col("b").alias("v")))
+            .distinct()
+        )
+        live = (
+            live.join(matched_v.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(matched_v.select(F.col("v").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if live.isEmpty():
+            break
+    und = live.select(
+        "a",
+        "b",
+        F.lit("undecided").alias("status"),
+        F.lit(None).cast("int").alias("round"),
+    )
+    return out.unionByName(und) if out is not None else und

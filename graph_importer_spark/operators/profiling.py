@@ -264,3 +264,74 @@ def json_schema_profile(
         "n_string",
         winner.alias("inferred_type"),
     )
+
+
+def table_checks(
+    df: DataFrame,
+    unique_cols: list[str] | None = None,
+    not_null_cols: list[str] | None = None,
+    accepted_values: dict[str, list[str]] | None = None,
+    fk: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """dbt-style declarative table tests in one report: uniqueness,
+    not-null, accepted-values and foreign-key coverage, each a row
+    (check, column, n_violations, passed) — the CI gate a curated
+    table ships behind.
+
+    ``fk`` entries are (column, dim_df, dim_col).
+
+    Scale shape: each uniqueness check is one key-keyed count
+    aggregate; not-null / accepted-values are single-pass conditional
+    counts sharing one scan; FK checks are anti-join counts against
+    (broadcast-able) dimension projections.  Report size = number of
+    declared checks.
+    """
+    spark = df.sparkSession
+    rows = []
+
+    def row(check, col, n):
+        return spark.createDataFrame(
+            [(check, col, int(n), int(n) == 0)],
+            "check string, column string, n_violations long, passed boolean",
+        )
+
+    for c in unique_cols or []:
+        dup = (
+            df.groupBy(c)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("v"))
+            .collect()[0]
+            .v
+        )
+        rows.append(row("unique", c, dup))
+    if not_null_cols:
+        agg = df.agg(
+            *[
+                F.sum(F.col(c).isNull().cast("bigint")).alias(c)
+                for c in not_null_cols
+            ]
+        ).collect()[0]
+        for c in not_null_cols:
+            rows.append(row("not_null", c, agg[c]))
+    for c, vals in (accepted_values or {}).items():
+        n = df.filter(
+            ~F.col(c).isin(vals) | F.col(c).isNull()
+        ).count()
+        rows.append(row("accepted_values", c, n))
+    for c, dim, dim_col in fk or []:
+        n = (
+            df.select(F.col(c).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(dim_col).alias("_k")).distinct()),
+                "_k",
+                "left_anti",
+            )
+            .count()
+        )
+        rows.append(row("foreign_key", c, n))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1024,3 +1024,56 @@ def tokenizer_fertility(
             F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), decimals),
         ).alias("fertility"),
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 16,
+    signed: bool = True,
+) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009 — the
+    fixed-dimension bag-of-words that needs no vocabulary pass):
+    token t adds ±1 to bucket u32(md5(t)) % n_features, the sign
+    from the hash's next bit (cancels collision bias).  Every value
+    is a pure function of the token string — partition-invariant,
+    vocabulary-free, SQL-replayable.
+
+    -> (id, n_tokens, features array<bigint> of length n_features).
+
+    Scale shape: zero shuffle — the whole vector is per-row array
+    codegen (n_features bounded membership counts over the token
+    array); at n_features beyond ~256 switch to the explode +
+    (id, bucket) partial-agg shape instead.
+    """
+    nf = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.filter(F.split(nf, " "), lambda t: t != "")
+
+    def u32(t):
+        return F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+
+    def bucket_val(b):
+        in_b = F.filter(toks, lambda t: u32(t) % n_features == b)
+        if not signed:
+            return F.size(in_b).cast("bigint")
+        # sign bit: next hex nibble's low bit
+        return F.aggregate(
+            in_b,
+            F.lit(0).cast("bigint"),
+            # floor(u32 / n) is exact in double for u32 < 2^53
+            lambda acc, t: acc
+            + F.when(
+                F.floor(u32(t) / F.lit(n_features)).cast("bigint") % 2 == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    feats = F.array(*[bucket_val(b) for b in range(n_features)])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        feats.alias("features"),
+    )

@@ -652,3 +652,63 @@ def active_user_counts(
         F.countDistinct("_k").alias("mau"),
     )
     return per
+
+
+def ab_test_summary(
+    df: DataFrame,
+    arm_col: str,
+    converted_col: str,
+    value_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-proportion A/B test readout: per arm the conversion rate
+    (and optional DECIMAL-exact value sum), plus the pooled two-
+    proportion z-statistic on the ('A', 'B') pair — the
+    experimentation-platform summary row.  |z| > 1.96 is the usual
+    5% call; the z value is reported, the decision left to the
+    caller.
+
+    Exactly two arms named 'A' and 'B' are required (guard-railed).
+
+    -> one row (n_a, conv_a, rate_a, n_b, conv_b, rate_b, lift, z);
+    z NULL when the pooled variance is 0.
+
+    Scale shape: ONE arm-keyed aggregate (2 groups, map-side
+    partials); the z arithmetic runs on the 2-row summary.
+    """
+    per = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(converted_col).cast("bigint")).alias("conv"),
+        *(
+            [
+                F.sum(
+                    F.round(F.col(value_col), 9).cast("decimal(28,9)")
+                ).alias("val")
+            ]
+            if value_col
+            else []
+        ),
+    )
+    a = per.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        F.round(ra, decimals).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(rb, decimals).alias("rate_b"),
+        F.round(rb - ra, decimals).alias("lift"),
+        F.when(se > 0, F.round((rb - ra) / se, decimals)).alias("z"),
+    )

@@ -976,3 +976,83 @@ def test_active_user_counts_windows(spark):
     assert out[d0 + 9].dau == 1 and out[d0 + 9].wau == 1 and out[d0 + 9].mau == 3
     # full grid: one row per day in span
     assert len(out) == 10
+
+
+def test_maximal_matching_valid_and_maximal(spark):
+    from graph_importer_spark.operators.analytics import maximal_matching
+
+    rows = [(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 4) % 12) for i in range(12)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    out = maximal_matching(e, max_rounds=8).collect()
+    matched = [(r.a, r.b) for r in out if r.status == "matched"]
+    assert matched and not [r for r in out if r.status == "undecided"]
+    # vertex-disjoint
+    vs = [v for p in matched for v in p]
+    assert len(vs) == len(set(vs))
+    # maximal: every unmatched edge touches a matched vertex
+    mset = set(vs)
+    for a, b in rows:
+        ca, cb = min(a, b), max(a, b)
+        if ca != cb and (ca, cb) not in matched:
+            assert ca in mset or cb in mset
+    # determinism
+    out2 = maximal_matching(e.repartition(7), max_rounds=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ab_test_summary_z(spark):
+    from graph_importer_spark.operators.timeseries import ab_test_summary
+
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70 + [("B", 1)] * 50 + [("B", 0)] * 50
+    d = spark.createDataFrame(rows, "arm string, converted int")
+    r = ab_test_summary(d, "arm", "converted").collect()[0]
+    assert r.rate_a == 0.3 and r.rate_b == 0.5 and r.lift == pytest.approx(0.2)
+    import math
+
+    pp = 80 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert r.z == pytest.approx(0.2 / se, abs=1e-5)
+
+
+def test_table_checks_detects_planted_violations(spark):
+    from graph_importer_spark.operators.profiling import table_checks
+
+    d = spark.createDataFrame(
+        [(1, "x", "O"), (1, "y", "O"), (2, None, "F"), (3, "z", "Q")],
+        "k long, v string, s string",
+    )
+    dim = spark.createDataFrame([("x",), ("y",)], "dv string")
+    out = {
+        (r.check, r.column): r
+        for r in table_checks(
+            d,
+            unique_cols=["k"],
+            not_null_cols=["v"],
+            accepted_values={"s": ["O", "F"]},
+            fk=[("v", dim, "dv")],
+        ).collect()
+    }
+    assert out[("unique", "k")].n_violations == 1
+    assert out[("not_null", "v")].n_violations == 1
+    assert out[("accepted_values", "s")].n_violations == 1
+    assert out[("foreign_key", "v")].n_violations == 1  # 'z' dangles
+    assert not any(r.passed for r in out.values())
+
+
+def test_feature_hash_deterministic_and_signed(spark):
+    from graph_importer_spark.operators.textstats import feature_hash
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in feature_hash(d, "doc_id", "text", n_features=4).collect()}
+    # identical text -> identical vector
+    assert out[1].features == out[2].features
+    assert out[3].features == [0, 0, 0, 0] and out[3].n_tokens == 0
+    # total absolute mass <= token count; repeated token doubles its bucket
+    assert sum(abs(x) for x in out[1].features) <= 3
+    assert out[1].n_tokens == 3
+    # unsigned variant counts positively
+    u = {r.id: r for r in feature_hash(d, "doc_id", "text", n_features=4, signed=False).collect()}
+    assert sum(u[1].features) == 3
