@@ -244,6 +244,9 @@ HEADLINE = [
     "events_ab_test",
     "orders_checks",
     "text_feature_hash",
+    "text_autocomplete",
+    "events_did",
+    "kg_motif_cycle",
 ]
 
 

@@ -11128,6 +11128,179 @@ SELECT id, n_tokens, [{fcols}] AS features FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18n: autocomplete index, diff-in-diff, KG cycle motifs
+# ---------------------------------------------------------------------------
+
+
+def q_text_autocomplete(spark, sf_dir):
+    """Prefix completion index (retrieval.autocomplete_index): 2-4
+    char prefixes of the corpus vocabulary, top-3 completions per
+    prefix; the oracle replays the vocabulary counts, the prefix
+    fan-out, and the (count desc, term) ranking."""
+    from graph_importer_spark.operators.retrieval import autocomplete_index
+
+    d = T(spark, sf_dir, "documents")
+    return autocomplete_index(
+        d, "doc_id", "text", min_prefix=2, max_prefix=4, top_k=3, min_count=5
+    )
+
+
+ORACLE_TEXT_AUTOCOMPLETE = rf"""
+WITH v AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT UNNEST(string_split({_NF_SQL}, ' ')) AS term FROM documents)
+  WHERE regexp_matches(term, '^[a-z]+$')
+  GROUP BY term HAVING COUNT(*) >= 5),
+p AS (
+  SELECT substring(term, 1, k) AS prefix, term, n
+  FROM v, UNNEST(generate_series(2, 4)) u(k)
+  WHERE k <= length(term)),
+r AS (
+  SELECT prefix, term, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+                                 ORDER BY n DESC, term ASC) AS INT) AS rank
+  FROM p)
+SELECT prefix, rank, term, n FROM r WHERE rank <= 3
+"""
+
+
+def q_events_did(spark, sf_dir):
+    """Difference-in-differences (timeseries.diff_in_diff): users
+    md5-coined into treat/control, Jan-16 cutoff splits pre/post,
+    outcome = any purchase in the (user, period) cell; the oracle
+    replays the 2x2 collapse and the DiD arithmetic."""
+    from graph_importer_spark.operators.timeseries import diff_in_diff
+
+    e = T(spark, sf_dir, "events")
+    grp = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.lit("did"), F.col("user_id").cast("string")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit("treat"),
+    ).otherwise(F.lit("control"))
+    per = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("pre")
+    ).otherwise(F.lit("post"))
+    cells = e.groupBy(
+        F.col("user_id"), grp.alias("grp"), per.alias("per")
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    return diff_in_diff(cells, "grp", "per", "converted")
+
+
+def _oracle_events_did() -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         substring(md5('did' || CAST(user_id AS VARCHAR)), 1, 8) AS h8,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre'
+              ELSE 'post' END AS per,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+cells AS (
+  SELECT user_id,
+         CASE WHEN ({poly}) % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+         per, MAX(conv) AS converted
+  FROM u GROUP BY user_id, h8, per),
+agg AS (
+  SELECT grp, per, COUNT(*) AS n,
+         SUM(CAST(round(CAST(converted AS DOUBLE), 9)
+                  AS DECIMAL(28,9))) AS s
+  FROM cells GROUP BY grp, per),
+c AS (
+  SELECT
+    (SELECT n FROM agg WHERE grp = 'treat' AND per = 'pre') AS n_treat_pre,
+    (SELECT round(CAST(s AS DOUBLE) / n, 6) FROM agg
+      WHERE grp = 'treat' AND per = 'pre') AS rate_treat_pre,
+    (SELECT n FROM agg WHERE grp = 'treat' AND per = 'post') AS n_treat_post,
+    (SELECT round(CAST(s AS DOUBLE) / n, 6) FROM agg
+      WHERE grp = 'treat' AND per = 'post') AS rate_treat_post,
+    (SELECT n FROM agg WHERE grp = 'control' AND per = 'pre')
+      AS n_control_pre,
+    (SELECT round(CAST(s AS DOUBLE) / n, 6) FROM agg
+      WHERE grp = 'control' AND per = 'pre') AS rate_control_pre,
+    (SELECT n FROM agg WHERE grp = 'control' AND per = 'post')
+      AS n_control_post,
+    (SELECT round(CAST(s AS DOUBLE) / n, 6) FROM agg
+      WHERE grp = 'control' AND per = 'post') AS rate_control_post)
+SELECT *,
+       round((rate_treat_post - rate_treat_pre)
+             - (rate_control_post - rate_control_pre), 6) AS did
+FROM c
+"""
+
+
+def q_kg_motif_cycle(spark, sf_dir):
+    """Directed 3-cycle motifs (triples.cycle_motifs) over a modular
+    ring construction (a: +1, b: +13, c: -14 mod 60 — every vertex
+    closes exactly one cycle); the oracle replays the two open-path
+    joins and the closing equi-join."""
+    o = T(spark, sf_dir, "orders")
+    i = (F.col("o_orderkey") % 60).cast("bigint")
+    v = lambda x: F.concat(F.lit("v"), x.cast("string"))  # noqa: E731
+    t = (
+        o.select(
+            v(i).alias("subj"), F.lit("a").alias("pred"),
+            v((i + 1) % 60).alias("obj"),
+        )
+        .unionByName(
+            o.select(
+                v((i + 1) % 60).alias("subj"), F.lit("b").alias("pred"),
+                v((i + 14) % 60).alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                v((i + 14) % 60).alias("subj"), F.lit("c").alias("pred"),
+                v(i).alias("obj"),
+            )
+        )
+    )
+    return _triples.cycle_motifs(t, "a", "b", "c")
+
+
+ORACLE_KG_MOTIF_CYCLE = r"""
+WITH base AS (SELECT DISTINCT o_orderkey % 60 AS i FROM orders),
+t AS (
+  SELECT 'v' || CAST(i AS VARCHAR) AS subj, 'a' AS pred,
+         'v' || CAST((i + 1) % 60 AS VARCHAR) AS obj FROM base
+  UNION ALL
+  SELECT 'v' || CAST((i + 1) % 60 AS VARCHAR), 'b',
+         'v' || CAST((i + 14) % 60 AS VARCHAR) FROM base
+  UNION ALL
+  SELECT 'v' || CAST((i + 14) % 60 AS VARCHAR), 'c',
+         'v' || CAST(i AS VARCHAR) FROM base),
+h1 AS (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE pred = 'a'),
+h2 AS (SELECT DISTINCT subj AS b, obj AS c FROM t WHERE pred = 'b'),
+h3 AS (SELECT DISTINCT subj AS c, obj AS a2 FROM t WHERE pred = 'c')
+SELECT h1.a, h1.b, h2.c
+FROM h1 JOIN h2 USING (b) JOIN h3 USING (c)
+WHERE h1.a = h3.a2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -11273,6 +11446,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_test": q_events_ab_test,
     "orders_checks": q_orders_checks,
     "text_feature_hash": q_text_feature_hash,
+    # round-4 session-18n additions: autocomplete, DiD, cycle motifs.
+    "text_autocomplete": q_text_autocomplete,
+    "events_did": q_events_did,
+    "kg_motif_cycle": q_kg_motif_cycle,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -11612,6 +11789,9 @@ ORACLES: dict[str, str] = {
     "events_ab_test": _oracle_events_ab_test(),
     "orders_checks": ORACLE_ORDERS_CHECKS,
     "text_feature_hash": _oracle_text_feature_hash(),
+    "text_autocomplete": ORACLE_TEXT_AUTOCOMPLETE,
+    "events_did": _oracle_events_did(),
+    "kg_motif_cycle": ORACLE_KG_MOTIF_CYCLE,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

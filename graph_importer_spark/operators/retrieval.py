@@ -490,3 +490,59 @@ def hard_negatives(
         neg.withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= n_neg)
     )
+
+
+def autocomplete_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_prefix: int = 2,
+    max_prefix: int = 4,
+    top_k: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Prefix -> top-``top_k`` completions index (the type-ahead /
+    query-suggestion table, built corpus-side): vocabulary term counts
+    explode into their length-``min_prefix``..``max_prefix`` prefixes;
+    each prefix keeps its most frequent completions (ties to the
+    lexicographically smaller term).
+
+    -> (prefix, rank, term, n).
+
+    Scale shape: the corpus collapses to ONE term-count aggregate
+    (vocabulary-sized); the prefix fan-out is a constant <=
+    (max-min+1) per term; the per-prefix top-k is a window over
+    completions sharing the prefix — bounded by vocabulary, not
+    corpus, and short-prefix hot groups route through
+    ``skew.salted_topk`` at web vocabulary sizes (stated).
+    """
+    nf = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    vocab = (
+        docs.select(F.explode(F.split(nf, " ")).alias("term"))
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    pref = vocab.select(
+        "term",
+        "n",
+        F.explode(
+            F.transform(
+                # k must not exceed the term length: substring saturates
+                # at the full term, which would emit duplicate prefixes
+                # for short terms
+                F.filter(
+                    F.sequence(F.lit(min_prefix), F.lit(max_prefix)),
+                    lambda k: k <= F.length("term"),
+                ),
+                lambda k: F.substring(F.col("term"), 1, k),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        pref.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("prefix", "rank", "term", "n")
+    )

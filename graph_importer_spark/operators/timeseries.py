@@ -712,3 +712,63 @@ def ab_test_summary(
         F.round(rb - ra, decimals).alias("lift"),
         F.when(se > 0, F.round((rb - ra) / se, decimals)).alias("z"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    outcome_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimate over a 2x2 design:
+    ``group_col`` in {treat, control}, ``period_col`` in {pre, post},
+    outcome a 0/1 (or numeric) column.  DiD = (treat_post - treat_pre)
+    - (control_post - control_pre) — the parallel-trends causal
+    readout for rollouts without randomization.
+
+    -> one row (n_cells..., rate per cell, did); all four cells must
+    be non-empty (guard-railed by NULL rates otherwise).
+
+    Scale shape: ONE (group, period) aggregate (4 groups); the DiD
+    arithmetic runs on the 4-row summary.
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(period_col).alias("per")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col(outcome_col).cast("double"), 9).cast(
+            "decimal(28,9)"
+        )).alias("s"),
+    )
+
+    def cell(g, p, what):
+        src = per.filter((F.col("grp") == g) & (F.col("per") == p))
+        return src.select(
+            F.col("n").alias(f"n_{g}_{p}"),
+            F.round(
+                F.col("s").cast("double") / F.col("n"), decimals
+            ).alias(f"rate_{g}_{p}"),
+        )
+
+    j = (
+        cell("treat", "pre", "tp")
+        .crossJoin(cell("treat", "post", "tq"))
+        .crossJoin(cell("control", "pre", "cp"))
+        .crossJoin(cell("control", "post", "cq"))
+    )
+    did = (
+        (F.col("rate_treat_post") - F.col("rate_treat_pre"))
+        - (F.col("rate_control_post") - F.col("rate_control_pre"))
+    )
+    return j.select(
+        "n_treat_pre",
+        "rate_treat_pre",
+        "n_treat_post",
+        "rate_treat_post",
+        "n_control_pre",
+        "rate_control_pre",
+        "n_control_post",
+        "rate_control_post",
+        F.round(did, decimals).alias("did"),
+    )

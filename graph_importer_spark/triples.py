@@ -1168,3 +1168,41 @@ def alt_chain_pattern(
     for i in range(len(pred_sets)):
         cols += [f"p{i + 1}", f"v{i + 1}"]
     return out.select(*cols)
+
+
+def cycle_motifs(
+    triples: DataFrame, p1: str, p2: str, p3: str, distinct: bool = True
+) -> DataFrame:
+    """Directed 3-cycle motif matching over the KG:
+    (a) -p1-> (b) -p2-> (c) -p3-> (a) — the closed-loop BGP that
+    chain_pattern (open paths) cannot express; the structural check
+    behind relation-composition mining (brother_of ∘ parent_of =
+    uncle_of territory) and circular-ownership / circular-trade
+    audits.
+
+    -> (a, b, c), one row per closed triple with a <= b and a <= c
+    canonicalization NOT applied (predicates break rotation symmetry
+    — each match is reported once as written).
+
+    Scale shape: two entity-keyed equi-joins build the open 2-path
+    (each hop pred-filtered BEFORE joining, evidence-deduped like
+    chain_pattern); the cycle closes with ONE more equi-join on
+    (c, a) against the p3 hop — all hash joins, Zipf entities are
+    AQE skew territory.
+    """
+
+    def hop(p, s, o):
+        h = triples.filter(F.col("pred") == p).select(
+            F.col("subj").alias(s), F.col("obj").alias(o)
+        )
+        return h.distinct() if distinct else h
+
+    h1 = hop(p1, "a", "b")
+    h2 = hop(p2, "b", "c")
+    h3 = hop(p3, "c", "a2")
+    return (
+        h1.join(h2, "b")
+        .join(h3, "c")
+        .filter(F.col("a") == F.col("a2"))
+        .select("a", "b", "c")
+    )

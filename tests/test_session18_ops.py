@@ -1056,3 +1056,57 @@ def test_feature_hash_deterministic_and_signed(spark):
     # unsigned variant counts positively
     u = {r.id: r for r in feature_hash(d, "doc_id", "text", n_features=4, signed=False).collect()}
     assert sum(u[1].features) == 3
+
+
+def test_autocomplete_ranks_and_prefixes(spark):
+    from graph_importer_spark.operators.retrieval import autocomplete_index
+
+    d = spark.createDataFrame(
+        [(1, "apple apple apple apricot banana"), (2, "apple apricot ape")],
+        "doc_id long, text string",
+    )
+    out = autocomplete_index(
+        d, "doc_id", "text", min_prefix=2, max_prefix=3, top_k=2, min_count=1
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.prefix, []).append((r.rank, r.term, r.n))
+    # 'ap' covers apple(4), apricot(2), ape(1): top-2
+    assert sorted(by["ap"]) == [(1, "apple", 4), (2, "apricot", 2)]
+    assert by["ba"][0][1] == "banana"
+    # short term 'ape' emits no duplicate prefixes
+    assert len([r for r in out if r.term == "ape"]) == len(
+        {(r.prefix, r.term) for r in out if r.term == "ape"}
+    )
+
+
+def test_diff_in_diff_arithmetic(spark):
+    from graph_importer_spark.operators.timeseries import diff_in_diff
+
+    rows = (
+        [("treat", "pre", 0)] * 8 + [("treat", "pre", 1)] * 2      # 20%
+        + [("treat", "post", 0)] * 4 + [("treat", "post", 1)] * 6  # 60%
+        + [("control", "pre", 0)] * 9 + [("control", "pre", 1)]    # 10%
+        + [("control", "post", 0)] * 8 + [("control", "post", 1)] * 2  # 20%
+    )
+    d = spark.createDataFrame(rows, "grp string, per string, y int")
+    r = diff_in_diff(d, "grp", "per", "y").collect()[0]
+    assert r.rate_treat_pre == 0.2 and r.rate_treat_post == 0.6
+    assert r.rate_control_pre == 0.1 and r.rate_control_post == 0.2
+    assert r.did == pytest.approx(0.4 - 0.1)
+
+
+def test_cycle_motifs_closes_loops(spark):
+    from graph_importer_spark.triples import cycle_motifs
+
+    t = spark.createDataFrame(
+        [
+            ("x", "p1", "y"), ("y", "p2", "z"), ("z", "p3", "x"),  # cycle
+            ("a", "p1", "b"), ("b", "p2", "c"), ("c", "p3", "q"),  # open
+            ("x", "p1", "y"),  # duplicate evidence must not multiply
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = cycle_motifs(t, "p1", "p2", "p3").collect()
+    assert len(out) == 1
+    assert (out[0].a, out[0].b, out[0].c) == ("x", "y", "z")
