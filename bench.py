@@ -247,6 +247,9 @@ HEADLINE = [
     "text_autocomplete",
     "events_did",
     "kg_motif_cycle",
+    "text_topics",
+    "text_augment",
+    "eval_conformal",
 ]
 
 

@@ -11301,6 +11301,212 @@ WHERE h1.a = h3.a2
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18o: topic labeling, deterministic augmentation,
+# conformal calibration
+# ---------------------------------------------------------------------------
+
+
+def q_text_topics(spark, sf_dir):
+    """Topic modeling, clustering+labeling form: embeddings cluster
+    under the deterministic IVF quantizer (6 lists), clusters label
+    themselves with their 5 most frequent member-document terms
+    (count desc, term asc) — the Top2Vec/BERTopic pipeline shape with
+    every stage replayable.  vec_id joins doc_id 1:1 in the
+    testdata."""
+    from graph_importer_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        with_norm,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    c = with_norm(
+        emb.select("vec_id", v.alias("embedding")),
+        "vec_id",
+        "embedding",
+        "neighbor_id",
+        "cv",
+        "cn",
+    )
+    cents = ivf_centroids(c, 6)
+    assign = ivf_assign(c, cents).select(
+        F.col("neighbor_id").alias("doc_id"), "list_id"
+    )
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                ),
+                lambda t: t.rlike("^[a-z]+$"),
+            )
+        ).alias("term"),
+    )
+    per = (
+        toks.join(assign, "doc_id")
+        .groupBy("list_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("list_id").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("list_id", "rank", "term", "n")
+    )
+
+
+def _oracle_text_topics(n_centroids: int = 6, seed: int = 42) -> str:
+    cos = "round({d} / ({na} * {nb}), 6)".format(
+        d=_DOT.format(a="{a}", b="{b}"),
+        na=_NORM.format(v="{a}"),
+        nb=_NORM.format(v="{b}"),
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cents AS (
+  SELECT neighbor_id AS centroid_id, cv AS pv FROM c
+  ORDER BY ((neighbor_id % {_sim._M}) * {_sim._A} + {seed}) % {_sim._M},
+           neighbor_id
+  LIMIT {n_centroids}),
+assign AS (
+  SELECT neighbor_id AS doc_id, centroid_id AS list_id FROM (
+    SELECT c.neighbor_id, cents.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY {cos.format(a='c.cv', b='cents.pv')} DESC,
+                 cents.centroid_id ASC) AS rn
+    FROM c, cents) WHERE rn = 1),
+toks AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, UNNEST(string_split({_NF_SQL}, ' ')) AS term
+        FROM documents)
+  WHERE regexp_matches(term, '^[a-z]+$')),
+per AS (
+  SELECT list_id, term, COUNT(*) AS n
+  FROM toks JOIN assign USING (doc_id)
+  GROUP BY list_id, term),
+r AS (
+  SELECT list_id, term, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY list_id
+                                 ORDER BY n DESC, term ASC) AS INT) AS rank
+  FROM per)
+SELECT list_id, rank, term, n FROM r WHERE rank <= 5
+"""
+
+
+def q_text_augment(spark, sf_dir):
+    """Deterministic token-dropout augmentation (textstats.
+    augment_token_dropout, p=0.1): the oracle regenerates every coin
+    and the rebuilt strings bit-for-bit — the 'seed is the dataset
+    version' property, checked end to end."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return _ts.augment_token_dropout(d, "doc_id", "text", drop_prob=0.1)
+
+
+def _oracle_text_augment(thresh: int = 100_000, seed: int = 42) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split({_NF_SQL}, ' '), t -> t <> '') AS t
+  FROM documents WHERE doc_id < 150),
+pos AS (
+  SELECT id, i, t[i] AS tok,
+         substring(md5(CAST(id AS VARCHAR) || '#' || CAST(i AS VARCHAR)
+                       || '#{seed}'), 1, 8) AS h8
+  FROM d, UNNEST(generate_series(1, len(t))) u(i)),
+kept AS (
+  SELECT id, i, tok FROM pos WHERE ({poly}) % 1000000 >= {thresh}),
+agg AS (
+  SELECT id,
+         COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS aug_text
+  FROM kept GROUP BY id)
+SELECT d.id, len(d.t) AS n_tokens,
+       len(d.t) - COALESCE(agg.n_kept, 0) AS n_dropped,
+       COALESCE(agg.aug_text, '') AS aug_text
+FROM d LEFT JOIN agg ON agg.id = d.id
+"""
+
+
+def q_eval_conformal(spark, sf_dir):
+    """Split conformal calibration (evalmetrics.conformal_threshold,
+    alpha=0.1): md5-coined nonconformity scores, even keys calibrate,
+    odd keys test; the oracle replays the rounded-score order
+    statistic and the coverage count."""
+    from graph_importer_spark.operators.evalmetrics import conformal_threshold
+
+    o = T(spark, sf_dir, "orders")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit("cf"), F.col("o_orderkey").cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = o.select(
+        "o_orderkey", ((u32 % 1000001) / F.lit(1000000.0)).alias("score")
+    )
+    cal = scored.filter(F.col("o_orderkey") % 2 == 0)
+    test = scored.filter(F.col("o_orderkey") % 2 == 1)
+    return conformal_threshold(cal, test, "score", alpha=0.1, decimals=4)
+
+
+def _oracle_eval_conformal(alpha: float = 0.1) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH s AS (
+  SELECT o_orderkey,
+         substring(md5('cf' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS h8
+  FROM orders),
+sc AS (
+  SELECT o_orderkey,
+         round((({poly}) % 1000001) / 1000000.0, 4) AS sc
+  FROM s),
+cal AS (SELECT sc FROM sc WHERE o_orderkey % 2 = 0),
+test AS (SELECT sc FROM sc WHERE o_orderkey % 2 = 1),
+nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+kk AS (
+  SELECT n_cal,
+         LEAST(CAST(ceil((n_cal + 1) * {1 - alpha}) AS BIGINT), n_cal) AS k
+  FROM nc),
+summ AS (SELECT sc, COUNT(*) AS n FROM cal GROUP BY sc),
+cum AS (
+  SELECT sc, SUM(n) OVER (ORDER BY sc
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM summ),
+q AS (SELECT MIN(sc) AS q_hat FROM cum, kk WHERE c >= kk.k),
+t AS (
+  SELECT COUNT(*) AS n_test,
+         SUM(CASE WHEN sc <= (SELECT q_hat FROM q)
+                  THEN 1 ELSE 0 END) AS n_covered
+  FROM test)
+SELECT kk.n_cal, kk.k, q.q_hat, t.n_test, t.n_covered,
+       round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage
+FROM kk, q, t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -11450,6 +11656,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_autocomplete": q_text_autocomplete,
     "events_did": q_events_did,
     "kg_motif_cycle": q_kg_motif_cycle,
+    # round-4 session-18o additions: topic labeling, deterministic
+    # augmentation, conformal calibration.
+    "text_topics": q_text_topics,
+    "text_augment": q_text_augment,
+    "eval_conformal": q_eval_conformal,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -11792,6 +12003,9 @@ ORACLES: dict[str, str] = {
     "text_autocomplete": ORACLE_TEXT_AUTOCOMPLETE,
     "events_did": _oracle_events_did(),
     "kg_motif_cycle": ORACLE_KG_MOTIF_CYCLE,
+    "text_topics": _oracle_text_topics(),
+    "text_augment": _oracle_text_augment(),
+    "eval_conformal": _oracle_eval_conformal(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

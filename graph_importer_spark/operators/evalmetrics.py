@@ -423,3 +423,56 @@ def confusion_metrics(
         F.round(rec, decimals).alias("recall"),
         F.round(f1, decimals).alias("f1"),
     )
+
+
+def conformal_threshold(
+    cal: DataFrame,
+    test: DataFrame,
+    score_col: str = "score",
+    covered_col: str = "covered",
+    alpha: float = 0.1,
+    decimals: int = 4,
+) -> DataFrame:
+    """Split conformal prediction calibration (Vovk; Angelopoulos &
+    Bates 2021 tutorial form): the threshold is the
+    ceil((n+1)(1-alpha))-th smallest calibration nonconformity score;
+    the readout checks empirical coverage on the test side
+    (fraction with score <= q_hat — guaranteed >= 1 - alpha in
+    expectation under exchangeability).
+
+    Scores are rounded to ``decimals`` and the order statistic is
+    taken over the ROUNDED-score summary (the eval_auc bounded-
+    summary trick): the corpus pays one aggregate per side; the
+    cumulative walk runs over <= 10^decimals+1 distinct-score rows —
+    no global sort of raw scores.
+
+    -> one row (n_cal, k, q_hat, n_test, n_covered, coverage).
+    """
+    s = F.round(F.col(score_col).cast("double"), decimals)
+    summary = cal.groupBy(s.alias("sc")).agg(F.count("*").alias("n"))
+    n_cal = cal.count()
+    import math
+
+    k = min(int(math.ceil((n_cal + 1) * (1 - alpha))), n_cal)
+    w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = summary.withColumn("_c", F.sum("n").over(w))
+    q_hat = (
+        cum.filter(F.col("_c") >= k)
+        .orderBy("sc")
+        .limit(1)
+        .collect()[0]
+        .sc
+    )
+    t = test.select(s.alias("sc"))
+    agg = t.agg(
+        F.count("*").alias("n_test"),
+        F.sum((F.col("sc") <= q_hat).cast("bigint")).alias("n_covered"),
+    )
+    return agg.select(
+        F.lit(n_cal).alias("n_cal"),
+        F.lit(k).alias("k"),
+        F.lit(float(q_hat)).alias("q_hat"),
+        "n_test",
+        "n_covered",
+        F.round(F.col("n_covered") / F.col("n_test"), 6).alias("coverage"),
+    )

@@ -1077,3 +1077,76 @@ def feature_hash(
         F.size(toks).alias("n_tokens"),
         feats.alias("features"),
     )
+
+
+def augment_token_dropout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    drop_prob: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """EDA-style token-dropout augmentation (Wei & Zou 2019's RD
+    operation) with deterministic coins: token at position i of doc d
+    drops iff u32(md5(d#i#seed)) % 10^6 < drop_prob * 10^6 — a pure
+    function of (doc, position, seed), so the augmented corpus is
+    partition-invariant and regenerable bit-for-bit (no stored copy
+    needed; the seed IS the dataset version).
+
+    -> (id, n_tokens, n_dropped, aug_text); documents whose every
+    token dropped emit an empty string, not NULL.
+
+    Scale shape: zero shuffle — coins and the rebuild are per-row
+    array codegen.
+    """
+    thresh = int(drop_prob * 1_000_000)
+    nf = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.filter(F.split(nf, " "), lambda t: t != "")
+    d = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+
+    def coin(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat_ws(
+                                "#",
+                                F.col("id").cast("string"),
+                                i.cast("string"),
+                                F.lit(str(seed)),
+                            ),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        )
+
+    kept = F.when(
+        # sequence(1, 0) runs DESCENDING under ANSI and element_at then
+        # faults on the empty array — guard the no-token case explicitly
+        F.size("_t") == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t")),
+                lambda i: F.when(
+                    coin(i) >= thresh, F.element_at(F.col("_t"), i)
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        )
+    )
+    return d.select(
+        "id",
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_dropped"),
+        F.array_join(kept, " ").alias("aug_text"),
+    )

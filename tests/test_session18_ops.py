@@ -1110,3 +1110,49 @@ def test_cycle_motifs_closes_loops(spark):
     out = cycle_motifs(t, "p1", "p2", "p3").collect()
     assert len(out) == 1
     assert (out[0].a, out[0].b, out[0].c) == ("x", "y", "z")
+
+
+def test_augment_token_dropout_deterministic(spark):
+    from graph_importer_spark.operators.textstats import augment_token_dropout
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    a = augment_token_dropout(d, "doc_id", "text", drop_prob=0.2).collect()
+    b = augment_token_dropout(
+        d.repartition(4), "doc_id", "text", drop_prob=0.2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    r1 = [r for r in a if r.id == 1][0]
+    # ~20% dropped, never all or none at p=0.2 over 100 tokens
+    assert 5 <= r.n_dropped <= 40 if (r := r1) else False
+    assert r1.n_tokens == 100
+    assert len(r1.aug_text.split()) == 100 - r1.n_dropped
+    # kept tokens preserve order
+    kept = r1.aug_text.split()
+    idx = [int(t[1:]) for t in kept]
+    assert idx == sorted(idx)
+    # different seed -> different coins (overwhelmingly)
+    c = augment_token_dropout(d, "doc_id", "text", drop_prob=0.2, seed=7).collect()
+    assert any(x.aug_text != y.aug_text
+               for x in a for y in c if x.id == y.id == 1)
+
+
+def test_conformal_threshold_coverage_guarantee(spark):
+    from graph_importer_spark.operators.evalmetrics import conformal_threshold
+
+    import random
+
+    rng = random.Random(11)
+    cal = spark.createDataFrame(
+        [(rng.random(),) for _ in range(500)], "score double"
+    )
+    test = spark.createDataFrame(
+        [(rng.random(),) for _ in range(500)], "score double"
+    )
+    r = conformal_threshold(cal, test, "score", alpha=0.1).collect()[0]
+    assert r.n_cal == 500 and r.k == 451
+    # coverage should land near (and in expectation above) 0.9
+    assert r.coverage >= 0.85
+    assert 0.85 <= r.q_hat <= 0.95
