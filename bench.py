@@ -250,6 +250,9 @@ HEADLINE = [
     "text_topics",
     "text_augment",
     "eval_conformal",
+    "events_seasonality",
+    "events_ttc",
+    "events_mad",
 ]
 
 

@@ -11507,6 +11507,109 @@ FROM kk, q, t
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18p: seasonality profile, time-to-convert, robust MAD
+# ---------------------------------------------------------------------------
+
+
+def q_events_seasonality(spark, sf_dir):
+    """Weekly (dow, hour) seasonality profile (timeseries.
+    seasonality_profile); pure integer epoch bucketing, 168-cell
+    aggregate."""
+    from graph_importer_spark.operators.timeseries import seasonality_profile
+
+    return seasonality_profile(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_SEASONALITY = r"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+per AS (
+  SELECT (t // 86400) % 7 AS dow, (t // 3600) % 24 AS hour,
+         COUNT(*) AS n
+  FROM e GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS tt FROM per)
+SELECT dow, hour, n,
+       round(CAST(n AS DOUBLE) / tt, 6) AS share,
+       round(n * 168.0 / tt, 6) AS lift
+FROM per, tot
+"""
+
+
+def q_events_ttc(spark, sf_dir):
+    """Time-to-convert distribution (timeseries.time_to_convert):
+    first signup -> first subsequent purchase per user, exact
+    interpolated quartiles of the delay; the oracle replays the
+    conditional firsts and quantile_cont."""
+    from graph_importer_spark.operators.timeseries import time_to_convert
+
+    return time_to_convert(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_TTC = r"""
+WITH e AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+  FROM events),
+s AS (
+  SELECT k, MIN(CASE WHEN event_type = 'signup' THEN t END) AS s0
+  FROM e GROUP BY k),
+d AS (
+  SELECT s.k,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.t >= s.s0
+                  THEN e.t END) - s.s0 AS delay0,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.t >= s.s0
+                  THEN e.t END) AS c1
+  FROM s JOIN e ON e.k = s.k
+  WHERE s.s0 IS NOT NULL
+  GROUP BY s.k, s.s0),
+dd AS (SELECT k, CASE WHEN c1 IS NULL THEN NULL ELSE delay0 END AS delay
+       FROM d),
+a AS (
+  SELECT COUNT(*) AS n_started,
+         SUM(CASE WHEN delay IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+         quantile_cont(CAST(delay AS DOUBLE), [0.25, 0.5, 0.75]) AS q
+  FROM dd)
+SELECT n_started, n_converted,
+       round(CAST(n_converted AS DOUBLE) / n_started, 6) AS conv_rate,
+       round(q[1], 6) AS p25_s, round(q[2], 6) AS p50_s,
+       round(q[3], 6) AS p75_s
+FROM a
+"""
+
+
+def q_events_mad(spark, sf_dir):
+    """Robust median/MAD stats + modified-z outlier counts per event
+    type (timeseries.robust_group_stats); exact interpolated
+    percentiles replayed by quantile_cont."""
+    from graph_importer_spark.operators.timeseries import robust_group_stats
+
+    return robust_group_stats(
+        T(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+ORACLE_EVENTS_MAD = r"""
+WITH e AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events),
+med AS (
+  SELECT g, COUNT(*) AS n, quantile_cont(v, 0.5) AS median
+  FROM e GROUP BY g),
+mad AS (
+  SELECT e.g, med.n, med.median,
+         quantile_cont(abs(e.v - med.median), 0.5) AS mad
+  FROM e JOIN med USING (g) GROUP BY e.g, med.n, med.median),
+o AS (
+  SELECT e.g, mad.n, mad.median, mad.mad,
+         SUM(CASE WHEN mad.mad > 0
+                   AND 0.6745 * abs(e.v - mad.median) / mad.mad > 3.5
+                  THEN 1 ELSE 0 END) AS n_outliers
+  FROM e JOIN mad USING (g) GROUP BY e.g, mad.n, mad.median, mad.mad)
+SELECT g AS grp, n, round(median, 6) AS median, round(mad, 6) AS mad,
+       CAST(n_outliers AS BIGINT) AS n_outliers
+FROM o
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -11661,6 +11764,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_topics": q_text_topics,
     "text_augment": q_text_augment,
     "eval_conformal": q_eval_conformal,
+    # round-4 session-18p additions: seasonality, time-to-convert,
+    # robust MAD stats.
+    "events_seasonality": q_events_seasonality,
+    "events_ttc": q_events_ttc,
+    "events_mad": q_events_mad,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12006,6 +12114,9 @@ ORACLES: dict[str, str] = {
     "text_topics": _oracle_text_topics(),
     "text_augment": _oracle_text_augment(),
     "eval_conformal": _oracle_eval_conformal(),
+    "events_seasonality": ORACLE_EVENTS_SEASONALITY,
+    "events_ttc": ORACLE_EVENTS_TTC,
+    "events_mad": ORACLE_EVENTS_MAD,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -772,3 +772,158 @@ def diff_in_diff(
         "rate_control_post",
         F.round(did, decimals).alias("did"),
     )
+
+
+def seasonality_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Weekly seasonality profile of event volume: per (day-of-week,
+    hour) cell, the event count, the share of total traffic, and the
+    lift over a flat profile (share * 168) — the baseline table
+    anomaly monitors and capacity planners divide by.  DOW follows
+    the epoch-day convention (day 0 = Thursday 1970-01-01) so the
+    bucketing is a pure integer function of the timestamp — no
+    locale/calendar dependence to diverge between engines.
+
+    -> (dow, hour, n, share, lift).
+
+    Scale shape: ONE (dow, hour) aggregate — 168 groups, map-side
+    partials — plus a 1-row total broadcast.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    per = events.groupBy(
+        (F.floor(t / 86400) % 7).alias("dow"),
+        (F.floor(t / 3600) % 24).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    tot = per.groupBy().agg(F.sum("n").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n") / F.col("_t"), decimals).alias("share"),
+        F.round(F.col("n") * 168.0 / F.col("_t"), decimals).alias("lift"),
+    )
+
+
+def time_to_convert(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    decimals: int = 6,
+) -> DataFrame:
+    """Time-to-convert distribution: per key, seconds from the FIRST
+    ``start_type`` event to the first ``convert_type`` event AT OR
+    AFTER it; the summary row reports conversion share and exact
+    interpolated quartiles of the delay — the funnel-latency readout
+    next to events_funnel's step counts.
+
+    -> one row (n_started, n_converted, conv_rate, p25_s, p50_s,
+    p75_s); quartiles NULL when nobody converts.
+
+    Scale shape: both firsts come from ONE key-keyed aggregate
+    (conditional mins); the quartiles run over the |converted
+    keys|-row summary (exact percentile — swap approx_percentile in
+    at 10^9 keys, same plan otherwise).
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    per = events.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(F.when(F.col(type_col) == start_type, t)).alias("_s")
+    )
+    conv = events.select(
+        F.col(key_col).alias("k"),
+        F.when(F.col(type_col) == convert_type, t).alias("_c"),
+    ).filter(F.col("_c").isNotNull())
+    j = (
+        per.filter(F.col("_s").isNotNull())
+        .join(conv, "k", "left")
+        .groupBy("k", "_s")
+        .agg(F.min(F.when(F.col("_c") >= F.col("_s"), F.col("_c"))).alias("_c1"))
+    )
+    delays = j.select(
+        "k", (F.col("_c1") - F.col("_s")).alias("delay")
+    )
+    agg = delays.agg(
+        F.count("*").alias("n_started"),
+        F.sum(F.col("delay").isNotNull().cast("bigint")).alias("n_converted"),
+        F.percentile(
+            F.col("delay").cast("double"), F.lit([0.25, 0.5, 0.75])
+        ).alias("_q"),
+    )
+    return agg.select(
+        "n_started",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_started"), decimals).alias(
+            "conv_rate"
+        ),
+        F.round(F.element_at("_q", 1), decimals).alias("p25_s"),
+        F.round(F.element_at("_q", 2), decimals).alias("p50_s"),
+        F.round(F.element_at("_q", 3), decimals).alias("p75_s"),
+    )
+
+
+def robust_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Median / MAD robust statistics per group plus the count of
+    modified-z outliers (Iglewicz-Hoaglin: 0.6745 * |x - med| / MAD >
+    threshold) — the outlier audit that survives the outliers it
+    hunts (mean/stddev do not).
+
+    -> (group, n, median, mad, n_outliers); MAD 0 (constant group)
+    reports n_outliers = count of values != median... which is 0 by
+    construction, so NULL-safety never fabricates flags.
+
+    Scale shape: exact interpolated percentile per group — two
+    passes (median, then MAD over |x - med|), each a group-keyed
+    aggregate; groups are category-grained (bounded).  At truly
+    hot groups swap approx_percentile; the outlier count is a third
+    conditional aggregate on the same key.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").alias("n"),
+        F.percentile(v, F.lit(0.5)).alias("median"),
+    )
+    j = df.select(F.col(group_col).alias("g"), v.alias("_v")).join(
+        F.broadcast(med), "g"
+    )
+    mad = j.groupBy("g", "n", "median").agg(
+        F.percentile(F.abs(F.col("_v") - F.col("median")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    j2 = df.select(F.col(group_col).alias("g"), v.alias("_v")).join(
+        F.broadcast(mad), "g"
+    )
+    out = j2.groupBy("g", "n", "median", "mad").agg(
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (
+                    F.lit(0.6745)
+                    * F.abs(F.col("_v") - F.col("median"))
+                    / F.col("mad")
+                    > z_threshold
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+        ).alias("n_outliers")
+    )
+    return out.select(
+        F.col("g").alias("grp"),
+        "n",
+        F.round("median", decimals).alias("median"),
+        F.round("mad", decimals).alias("mad"),
+        "n_outliers",
+    )

@@ -1156,3 +1156,44 @@ def test_conformal_threshold_coverage_guarantee(spark):
     # coverage should land near (and in expectation above) 0.9
     assert r.coverage >= 0.85
     assert 0.85 <= r.q_hat <= 0.95
+
+
+def test_seasonality_profile_conservation(spark):
+    from graph_importer_spark.operators.timeseries import seasonality_profile
+
+    rows = [(dt.datetime(2024, 1, d, h),) for d in (1, 8, 15) for h in (9, 9, 14)]
+    e = spark.createDataFrame(rows, "ts timestamp")
+    out = seasonality_profile(e).collect()
+    assert sum(r.n for r in out) == len(rows)
+    assert sum(r.share for r in out) == pytest.approx(1.0, abs=1e-4)
+    # Jan 1/8/15 2024 are Mondays: all cells share one dow
+    assert len({r.dow for r in out}) == 1
+
+
+def test_time_to_convert_firsts(spark):
+    from graph_importer_spark.operators.timeseries import time_to_convert
+
+    rows = [
+        (1, _ts(1), "signup"), (1, _ts(2), "purchase"), (1, _ts(5), "purchase"),
+        (2, _ts(3), "signup"),                        # never converts
+        (3, _ts(4), "purchase"), (3, _ts(6), "signup"),  # pre-signup purchase ignored
+        (4, _ts(2), "purchase"),                      # never signed up -> excluded
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = time_to_convert(e).collect()[0]
+    assert r.n_started == 3 and r.n_converted == 1
+    assert r.conv_rate == pytest.approx(1 / 3, abs=1e-6)
+    assert r.p50_s == 86400.0  # the single delay: exactly one day
+
+
+def test_robust_group_stats_flags_outlier(spark):
+    from graph_importer_spark.operators.timeseries import robust_group_stats
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0), ("b", 5.0)
+    ]
+    d = spark.createDataFrame(rows, "g string, v double")
+    out = {r.grp: r for r in robust_group_stats(d, "g", "v").collect()}
+    assert out["a"].median == 12.5 and out["a"].n_outliers == 1
+    # constant group: MAD 0, no fabricated outliers
+    assert out["b"].mad == 0.0 and out["b"].n_outliers == 0
