@@ -253,6 +253,9 @@ HEADLINE = [
     "events_seasonality",
     "events_ttc",
     "events_mad",
+    "kg_benford",
+    "events_km",
+    "orders_pareto",
 ]
 
 

@@ -11610,6 +11610,168 @@ FROM o
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18q: Benford audit, Kaplan-Meier survival, Pareto
+# concentration
+# ---------------------------------------------------------------------------
+
+
+def q_kg_benford(spark, sf_dir):
+    """Benford first-digit audit (triples.benford_audit) over order
+    totals and lineitem quantities as two numeric-fact predicates;
+    the oracle replays the lexical digit extraction and the baked
+    Benford constants."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    facts = o.select(
+        F.lit("total").alias("pred"),
+        F.col("o_totalprice").cast("string").alias("obj"),
+    ).unionByName(
+        li.select(
+            F.lit("qty").alias("pred"),
+            F.col("l_quantity").cast("string").alias("obj"),
+        )
+    )
+    return _triples.benford_audit(facts)
+
+
+def _oracle_kg_benford() -> str:
+    from graph_importer_spark.triples import _BENFORD_P
+
+    case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+    ) + " END"
+    return f"""
+WITH facts AS (
+  SELECT 'total' AS pred, CAST(o_totalprice AS VARCHAR) AS obj FROM orders
+  UNION ALL
+  SELECT 'qty', CAST(l_quantity AS VARCHAR) FROM lineitem
+  WHERE l_orderkey < 4000),
+d0 AS (
+  SELECT pred,
+         substring(regexp_replace(regexp_replace(obj, '[^0-9]', '', 'g'),
+                                  '^0+', ''), 1, 1) AS d
+  FROM facts),
+per AS (
+  SELECT pred, CAST(d AS INT) AS digit, COUNT(*) AS n
+  FROM d0 WHERE d <> '' GROUP BY pred, d),
+tot AS (SELECT pred, SUM(n) AS t FROM per GROUP BY pred)
+SELECT per.pred, digit, n,
+       round(CAST({case} AS DOUBLE), 6) AS expected_share,
+       round(CAST(n AS DOUBLE) / t, 6) AS observed_share,
+       round((n - ({case}) * t) * (n - ({case}) * t)
+             / (({case}) * t), 6) AS chi2
+FROM per JOIN tot ON tot.pred = per.pred
+"""
+
+
+def q_events_km(spark, sf_dir):
+    """Kaplan-Meier survival (timeseries.kaplan_meier): per-user
+    activity spans in days; users whose last event predates Jan 25
+    are churn events, later ones censor; the oracle replays the
+    duration collapse, the at-risk walk, and the 9dp-rounded
+    log-product."""
+    from graph_importer_spark.operators.timeseries import kaplan_meier
+
+    e = T(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    per = e.groupBy("user_id").agg(
+        F.min(t).alias("_f"), F.max(t).alias("_l")
+    )
+    cutoff = 1706140800  # 2024-01-25T00:00:00Z
+    durations = per.select(
+        F.floor((F.col("_l") - F.col("_f")) / 86400).alias("duration"),
+        (F.col("_l") < cutoff).alias("observed"),
+    )
+    return kaplan_meier(durations)
+
+
+ORACLE_EVENTS_KM = r"""
+WITH per AS (
+  SELECT user_id,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS f,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS l
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT CAST((l - f) // 86400 AS BIGINT) AS t,
+         l < 1706140800 AS obs
+  FROM per),
+perd AS (
+  SELECT t, SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events,
+         SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS n_censored
+  FROM d GROUP BY t),
+tot AS (SELECT COUNT(*) AS n FROM d),
+ar AS (
+  SELECT t, n_events, n_censored,
+         tot.n - COALESCE(SUM(n_events + n_censored) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS n_risk
+  FROM perd, tot),
+f AS (
+  SELECT t, n_risk, n_events, n_censored,
+         round(1.0 - CAST(n_events AS DOUBLE) / n_risk, 9) AS factor
+  FROM ar),
+s AS (
+  SELECT t, n_risk, n_events, n_censored,
+         CASE WHEN MIN(factor) OVER (ORDER BY t
+                ROWS UNBOUNDED PRECEDING) <= 0 THEN 0.0
+              ELSE exp(SUM(CASE WHEN factor > 0 THEN ln(factor) END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END
+           AS sv
+  FROM f)
+SELECT t, n_risk, n_events, n_censored, round(sv, 6) AS survival
+FROM s
+"""
+
+
+def q_orders_pareto(spark, sf_dir):
+    """Revenue concentration curve (profiling.concentration_curve)
+    over customer order totals at 50/80/90% targets; the oracle
+    replays the value-summary cumulative walk and the tie-group
+    ceil."""
+    from graph_importer_spark.operators.profiling import concentration_curve
+
+    o = T(spark, sf_dir, "orders")
+    return concentration_curve(o, "o_custkey", "o_totalprice")
+
+
+def _oracle_orders_pareto(fracs=(0.5, 0.8, 0.9)) -> str:
+    sels = []
+    for f in fracs:
+        sels.append(
+            f"""
+(SELECT {f} AS frac,
+        CAST(ck - nk + ceil((tv * {f} - (cv - v * nk)) / v) AS BIGINT)
+          AS n_keys,
+        tk, tv, v, cv, nk, ck
+ FROM cum, tot WHERE cv >= tv * {f} ORDER BY v DESC LIMIT 1)"""
+        )
+    u = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH per AS (
+  SELECT o_custkey AS k,
+         round(CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE), 2) AS v
+  FROM orders GROUP BY o_custkey),
+summ AS (SELECT v, COUNT(*) AS nk FROM per GROUP BY v),
+cum AS (
+  SELECT v, nk,
+         SUM(v * nk) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cv,
+         SUM(nk) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS ck
+  FROM summ),
+tot AS (
+  SELECT CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE) AS tv,
+         COUNT(*) AS tk
+  FROM per),
+sel AS ({u})
+SELECT frac, n_keys,
+       round(CAST(n_keys AS DOUBLE) / tk, 6) AS key_share,
+       round(LEAST((cv - v * nk + (n_keys - (ck - nk)) * v) / tv, 1.0), 6)
+         AS value_share
+FROM sel
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -11769,6 +11931,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonality": q_events_seasonality,
     "events_ttc": q_events_ttc,
     "events_mad": q_events_mad,
+    # round-4 session-18q additions: Benford audit, Kaplan-Meier,
+    # Pareto concentration.
+    "kg_benford": q_kg_benford,
+    "events_km": q_events_km,
+    "orders_pareto": q_orders_pareto,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12117,6 +12284,9 @@ ORACLES: dict[str, str] = {
     "events_seasonality": ORACLE_EVENTS_SEASONALITY,
     "events_ttc": ORACLE_EVENTS_TTC,
     "events_mad": ORACLE_EVENTS_MAD,
+    "kg_benford": _oracle_kg_benford(),
+    "events_km": ORACLE_EVENTS_KM,
+    "orders_pareto": _oracle_orders_pareto(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

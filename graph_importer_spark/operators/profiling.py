@@ -16,7 +16,7 @@ N separate per-column jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -335,3 +335,101 @@ def table_checks(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def concentration_curve(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    fracs: tuple[float, ...] = (0.5, 0.8, 0.9),
+    decimals: int = 6,
+) -> DataFrame:
+    """Pareto / concentration analysis of a value column over keys
+    (revenue per customer, traffic per domain, tokens per source):
+    for each target fraction, how many of the highest-value keys it
+    takes to cover that share of the total — the 80/20 readout that
+    decides crawl budgets and dedup priorities.
+
+    Exactness without a global per-key sort: per-key values (exact
+    DECIMAL sums, rounded to 2) collapse to a (value, n_keys) summary
+    table; the cumulative walk runs over DISTINCT values descending —
+    bounded by value granularity, not key count (the eval_auc
+    bounded-summary argument).  Keys are counted at value
+    granularity: within the marginal value's tie group the minimal
+    covering count uses as many of its keys as needed (exact
+    fractional attribution of the tie group, deterministic).
+
+    -> one row per frac (frac, n_keys, key_share, value_share).
+    """
+    amt = F.round(
+        F.sum(F.round(F.col(value_col), 9).cast("decimal(28,9)")).cast(
+            "double"
+        ),
+        2,
+    )
+    per = df.groupBy(F.col(key_col).alias("k")).agg(amt.alias("v"))
+    summ = per.groupBy("v").agg(F.count("*").alias("nk"))
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = summ.select(
+        "v",
+        "nk",
+        F.sum(F.col("v") * F.col("nk")).over(w).alias("cv"),
+        F.sum("nk").over(w).alias("ck"),
+    )
+    tot = per.agg(
+        F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).cast("double").alias("tv"),
+        F.count("*").alias("tk"),
+    )
+    out = None
+    for f in fracs:
+        # first summary row whose cumulative value covers f * total;
+        # keys needed = keys before the tie group + ceil of the
+        # remainder at the marginal value
+        c = cum.crossJoin(F.broadcast(tot)).filter(
+            F.col("cv") >= F.col("tv") * F.lit(f)
+        )
+        row = (
+            c.orderBy(F.desc("v"))
+            .limit(1)
+            .select(
+                F.lit(f).alias("frac"),
+                (
+                    F.col("ck")
+                    - F.col("nk")
+                    + F.ceil(
+                        (
+                            F.col("tv") * F.lit(f)
+                            - (F.col("cv") - F.col("v") * F.col("nk"))
+                        )
+                        / F.col("v")
+                    )
+                ).cast("bigint").alias("n_keys"),
+                F.col("tk").alias("_tk"),
+                F.col("tv").alias("_tv"),
+                F.col("v").alias("_v"),
+                F.col("cv").alias("_cv"),
+                F.col("nk").alias("_nk"),
+                F.col("ck").alias("_ck"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "frac",
+        "n_keys",
+        F.round(F.col("n_keys") / F.col("_tk"), decimals).alias("key_share"),
+        F.round(
+            F.least(
+                (
+                    F.col("_cv")
+                    - F.col("_v") * F.col("_nk")
+                    + (F.col("n_keys") - (F.col("_ck") - F.col("_nk")))
+                    * F.col("_v")
+                )
+                / F.col("_tv"),
+                F.lit(1.0),
+            ),
+            decimals,
+        ).alias("value_share"),
+    )

@@ -927,3 +927,73 @@ def robust_group_stats(
         F.round("mad", decimals).alias("mad"),
         "n_outliers",
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+    decimals: int = 6,
+) -> DataFrame:
+    """Discrete Kaplan-Meier survival estimator over (duration,
+    observed) rows — observed=true means the event (churn, failure)
+    happened at ``duration``; false means censored there (still
+    alive when observation ended).  S(t) = Π_{t_i <= t}
+    (1 - d_i / n_i) over event times, the standard retention /
+    reliability curve with censoring handled correctly (naive
+    retention curves silently treat censored users as churned).
+
+    Determinism: each factor rounds to 9dp and the product runs as
+    exp(sum(ln(...))) over the time-ordered summary — both engines
+    fold the identical rounded values in the identical order;
+    survival rounds to ``decimals``.
+
+    -> (t, n_risk, n_events, n_censored, survival), one row per
+    distinct duration with at least one event or censor.
+
+    Scale shape: the corpus collapses to ONE duration-keyed
+    aggregate; the at-risk counts and the cumulative product are
+    windows over the DISTINCT-duration summary (bounded by time
+    granularity, not cohort size — the eval_auc argument again).
+    """
+    d = durations.select(
+        F.col(duration_col).cast("bigint").alias("t"),
+        F.col(observed_col).cast("boolean").alias("obs"),
+    )
+    per = d.groupBy("t").agg(
+        F.sum(F.col("obs").cast("bigint")).alias("n_events"),
+        F.sum((~F.col("obs")).cast("bigint")).alias("n_censored"),
+    )
+    tot = d.groupBy().agg(F.count("*").alias("_n"))
+    w_before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = per.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_events",
+        "n_censored",
+        (
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_before),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    factor = F.round(
+        F.lit(1.0) - F.col("n_events") / F.col("n_risk"), 9
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lnf = F.when(factor > 0, F.log(factor)).otherwise(F.lit(None))
+    surv = F.when(
+        F.min(factor).over(w_cum) <= 0, F.lit(0.0)
+    ).otherwise(F.exp(F.sum(lnf).over(w_cum)))
+    return at_risk.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(surv, decimals).alias("survival"),
+    )

@@ -1197,3 +1197,49 @@ def test_robust_group_stats_flags_outlier(spark):
     assert out["a"].median == 12.5 and out["a"].n_outliers == 1
     # constant group: MAD 0, no fabricated outliers
     assert out["b"].mad == 0.0 and out["b"].n_outliers == 0
+
+
+def test_benford_on_benford_data(spark):
+    from graph_importer_spark.triples import benford_audit
+
+    import math
+
+    # powers of 1.5 follow Benford closely
+    rows = [("p", str(round(1.5 ** i, 4))) for i in range(1, 120)]
+    rows += [("q", "000"), ("q", "abc"), ("q", "-12.5")]
+    f = spark.createDataFrame(rows, "pred string, obj string")
+    out = benford_audit(f).collect()
+    p = {r.digit: r for r in out if r.pred == "p"}
+    assert p[1].expected_share == pytest.approx(math.log10(2), abs=1e-5)
+    # low chi-square on Benford-conforming data
+    assert sum(r.chi2 for r in p.values()) < 20
+    # non-numeric / all-zero objs dropped; '-12.5' keeps digit 1
+    q = {r.digit: r for r in out if r.pred == "q"}
+    assert set(q) == {1} and q[1].n == 1
+
+
+def test_kaplan_meier_with_censoring(spark):
+    from graph_importer_spark.operators.timeseries import kaplan_meier
+
+    rows = [(1, True), (2, True), (2, False), (3, True)]
+    d = spark.createDataFrame(rows, "duration long, observed boolean")
+    out = {r.t: r for r in kaplan_meier(d).collect()}
+    # t=1: 4 at risk, 1 event -> S=0.75
+    assert out[1].n_risk == 4 and out[1].survival == 0.75
+    # t=2: 3 at risk, 1 event + 1 censored -> S = 0.75 * 2/3 = 0.5
+    assert out[2].n_risk == 3 and out[2].survival == 0.5
+    # t=3: 1 at risk (censored one removed), 1 event -> S=0
+    assert out[3].n_risk == 1 and out[3].survival == 0.0
+
+
+def test_concentration_curve_8020(spark):
+    from graph_importer_spark.operators.profiling import concentration_curve
+
+    # one whale holds 80, nine minnows 20/9 each -> 0.5 and 0.8 need 1 key
+    rows = [(0, 80.0)] + [(i, 20.0 / 9) for i in range(1, 10)]
+    d = spark.createDataFrame(rows, "k long, v double")
+    out = {r.frac: r for r in concentration_curve(d, "k", "v").collect()}
+    assert out[0.5].n_keys == 1 and out[0.8].n_keys == 1
+    assert out[0.8].value_share == pytest.approx(0.8, abs=1e-3)
+    assert out[0.9].n_keys > 1
+    assert out[0.5].key_share == pytest.approx(0.1)
