@@ -256,6 +256,9 @@ HEADLINE = [
     "kg_benford",
     "events_km",
     "orders_pareto",
+    "orders_ols",
+    "join_card_audit",
+    "emb_matryoshka",
 ]
 
 

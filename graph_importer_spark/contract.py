@@ -11772,6 +11772,151 @@ FROM sel
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18r: grouped OLS, join-cardinality audit, Matryoshka
+# truncation recall
+# ---------------------------------------------------------------------------
+
+
+def q_orders_ols(spark, sf_dir):
+    """Closed-form grouped OLS (profiling.grouped_ols): extended
+    price regressed on quantity per return flag; the oracle replays
+    the 9dp-DECIMAL moment sums and the slope/intercept/r2 algebra."""
+    from graph_importer_spark.operators.profiling import grouped_ols
+
+    li = T(spark, sf_dir, "lineitem")
+    return grouped_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+ORACLE_ORDERS_OLS = r"""
+WITH a AS (
+  SELECT l_returnflag AS grp, COUNT(*) AS n,
+         SUM(CAST(round(CAST(l_quantity AS DOUBLE), 9)
+                  AS DECIMAL(38,9))) AS sx,
+         SUM(CAST(round(CAST(l_extendedprice AS DOUBLE), 9)
+                  AS DECIMAL(38,9))) AS sy,
+         SUM(CAST(round(CAST(l_quantity AS DOUBLE)
+                        * CAST(l_quantity AS DOUBLE), 9)
+                  AS DECIMAL(38,9))) AS sxx,
+         SUM(CAST(round(CAST(l_extendedprice AS DOUBLE)
+                        * CAST(l_extendedprice AS DOUBLE), 9)
+                  AS DECIMAL(38,9))) AS syy,
+         SUM(CAST(round(CAST(l_quantity AS DOUBLE)
+                        * CAST(l_extendedprice AS DOUBLE), 9)
+                  AS DECIMAL(38,9))) AS sxy
+  FROM lineitem GROUP BY l_returnflag),
+m AS (
+  SELECT grp, n,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+         CAST(sxy AS DOUBLE) AS sxy
+  FROM a)
+SELECT grp, n,
+       CASE WHEN sxx - sx * sx / n > 0
+            THEN round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+       END AS slope,
+       CASE WHEN sxx - sx * sx / n > 0
+            THEN round((sy - ((sxy - sx * sy / n)
+                              / (sxx - sx * sx / n)) * sx) / n, 6)
+       END AS intercept,
+       CASE WHEN sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+            THEN round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                       / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+       END AS r2
+FROM m
+"""
+
+
+def q_join_card_audit(spark, sf_dir):
+    """Join-cardinality estimator audit (profiling.
+    join_cardinality_audit): lineitem x part on 50-valued folded keys
+    — the uniform-key estimate vs the skewed actual; the oracle
+    replays both statistics and the real join count."""
+    from graph_importer_spark.operators.profiling import (
+        join_cardinality_audit,
+    )
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000).select(
+        (F.col("l_partkey") % 50).alias("k")
+    )
+    p = T(spark, sf_dir, "part").select((F.col("p_partkey") % 50).alias("k"))
+    return join_cardinality_audit(li, p, "k", "k")
+
+
+ORACLE_JOIN_CARD_AUDIT = r"""
+WITH a AS (
+  SELECT l_partkey % 50 AS k FROM lineitem WHERE l_orderkey < 2000),
+b AS (SELECT p_partkey % 50 AS k FROM part),
+sa AS (SELECT COUNT(*) AS n_a, COUNT(DISTINCT k) AS ndv_a FROM a),
+sb AS (SELECT COUNT(*) AS n_b, COUNT(DISTINCT k) AS ndv_b FROM b),
+act AS (SELECT COUNT(*) AS actual FROM a JOIN b USING (k))
+SELECT n_a, n_b, ndv_a, ndv_b,
+       round(CAST(n_a AS DOUBLE) * n_b / GREATEST(ndv_a, ndv_b), 6) AS est,
+       actual,
+       round(actual
+             / (CAST(n_a AS DOUBLE) * n_b / GREATEST(ndv_a, ndv_b)), 6)
+         AS ratio
+FROM sa, sb, act
+"""
+
+
+def q_emb_matryoshka(spark, sf_dir):
+    """Matryoshka truncation audit (similarity.truncation_recall):
+    16-of-64-dim cosine top-5 recall vs the full-dimension truth; the
+    oracle replays both brute top-k runs and the per-query hit
+    count."""
+    from graph_importer_spark.operators.similarity import truncation_recall
+
+    emb = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = emb.select("vec_id", v.alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") < 8)
+    return truncation_recall(corpus, queries, trunc_dims=16, k=5)
+
+
+def _oracle_emb_matryoshka(trunc: int = 16, k: int = 5) -> str:
+    cos = "round({d} / ({na} * {nb}), 6)".format(
+        d=_DOT.format(a="{a}", b="{b}"),
+        na=_NORM.format(v="{a}"),
+        nb=_NORM.format(v="{b}"),
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < 8),
+full_s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos.format(a='q.v', b='c.v')} AS cosine
+  FROM q, c WHERE c.vec_id <> q.vec_id),
+full_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM full_s),
+full_k AS (SELECT query_id, neighbor_id FROM full_r WHERE rn <= {k}),
+ct AS (SELECT vec_id, v[1:{trunc}] AS v FROM c),
+qt AS (SELECT vec_id, v FROM ct WHERE vec_id < 8),
+tr_s AS (
+  SELECT qt.vec_id AS query_id, ct.vec_id AS neighbor_id,
+         {cos.format(a='qt.v', b='ct.v')} AS cosine
+  FROM qt, ct WHERE ct.vec_id <> qt.vec_id),
+tr_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM tr_s),
+tr_k AS (SELECT query_id, neighbor_id FROM tr_r WHERE rn <= {k}),
+hit AS (
+  SELECT t.query_id, COUNT(*) AS n_hit
+  FROM tr_k t SEMI JOIN full_k f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id),
+base AS (SELECT query_id, COUNT(*) AS nk FROM full_k GROUP BY query_id)
+SELECT b.query_id, b.nk AS k, COALESCE(h.n_hit, 0) AS n_hit,
+       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.nk, 6) AS recall
+FROM base b LEFT JOIN hit h USING (query_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -11936,6 +12081,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_benford": q_kg_benford,
     "events_km": q_events_km,
     "orders_pareto": q_orders_pareto,
+    # round-4 session-18r additions: grouped OLS, join-cardinality
+    # audit, Matryoshka truncation recall.
+    "orders_ols": q_orders_ols,
+    "join_card_audit": q_join_card_audit,
+    "emb_matryoshka": q_emb_matryoshka,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12287,6 +12437,9 @@ ORACLES: dict[str, str] = {
     "kg_benford": _oracle_kg_benford(),
     "events_km": ORACLE_EVENTS_KM,
     "orders_pareto": _oracle_orders_pareto(),
+    "orders_ols": ORACLE_ORDERS_OLS,
+    "join_card_audit": ORACLE_JOIN_CARD_AUDIT,
+    "emb_matryoshka": _oracle_emb_matryoshka(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -433,3 +433,103 @@ def concentration_curve(
             decimals,
         ).alias("value_share"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Closed-form simple linear regression per group (the grouped
+    trend-line / elasticity readout): slope = cov(x,y)/var(x),
+    intercept = ybar - slope*xbar, r = cov/(sx*sy) — all from ONE
+    aggregate of 9dp-DECIMAL moment sums (n, Σx, Σy, Σxx, Σyy, Σxy),
+    so the fit is order-exact and SQL-replayable; no ML library, no
+    iterations.
+
+    -> (group, n, slope, intercept, r2); slope/r2 NULL when var(x)
+    (resp. var(y)) is 0 — undefined, not fabricated.
+
+    Scale shape: one group-keyed aggregate with map-side partials;
+    the algebra runs on the per-group summary row.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(d9(x)).alias("_sx"),
+        F.sum(d9(y)).alias("_sy"),
+        F.sum(d9(x * x)).alias("_sxx"),
+        F.sum(d9(y * y)).alias("_syy"),
+        F.sum(d9(x * y)).alias("_sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    cov = sxy - sx * sy / n
+    slope = F.when(varx > 0, cov / varx)
+    intercept = F.when(varx > 0, (sy - (cov / varx) * sx) / n)
+    r2 = F.when((varx > 0) & (vary > 0), (cov * cov) / (varx * vary))
+    return agg.select(
+        "grp",
+        "n",
+        F.round(slope, decimals).alias("slope"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(r2, decimals).alias("r2"),
+    )
+
+
+def join_cardinality_audit(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Optimizer-statistics validation for an equi-join: the textbook
+    estimate |A||B| / max(ndv_a, ndv_b) (uniform-key assumption —
+    what a cost model uses before AQE sees runtime stats) vs the
+    ACTUAL join cardinality, plus the error ratio.  Large ratios
+    flag skew the cost model will mis-plan — the audit behind a
+    'should this join be salted?' decision.
+
+    -> one row (n_a, n_b, ndv_a, ndv_b, est, actual, ratio).
+
+    Scale shape: two count+distinct aggregates (one scan each) and
+    the actual count via the join itself — the measurement IS the
+    join, run once.
+    """
+    sa = a.select(F.col(a_key).alias("_k"))
+    sb = b.select(F.col(b_key).alias("_k"))
+    stats_a = sa.agg(
+        F.count("*").alias("n_a"), F.countDistinct("_k").alias("ndv_a")
+    )
+    stats_b = sb.agg(
+        F.count("*").alias("n_b"), F.countDistinct("_k").alias("ndv_b")
+    )
+    actual = sa.join(sb, "_k").count()
+    j = stats_a.crossJoin(stats_b)
+    est = (
+        F.col("n_a")
+        * F.col("n_b")
+        / F.greatest(F.col("ndv_a"), F.col("ndv_b"))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        "ndv_a",
+        "ndv_b",
+        F.round(est, decimals).alias("est"),
+        F.lit(actual).alias("actual"),
+        F.when(est > 0, F.round(F.lit(actual) / est, decimals)).alias(
+            "ratio"
+        ),
+    )

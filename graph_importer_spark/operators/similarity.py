@@ -650,3 +650,53 @@ def ann_topk_lsh_multiprobe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    trunc_dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Matryoshka-style truncation audit: recall@k of brute-force
+    cosine top-k computed on the FIRST ``trunc_dims`` dimensions
+    against the full-dimension top-k — the measurement that licenses
+    serving shorter vectors (Kusupati et al. 2022's MRL eval,
+    representation-agnostic form).
+
+    -> one row per query (query_id, k, n_hit, recall).
+
+    Scale shape: two cosine_topk runs (each one corpus scan with the
+    broadcast query side) + a per-query semi-join on the <= k-row
+    result sets.
+    """
+    full = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    tcorpus = corpus.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, trunc_dims).alias(vec_col),
+    )
+    tqueries = queries.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, trunc_dims).alias(vec_col),
+    )
+    trunc = cosine_topk(
+        tcorpus, tqueries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    hit = trunc.join(
+        full.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per = hit.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    base = full.groupBy("query_id").agg(F.count("*").alias("_nk"))
+    return base.join(per, "query_id", "left").select(
+        "query_id",
+        F.col("_nk").alias("k"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.col("_nk"), decimals
+        ).alias("recall"),
+    )

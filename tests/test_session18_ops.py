@@ -1243,3 +1243,51 @@ def test_concentration_curve_8020(spark):
     assert out[0.8].value_share == pytest.approx(0.8, abs=1e-3)
     assert out[0.9].n_keys > 1
     assert out[0.5].key_share == pytest.approx(0.1)
+
+
+def test_grouped_ols_exact_line(spark):
+    from graph_importer_spark.operators.profiling import grouped_ols
+
+    # y = 3x + 2 exactly; plus a zero-variance-x group
+    rows = [("a", float(x), 3.0 * x + 2.0) for x in range(10)] + [
+        ("b", 5.0, 1.0), ("b", 5.0, 9.0)
+    ]
+    d = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.grp: r for r in grouped_ols(d, "g", "x", "y").collect()}
+    assert out["a"].slope == pytest.approx(3.0, abs=1e-6)
+    assert out["a"].intercept == pytest.approx(2.0, abs=1e-6)
+    assert out["a"].r2 == pytest.approx(1.0, abs=1e-6)
+    assert out["b"].slope is None and out["b"].r2 is None
+
+
+def test_join_cardinality_audit_uniform(spark):
+    from graph_importer_spark.operators.profiling import (
+        join_cardinality_audit,
+    )
+
+    a = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(20)], "k long")
+    r = join_cardinality_audit(a, b, "k", "k").collect()[0]
+    # uniform keys: estimate is exact -> ratio 1.0
+    assert r.ndv_a == 5 and r.est == pytest.approx(200.0)
+    assert r.actual == 200 and r.ratio == pytest.approx(1.0)
+
+
+def test_truncation_recall_full_dims_is_one(spark):
+    from graph_importer_spark.operators.similarity import truncation_recall
+
+    import math
+
+    corpus = spark.createDataFrame(
+        [(i, [math.cos(i * 0.3), math.sin(i * 0.3), float(i % 2), 1.0])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = corpus.filter(F.col("vec_id") < 3)
+    # truncating to the FULL width must be lossless
+    full = truncation_recall(corpus, q, trunc_dims=4, k=5).collect()
+    assert all(r.recall == 1.0 for r in full)
+    # truncating to 1 dim loses information for most queries
+    t1 = truncation_recall(corpus, q, trunc_dims=2, k=5).collect()
+    assert all(0.0 <= r.recall <= 1.0 for r in t1)
+    assert {r.query_id for r in t1} == {0, 1, 2}
