@@ -259,6 +259,8 @@ HEADLINE = [
     "orders_ols",
     "join_card_audit",
     "emb_matryoshka",
+    "orders_infogain",
+    "events_cusum",
 ]
 
 

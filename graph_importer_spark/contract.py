@@ -11917,6 +11917,99 @@ FROM base b LEFT JOIN hit h USING (query_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18s: information gain, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def q_orders_infogain(spark, sf_dir):
+    """Information-gain feature ranking (profiling.information_gain):
+    order priority and order month scored against the order-status
+    label; the oracle replays the unpivot census and every entropy
+    term."""
+    from graph_importer_spark.operators.profiling import information_gain
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.month("o_orderdate").cast("string").alias("omonth"),
+    )
+    return information_gain(o, "o_orderstatus", ["o_orderpriority", "omonth"])
+
+
+ORACLE_ORDERS_INFOGAIN = r"""
+WITH base AS (
+  SELECT o_orderstatus AS y, o_orderpriority AS p,
+         CAST(month(o_orderdate) AS VARCHAR) AS m
+  FROM orders),
+pairs AS (
+  SELECT y, 'o_orderpriority' AS f, p AS v FROM base
+  UNION ALL SELECT y, 'omonth', m FROM base),
+cell AS (SELECT f, v, y, COUNT(*) AS n FROM pairs GROUP BY f, v, y),
+perv AS (SELECT f, v, SUM(n) AS nv FROM cell GROUP BY f, v),
+entv AS (
+  SELECT cell.f, cell.v, perv.nv,
+         round(-SUM((CAST(cell.n AS DOUBLE) / perv.nv)
+                    * log2(CAST(cell.n AS DOUBLE) / perv.nv)), 9) AS hv
+  FROM cell JOIN perv ON perv.f = cell.f AND perv.v = cell.v
+  GROUP BY cell.f, cell.v, perv.nv),
+tot AS (SELECT f, COUNT(*) AS nt FROM pairs GROUP BY f),
+lab AS (SELECT f, y, COUNT(*) AS n FROM pairs GROUP BY f, y),
+hl AS (
+  SELECT lab.f, tot.nt,
+         round(-SUM((CAST(lab.n AS DOUBLE) / tot.nt)
+                    * log2(CAST(lab.n AS DOUBLE) / tot.nt)), 9) AS hl
+  FROM lab JOIN tot USING (f) GROUP BY lab.f, tot.nt),
+cond AS (
+  SELECT entv.f,
+         round(SUM((CAST(entv.nv AS DOUBLE) / tot.nt) * entv.hv), 9) AS hc,
+         COUNT(*) AS n_values
+  FROM entv JOIN tot USING (f) GROUP BY entv.f, tot.nt)
+SELECT hl.f AS feature, cond.n_values,
+       round(hl.hl, 6) AS h_label, round(cond.hc, 6) AS h_cond,
+       round(hl.hl - cond.hc, 6) AS info_gain
+FROM hl JOIN cond USING (f)
+"""
+
+
+def q_events_cusum(spark, sf_dir):
+    """CUSUM changepoint scan (timeseries.cusum_changepoint) over
+    daily event volume; the oracle replays the grid fill, the
+    9dp-DECIMAL deviation walk, and the |S| argmax."""
+    from graph_importer_spark.operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_CUSUM = r"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+span AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi, SUM(n) AS tot FROM per),
+grid AS (
+  SELECT CAST(u.day AS BIGINT) AS day,
+         CAST(span.tot AS DOUBLE) / (span.hi - span.lo + 1) AS mu
+  FROM span, UNNEST(generate_series(span.lo, span.hi)) u(day)),
+j AS (
+  SELECT g.day, COALESCE(per.n, 0) AS n,
+         CAST(round(COALESCE(per.n, 0) - g.mu, 9)
+              AS DECIMAL(28,9)) AS dev
+  FROM grid g LEFT JOIN per USING (day)),
+cum AS (
+  SELECT day, n, CAST(dev AS DOUBLE) AS dev,
+         CAST(SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS DOUBLE) AS cusum
+  FROM j),
+peak AS (
+  SELECT day AS pd FROM cum ORDER BY abs(cusum) DESC, day ASC LIMIT 1)
+SELECT day, n, round(dev, 6) AS dev, round(cusum, 6) AS cusum,
+       day = (SELECT pd FROM peak) AS is_peak
+FROM cum
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12086,6 +12179,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_ols": q_orders_ols,
     "join_card_audit": q_join_card_audit,
     "emb_matryoshka": q_emb_matryoshka,
+    # round-4 session-18s additions: information gain, CUSUM.
+    "orders_infogain": q_orders_infogain,
+    "events_cusum": q_events_cusum,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12440,6 +12536,8 @@ ORACLES: dict[str, str] = {
     "orders_ols": ORACLE_ORDERS_OLS,
     "join_card_audit": ORACLE_JOIN_CARD_AUDIT,
     "emb_matryoshka": _oracle_emb_matryoshka(),
+    "orders_infogain": ORACLE_ORDERS_INFOGAIN,
+    "events_cusum": ORACLE_EVENTS_CUSUM,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -533,3 +533,91 @@ def join_cardinality_audit(
             "ratio"
         ),
     )
+
+
+def information_gain(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Information gain of categorical features against a label
+    (the classic filter-method feature ranking): IG(f) = H(label) -
+    Σ_v p(v) H(label | f = v), entropies in bits.
+
+    Every entropy term computes from exact integer counts; the
+    p·log2(p) fold orders by value then label (deterministic), and
+    results round — the char_entropy discipline applied to feature
+    selection.
+
+    -> (feature, n_values, h_label, h_cond, info_gain).
+
+    Scale shape: one (feature, value, label) aggregate per feature
+    via a single unpivot scan (the profiling shape: explode a
+    literal array, never one job per column); all entropy algebra
+    runs on the bounded (value, label) census.
+    """
+    pairs = df.select(
+        F.col(label_col).cast("string").alias("_y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("f"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("_p"),
+    ).select("_y", F.col("_p.f").alias("f"), F.col("_p.v").alias("v"))
+    cell = pairs.groupBy("f", "v", "_y").agg(F.count("*").alias("n"))
+    per_v = cell.groupBy("f", "v").agg(F.sum("n").alias("nv"))
+    ent_v = (
+        cell.join(per_v, ["f", "v"])
+        .groupBy("f", "v", "nv")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("nv"))
+                    * F.log2(F.col("n") / F.col("nv"))
+                ),
+                9,
+            ).alias("hv")
+        )
+    )
+    tot = pairs.groupBy("f").agg(F.count("*").alias("nt"))
+    lab = pairs.groupBy("f", "_y").agg(F.count("*").alias("n"))
+    h_label = (
+        lab.join(tot, "f")
+        .groupBy("f", "nt")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("nt"))
+                    * F.log2(F.col("n") / F.col("nt"))
+                ),
+                9,
+            ).alias("hl")
+        )
+    )
+    cond = (
+        ent_v.join(tot.select("f", "nt"), "f")
+        .groupBy("f")
+        .agg(
+            F.round(
+                F.sum((F.col("nv") / F.col("nt")) * F.col("hv")), 9
+            ).alias("hc"),
+            F.count("*").alias("n_values"),
+        )
+    )
+    return (
+        h_label.join(cond, "f")
+        .select(
+            F.col("f").alias("feature"),
+            "n_values",
+            F.round("hl", decimals).alias("h_label"),
+            F.round("hc", decimals).alias("h_cond"),
+            F.round(F.col("hl") - F.col("hc"), decimals).alias("info_gain"),
+        )
+    )

@@ -997,3 +997,62 @@ def kaplan_meier(
         "n_censored",
         F.round(surv, decimals).alias("survival"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series: with
+    mean daily volume mu, S_d = Σ_{d' <= d} (n_d' - mu); the day
+    maximizing |S| is the most likely level-shift point (Page's
+    cumulative-sum test, count form).  The volume-drop detector for
+    ingest pipelines — fires when a source silently halves.
+
+    -> (day, n, dev, cusum, is_peak): one row per day in the span,
+    ``is_peak`` marks the argmax |cusum| (ties to the earliest day).
+
+    Determinism: mu is an exact ratio (total/days); deviations round
+    to 9dp DECIMAL before the running sum, so the walk is
+    order-exact.
+
+    Scale shape: ONE day-keyed aggregate collapses the corpus; the
+    grid fill, the running sum, and the argmax all run on the
+    bounded day summary.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    per = events.groupBy(day.alias("day")).agg(F.count("*").alias("n"))
+    span = per.agg(
+        F.min("day").alias("_lo"),
+        F.max("day").alias("_hi"),
+        F.sum("n").alias("_tot"),
+    )
+    grid = span.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day"),
+        (F.col("_tot") / (F.col("_hi") - F.col("_lo") + 1)).alias("_mu"),
+    )
+    j = grid.join(per, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("n", F.lit(0)) - F.col("_mu"), 9)
+        .cast("decimal(28,9)")
+        .alias("_dev"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        "day",
+        "n",
+        F.col("_dev").cast("double").alias("dev"),
+        F.sum("_dev").over(w).cast("double").alias("_cusum"),
+    )
+    peak = cum.agg(
+        F.expr("min_by(day, struct(-abs(_cusum), day))").alias("_pd")
+    )
+    return cum.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "n",
+        F.round("dev", decimals).alias("dev"),
+        F.round("_cusum", decimals).alias("cusum"),
+        (F.col("day") == F.col("_pd")).alias("is_peak"),
+    )

@@ -1291,3 +1291,37 @@ def test_truncation_recall_full_dims_is_one(spark):
     t1 = truncation_recall(corpus, q, trunc_dims=2, k=5).collect()
     assert all(0.0 <= r.recall <= 1.0 for r in t1)
     assert {r.query_id for r in t1} == {0, 1, 2}
+
+
+def test_information_gain_perfect_and_null_feature(spark):
+    from graph_importer_spark.operators.profiling import information_gain
+
+    # f1 determines y perfectly; f2 is constant (IG 0)
+    rows = [(("A" if i % 2 == 0 else "B"), f"v{i % 2}", "c") for i in range(40)]
+    d = spark.createDataFrame(rows, "y string, f1 string, f2 string")
+    out = {r.feature: r for r in information_gain(d, "y", ["f1", "f2"]).collect()}
+    assert out["f1"].h_label == pytest.approx(1.0, abs=1e-6)
+    assert out["f1"].info_gain == pytest.approx(1.0, abs=1e-6)
+    assert out["f2"].info_gain == pytest.approx(0.0, abs=1e-6)
+    assert out["f1"].n_values == 2 and out["f2"].n_values == 1
+
+
+def test_cusum_finds_level_shift(spark):
+    from graph_importer_spark.operators.timeseries import cusum_changepoint
+
+    # 10 days at ~2 events, then 10 days at ~8: changepoint at the shift
+    rows = []
+    for d in range(1, 11):
+        rows += [(dt.datetime(2024, 1, d, h),) for h in (1, 2)]
+    for d in range(11, 21):
+        rows += [(dt.datetime(2024, 1, d, h),) for h in range(8)]
+    e = spark.createDataFrame(rows, "ts timestamp")
+    out = cusum_changepoint(e).collect()
+    peak = [r for r in out if r.is_peak]
+    assert len(peak) == 1
+    d0 = min(r.day for r in out)
+    # |S| peaks at the last low-rate day (day index 9 within the span)
+    assert peak[0].day == d0 + 9
+    # cusum returns to ~0 at the end (deviations sum to 0 by construction)
+    last = max(out, key=lambda r: r.day)
+    assert abs(last.cusum) < 1e-6
