@@ -261,6 +261,8 @@ HEADLINE = [
     "emb_matryoshka",
     "orders_infogain",
     "events_cusum",
+    "events_anomaly",
+    "sample_kfold",
 ]
 
 

@@ -12010,6 +12010,79 @@ FROM cum
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18t: seasonal anomalies, stratified k-fold
+# ---------------------------------------------------------------------------
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Seasonality-adjusted volume anomalies (timeseries.
+    seasonal_anomalies): per (day, hour) cell vs its own (dow, hour)
+    baseline mean, Poisson z; the oracle replays the grid fill, the
+    baseline rollup, and the flag."""
+    from graph_importer_spark.operators.timeseries import seasonal_anomalies
+
+    return seasonal_anomalies(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_ANOMALY = r"""
+WITH cell AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM cell),
+grid AS (
+  SELECT CAST(u.day AS BIGINT) AS day, CAST(h.h AS BIGINT) AS hour
+  FROM span, UNNEST(generate_series(span.lo, span.hi)) u(day),
+       UNNEST(generate_series(0, 23)) h(h)),
+full_ AS (
+  SELECT g.day, g.hour, COALESCE(cell.n, 0) AS n
+  FROM grid g LEFT JOIN cell USING (day, hour)),
+base AS (
+  SELECT day % 7 AS dow, hour, COUNT(*) AS days, SUM(n) AS tot
+  FROM full_ GROUP BY 1, 2),
+j AS (
+  SELECT f.day, f.hour, f.n,
+         CAST(b.tot AS DOUBLE) / b.days AS mu
+  FROM full_ f JOIN base b ON b.dow = f.day % 7 AND b.hour = f.hour)
+SELECT day, hour, n, round(mu, 6) AS mu,
+       CASE WHEN mu > 0 THEN round((n - mu) / sqrt(mu), 6) END AS z,
+       COALESCE(CASE WHEN mu > 0
+                     THEN abs((n - mu) / sqrt(mu)) > 3.0 END,
+                TRUE) AS is_anomaly
+FROM j WHERE n > 0 OR mu > 0
+"""
+
+
+def q_sample_kfold(spark, sf_dir):
+    """Stratified k-fold assignment (sampling.stratified_kfold) over
+    orders stratified by status; the oracle replays the md5 fold
+    coin; balance is a property test, determinism the contract."""
+    from graph_importer_spark.operators.sampling import stratified_kfold
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return stratified_kfold(o, "o_orderkey", "o_orderstatus", k=5)
+
+
+def _oracle_sample_kfold(k: int = 5, seed: int = 42) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH h AS (
+  SELECT o_orderkey, o_orderstatus,
+         substring(md5(o_orderstatus || '|' || CAST(o_orderkey AS VARCHAR)
+                       || '|{seed}'), 1, 8) AS h8
+  FROM orders)
+SELECT o_orderkey, o_orderstatus,
+       CAST(({poly}) % {k} AS INT) AS fold
+FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12182,6 +12255,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18s additions: information gain, CUSUM.
     "orders_infogain": q_orders_infogain,
     "events_cusum": q_events_cusum,
+    # round-4 session-18t additions: seasonal anomalies, k-fold.
+    "events_anomaly": q_events_anomaly,
+    "sample_kfold": q_sample_kfold,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12538,6 +12614,8 @@ ORACLES: dict[str, str] = {
     "emb_matryoshka": _oracle_emb_matryoshka(),
     "orders_infogain": ORACLE_ORDERS_INFOGAIN,
     "events_cusum": ORACLE_EVENTS_CUSUM,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
+    "sample_kfold": _oracle_sample_kfold(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -422,3 +422,51 @@ def split_leakage(
         )
         .filter(F.col("n_splits") >= 2)
     )
+
+
+def stratified_kfold(
+    df,
+    key_col: str,
+    stratum_col: str,
+    k: int = 5,
+    seed: int = 42,
+):
+    """Deterministic stratified k-fold assignment: fold =
+    u32(md5(stratum|key|seed)) % k — a pure function of the row's
+    (stratum, key), so folds are partition-invariant, regenerable,
+    and approximately balanced WITHIN each stratum (the md5 coin is
+    uniform per stratum by construction; contrast plain key-mod
+    folds, which correlate with any key-aligned structure).
+
+    -> the input plus a ``fold`` int column.  Feed the per-(stratum,
+    fold) counts to ``table_checks``-style balance assertions.
+
+    Scale shape: zero shuffle — the fold label is a scalar expression
+    and works as a write partition column (the group_split
+    argument).
+    """
+    from pyspark.sql import functions as F
+
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "|",
+                            F.col(stratum_col).cast("string"),
+                            F.col(key_col).cast("string"),
+                            F.lit(str(seed)),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % k
+    ).cast("int")
+    return df.withColumn("fold", fold)

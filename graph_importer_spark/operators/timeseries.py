@@ -1056,3 +1056,75 @@ def cusum_changepoint(
         F.round("_cusum", decimals).alias("cusum"),
         (F.col("day") == F.col("_pd")).alias("is_peak"),
     )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: each (day, hour) cell's
+    observed count is compared against the expectation implied by the
+    weekly (dow, hour) profile (seasonality_profile's shares scaled
+    to that day's total is deliberately NOT used — it would absorb
+    the anomaly; the baseline is the cell's own (dow, hour) mean over
+    the span), with a Poisson-style z = (n - mu) / sqrt(mu).
+
+    -> (day, hour, n, mu, z, is_anomaly); cells with mu = 0 and
+    n = 0 are omitted (nothing to say), mu = 0 with n > 0 flags with
+    NULL z (infinite surprise, reported honestly).
+
+    Scale shape: ONE (day, hour) aggregate + one (dow, hour) rollup
+    of that summary; the z math joins the two bounded tables.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    cell = events.groupBy(
+        F.floor(t / 86400).alias("day"),
+        (F.floor(t / 3600) % 24).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    span = cell.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    grid = span.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day")
+    ).crossJoin(
+        events.sparkSession.range(24).select(
+            F.col("id").cast("bigint").alias("hour")
+        )
+    )
+    full = grid.join(cell, ["day", "hour"], "left").select(
+        "day", "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    base = full.groupBy(
+        (F.col("day") % 7).alias("dow"), F.col("hour").alias("_bh")
+    ).agg(
+        F.count("*").alias("_days"), F.sum("n").alias("_tot")
+    )
+    j = full.join(
+        F.broadcast(base),
+        (F.col("day") % 7 == F.col("dow")) & (F.col("hour") == F.col("_bh")),
+    ).select(
+        "day",
+        "hour",
+        "n",
+        (F.col("_tot") / F.col("_days")).alias("_mu"),
+    )
+    z = F.when(
+        F.col("_mu") > 0,
+        (F.col("n") - F.col("_mu")) / F.sqrt(F.col("_mu")),
+    )
+    return (
+        j.filter((F.col("n") > 0) | (F.col("_mu") > 0))
+        .select(
+            "day",
+            "hour",
+            "n",
+            F.round("_mu", decimals).alias("mu"),
+            F.round(z, decimals).alias("z"),
+            F.coalesce(
+                F.abs(z) > F.lit(z_threshold),
+                F.lit(True),  # n > 0 with mu = 0: infinite surprise
+            ).alias("is_anomaly"),
+        )
+    )

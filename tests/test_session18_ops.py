@@ -1325,3 +1325,39 @@ def test_cusum_finds_level_shift(spark):
     # cusum returns to ~0 at the end (deviations sum to 0 by construction)
     last = max(out, key=lambda r: r.day)
     assert abs(last.cusum) < 1e-6
+
+
+def test_seasonal_anomalies_flags_spike(spark):
+    from graph_importer_spark.operators.timeseries import seasonal_anomalies
+
+    rows = []
+    # 4 weeks of steady 2-events at hour 9 on Mondays (Jan 1/8/15/22)
+    for d in (1, 8, 15, 22):
+        rows += [(dt.datetime(2024, 1, d, 9, m),) for m in (0, 30)]
+    # plus a 20-event spike on the last Monday at hour 9
+    rows += [(dt.datetime(2024, 1, 22, 9, 45, s),) for s in range(18)]
+    e = spark.createDataFrame(rows, "ts timestamp")
+    out = seasonal_anomalies(e, z_threshold=2.0).collect()
+    spike = [r for r in out if r.n == 20]
+    assert len(spike) == 1 and spike[0].is_anomaly
+    # steady cells are not anomalous
+    steady = [r for r in out if r.n == 2]
+    assert steady and all(not r.is_anomaly for r in steady)
+
+
+def test_stratified_kfold_deterministic_balanced(spark):
+    from graph_importer_spark.operators.sampling import stratified_kfold
+
+    d = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(3000)], "k long, s string"
+    )
+    a = stratified_kfold(d, "k", "s", k=5).collect()
+    b = stratified_kfold(d.repartition(7), "k", "s", k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    for stratum in ("s0", "s1", "s2"):
+        c = Counter(r.fold for r in a if r.s == stratum)
+        assert set(c) == set(range(5))
+        # approximate balance within stratum (1000 rows / 5 folds)
+        assert all(140 <= v <= 260 for v in c.values())
