@@ -263,6 +263,9 @@ HEADLINE = [
     "events_cusum",
     "events_anomaly",
     "sample_kfold",
+    "graph_embeddedness",
+    "events_burstiness",
+    "dedup_chunk_share",
 ]
 
 

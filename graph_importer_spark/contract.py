@@ -12083,6 +12083,144 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18u: edge embeddedness, burstiness, chunk-share pairs
+# ---------------------------------------------------------------------------
+
+
+def q_graph_embeddedness(spark, sf_dir):
+    """Per-edge embeddedness + local-bridge flags (analytics.
+    edge_embeddedness) on the co-purchase graph; the oracle replays
+    the wedge counts and the left join back to the edge list."""
+    from graph_importer_spark.operators.analytics import edge_embeddedness
+
+    return edge_embeddedness(_copurchase_edges(spark, sf_dir))
+
+
+ORACLE_GRAPH_EMBEDDEDNESS = f"""
+WITH {_COPURCHASE_SQL},
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+common AS (
+  SELECT x.v AS a, y.v AS b, COUNT(*) AS c
+  FROM adj x JOIN adj y ON y.u = x.u AND x.v < y.v
+  GROUP BY x.v, y.v)
+SELECT e.a, e.b, COALESCE(common.c, 0) AS embeddedness,
+       COALESCE(common.c, 0) = 0 AS is_local_bridge
+FROM e LEFT JOIN common ON common.a = e.a AND common.b = e.b
+"""
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Per-user inter-arrival burstiness (timeseries.burstiness);
+    the oracle replays the lag gaps and the 9dp-DECIMAL moment
+    sums."""
+    from graph_importer_spark.operators.timeseries import burstiness
+
+    return burstiness(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_BURSTINESS = r"""
+WITH o AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+  FROM events),
+g AS (
+  SELECT key,
+         t - LAG(t) OVER (PARTITION BY key ORDER BY t, event_id) AS g
+  FROM o),
+gg AS (SELECT key, CAST(g AS DOUBLE) AS g FROM g WHERE g IS NOT NULL),
+a AS (
+  SELECT key, COUNT(*) AS n_gaps,
+         SUM(CAST(round(g, 9) AS DECIMAL(38,9))) AS s,
+         SUM(CAST(round(g * g, 9) AS DECIMAL(38,9))) AS sq
+  FROM gg GROUP BY key HAVING COUNT(*) >= 3),
+m AS (
+  SELECT key, n_gaps, CAST(s AS DOUBLE) / n_gaps AS mu,
+         sqrt(GREATEST((CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_gaps)
+               / n_gaps, 0.0)) AS sd
+  FROM a)
+SELECT key, n_gaps, round(mu, 6) AS mean_gap_s, round(sd, 6) AS std_gap_s,
+       CASE WHEN sd + mu > 0 THEN round((sd - mu) / (sd + mu), 6) END
+         AS burstiness
+FROM m
+"""
+
+
+def q_dedup_chunk_share(spark, sf_dir):
+    """Chunk-level near-dup pairs (dedup.chunk_share_pairs) with
+    insertion-mutated clones planted (every 9th doc gets 'INSERTED '
+    prepended mid-text) — CDC chunking keeps most chunks identical,
+    so the clone pairs surface with high share; the oracle replays
+    the chunk build, the hot-chunk guard, and the pair counting."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 4000).alias("doc_id"),
+        F.concat(
+            F.col("text").substr(F.lit(1), F.lit(200)),
+            F.lit(" INSERTED "),
+            F.col("text").substr(F.lit(201), F.length("text")),
+        ).alias("text"),
+    )
+    return _dedup.chunk_share_pairs(
+        d.unionByName(clones), "doc_id", "text", min_shared=3
+    )
+
+
+def _oracle_dedup_chunk_share(max_df: int = 200, min_shared: int = 3) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    nf_corpus = (
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 4000,
+         substring(text, 1, 200) || ' INSERTED ' || substring(text, 201)
+  FROM documents WHERE doc_id < 150 AND doc_id % 9 = 0),
+d AS (
+  SELECT doc_id, {nf_corpus} AS nf FROM corpus
+  WHERE length({nf_corpus}) >= 1),
+pos AS (
+  SELECT doc_id, i,
+         substring(md5(substr(nf, i - 15, 16)), 1, 8) AS h8
+  FROM d, UNNEST(generate_series(16, length(nf))) u(i)),
+cut AS (SELECT doc_id, i FROM pos WHERE ({poly}) % 64 = 0),
+cl AS (SELECT doc_id, list(i ORDER BY i) AS cuts FROM cut GROUP BY doc_id),
+el AS (
+  SELECT d.doc_id, d.nf,
+         CASE WHEN cl.cuts IS NULL THEN [length(d.nf)]
+              WHEN list_contains(cl.cuts, length(d.nf)) THEN cl.cuts
+              ELSE list_append(cl.cuts, length(d.nf)) END AS ends
+  FROM d LEFT JOIN cl USING (doc_id)),
+ch AS (
+  SELECT doc_id AS id,
+         md5(substr(nf, CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+                    ends[j] - (CASE WHEN j = 1 THEN 0
+                               ELSE ends[j - 1] END))) AS chunk_md5
+  FROM el, UNNEST(generate_series(1, len(ends))) u(j)),
+hot AS (
+  SELECT chunk_md5 FROM ch GROUP BY chunk_md5
+  HAVING COUNT(*) > {max_df}),
+chf AS (
+  SELECT * FROM ch WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM hot)),
+sizes AS (SELECT id, COUNT(*) AS nc FROM chf GROUP BY id),
+pairs AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_shared
+  FROM chf a JOIN chf b ON a.chunk_md5 = b.chunk_md5 AND a.id < b.id
+  GROUP BY a.id, b.id HAVING COUNT(*) >= {min_shared})
+SELECT p.id1, p.id2, p.n_shared,
+       round(CAST(p.n_shared AS DOUBLE) / LEAST(sa.nc, sb.nc), 6) AS share
+FROM pairs p JOIN sizes sa ON sa.id = p.id1 JOIN sizes sb ON sb.id = p.id2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12258,6 +12396,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18t additions: seasonal anomalies, k-fold.
     "events_anomaly": q_events_anomaly,
     "sample_kfold": q_sample_kfold,
+    # round-4 session-18u additions: embeddedness, burstiness,
+    # chunk-share near-dup pairs.
+    "graph_embeddedness": q_graph_embeddedness,
+    "events_burstiness": q_events_burstiness,
+    "dedup_chunk_share": q_dedup_chunk_share,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12616,6 +12759,9 @@ ORACLES: dict[str, str] = {
     "events_cusum": ORACLE_EVENTS_CUSUM,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "sample_kfold": _oracle_sample_kfold(),
+    "graph_embeddedness": ORACLE_GRAPH_EMBEDDEDNESS,
+    "events_burstiness": ORACLE_EVENTS_BURSTINESS,
+    "dedup_chunk_share": _oracle_dedup_chunk_share(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -2634,3 +2634,51 @@ def maximal_matching(
         F.lit(None).cast("int").alias("round"),
     )
     return out.unionByName(und) if out is not None else und
+
+
+def edge_embeddedness(
+    edges: DataFrame,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-edge embeddedness (Granovetter strength-of-ties): the
+    number of common neighbors of an edge's endpoints; edges with
+    embeddedness 0 are LOCAL BRIDGES — the weak ties that carry
+    novel information between communities (and the first edges
+    community-aware samplers protect).
+
+    -> (a, b, embeddedness, is_local_bridge) for every canonical
+    edge.
+
+    Scale shape: one wedge self-join keyed on the middle vertex
+    (the linkpred bound) counts common neighbors per vertex PAIR;
+    one left join hands the counts back to the edge list (absent
+    pair = 0).  ``max_degree`` caps hub middles via deterministic
+    md5-smallest selection (stated df-cap trade).
+    """
+    und = _undirected(edges)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if max_degree is not None:
+        w = Window.partitionBy("u").orderBy(
+            F.md5(F.concat_ws("|", F.col("u"), F.col("v"))).asc()
+        )
+        adj = (
+            adj.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_degree)
+            .drop("_r")
+        )
+    x = adj.select(F.col("u").alias("mid"), F.col("v").alias("a"))
+    y = adj.select(F.col("u").alias("mid"), F.col("v").alias("b"))
+    common = (
+        x.join(y, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_c"))
+    )
+    return und.join(common, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("_c", F.lit(0)).alias("embeddedness"),
+        (F.coalesce("_c", F.lit(0)) == 0).alias("is_local_bridge"),
+    )

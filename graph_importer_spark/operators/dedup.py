@@ -1146,3 +1146,65 @@ def pair_pr(found: DataFrame, truth: DataFrame) -> DataFrame:
         [(nf, nt, nh, prec, rec)],
         "n_found long, n_truth long, n_hit long, precision double, recall double",
     )
+
+
+def chunk_share_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_bits: int = 6,
+    window: int = 16,
+    min_shared: int = 2,
+    max_df: int | None = 200,
+) -> DataFrame:
+    """Chunk-level near-duplicate pairs over content-defined chunks
+    (the storage-dedup view of similarity: two documents are related
+    by how many CDC chunks they share — robust to insertions exactly
+    where winnowing/minhash shingles are, but at chunk granularity,
+    so a shared QUOTE or boilerplate block surfaces as shared
+    chunks): pairs sharing >= ``min_shared`` chunk fingerprints, with
+    the containment-style share n_shared / min(chunks_a, chunks_b).
+
+    -> (id1, id2, n_shared, share).
+
+    Scale shape: cdc_chunks is the zero-shuffle boundary pass; the
+    pair stage is a fingerprint-keyed equi-join behind the
+    first-class ``max_df`` hot-chunk guard (a boilerplate chunk
+    shared by everything would otherwise quadratically explode — the
+    max_df convention), then an (id1, id2) partial-agg count.
+    """
+    ch = cdc_chunks(df, id_col, text_col, mask_bits, window).select(
+        "id", "chunk_md5"
+    )
+    if max_df is not None:
+        hot = (
+            ch.groupBy("chunk_md5")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_df)
+            .select("chunk_md5")
+        )
+        ch = ch.join(F.broadcast(hot), "chunk_md5", "left_anti")
+    sizes = ch.groupBy("id").agg(F.count("*").alias("_nc"))
+    a = ch.select(F.col("id").alias("id1"), "chunk_md5")
+    b = ch.select(F.col("id").alias("id2"), "chunk_md5")
+    pairs = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("_nc").alias("_na"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("_nc").alias("_nb"))
+    return (
+        pairs.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_na", "_nb"), 6
+            ).alias("share"),
+        )
+    )

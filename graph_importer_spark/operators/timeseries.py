@@ -1128,3 +1128,60 @@ def seasonal_anomalies(
             ).alias("is_anomaly"),
         )
     )
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key burstiness of inter-arrival times (Goh & Barabási
+    2008): B = (sigma - mu) / (sigma + mu) over the key's gap
+    sequence — -1 for a perfect clock, 0 for Poisson arrivals, -> 1
+    for extreme bursts.  The traffic-shape fingerprint that separates
+    humans (bursty) from schedulers and bots (periodic).
+
+    Variance uses the sumsq identity over 9dp DECIMAL sums
+    (order-exact); keys with fewer than ``min_gaps`` gaps are
+    dropped (no stable estimate).
+
+    -> (key, n_gaps, mean_gap_s, std_gap_s, burstiness).
+
+    Scale shape: one lag window per key (single key shuffle, the
+    rolling_zscore shape) + one key-keyed moment aggregate.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    gaps = (
+        events.select(
+            F.col(key_col).alias("key"),
+            (t - F.lag(t).over(
+                Window.partitionBy(key_col).orderBy(
+                    F.col(ts_col).asc(), F.col(id_col).asc()
+                )
+            )).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    agg = gaps.groupBy("key").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(d9(F.col("g").cast("double"))).alias("_s"),
+        F.sum(d9(F.col("g").cast("double") * F.col("g"))).alias("_sq"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps")
+    s = F.col("_s").cast("double")
+    sq = F.col("_sq").cast("double")
+    mu = s / n
+    var = F.greatest((sq - s * s / n) / n, F.lit(0.0))
+    sd = F.sqrt(var)
+    b = F.when(sd + mu > 0, (sd - mu) / (sd + mu))
+    return agg.select(
+        "key",
+        "n_gaps",
+        F.round(mu, decimals).alias("mean_gap_s"),
+        F.round(sd, decimals).alias("std_gap_s"),
+        F.round(b, decimals).alias("burstiness"),
+    )

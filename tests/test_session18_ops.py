@@ -1361,3 +1361,57 @@ def test_stratified_kfold_deterministic_balanced(spark):
         assert set(c) == set(range(5))
         # approximate balance within stratum (1000 rows / 5 folds)
         assert all(140 <= v <= 260 for v in c.values())
+
+
+def test_edge_embeddedness_and_bridges(spark):
+    from graph_importer_spark.operators.analytics import edge_embeddedness
+
+    # triangle 1-2-3 plus a pendant bridge 3-4
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {(r.a, r.b): r for r in edge_embeddedness(e).collect()}
+    assert out[(1, 2)].embeddedness == 1 and not out[(1, 2)].is_local_bridge
+    assert out[(3, 4)].embeddedness == 0 and out[(3, 4)].is_local_bridge
+
+
+def test_burstiness_clock_vs_bursts(spark):
+    from graph_importer_spark.operators.timeseries import burstiness
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: perfect clock, gap 60 s
+    for i in range(10):
+        rows.append((1, base + dt.timedelta(seconds=60 * i), i))
+    # user 2: bursty — 9 events in 9 s, then one 10000 s later
+    for i in range(9):
+        rows.append((2, base + dt.timedelta(seconds=i), 100 + i))
+    rows.append((2, base + dt.timedelta(seconds=10000), 200))
+    # user 3: too few events
+    rows.append((3, base, 300))
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r.key: r for r in burstiness(e).collect()}
+    assert out[1].burstiness == pytest.approx(-1.0)   # sd = 0
+    assert out[2].burstiness > 0.4                     # heavy burst
+    assert 3 not in out
+
+
+def test_chunk_share_survives_insertion(spark):
+    from graph_importer_spark.operators.dedup import chunk_share_pairs
+
+    import random
+
+    rng = random.Random(9)
+    txt = "".join(rng.choice("abcdefgh ") for _ in range(1500))
+    d = spark.createDataFrame(
+        [
+            (1, txt),
+            (2, txt[:300] + " WEDGE " + txt[300:]),
+            (3, "".join(rng.choice("zyxwv ") for _ in range(1500))),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_share_pairs(d, "doc_id", "text", mask_bits=5, min_shared=2).collect()
+    pairs = {(r.id1, r.id2): r for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)].share > 0.7
+    assert (1, 3) not in pairs and (2, 3) not in pairs
