@@ -266,6 +266,8 @@ HEADLINE = [
     "graph_embeddedness",
     "events_burstiness",
     "dedup_chunk_share",
+    "schema_fd",
+    "text_sentiment",
 ]
 
 

@@ -12221,6 +12221,91 @@ FROM pairs p JOIN sizes sa ON sa.id = p.id1 JOIN sizes sb ON sb.id = p.id2
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18v: functional dependencies, signed sentiment
+# ---------------------------------------------------------------------------
+
+
+def q_schema_fd(spark, sf_dir):
+    """Functional-dependency audit (profiling.
+    functional_dependencies): one exact FD (orderkey -> custkey), two
+    expected violations; the oracle replays the distinct census and
+    the per-determinant counts."""
+    from graph_importer_spark.operators.profiling import (
+        functional_dependencies,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    return functional_dependencies(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
+ORACLE_SCHEMA_FD = r"""
+WITH pairs AS (
+  SELECT 'o_orderkey' AS fd, CAST(o_orderkey AS VARCHAR) AS av,
+         'o_custkey' AS dep, CAST(o_custkey AS VARCHAR) AS bv FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR),
+         'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority,
+         'o_orderstatus', o_orderstatus FROM orders),
+dd AS (SELECT DISTINCT fd, av, dep, bv FROM pairs),
+pk AS (SELECT fd, dep, av, COUNT(*) AS ndep FROM dd GROUP BY fd, dep, av)
+SELECT fd AS determinant, dep AS dependent,
+       COUNT(*) AS n_keys,
+       SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+       round(CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS violation_rate,
+       SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM pk GROUP BY fd, dep
+"""
+
+
+_SENT_POS = ["small", "key", "data"]
+_SENT_NEG = ["slow", "spill", "crash"]
+
+
+def q_text_sentiment(spark, sf_dir):
+    """Signed-lexicon sentiment scoring (textstats.sentiment_score)
+    with corpus-native wordlists; the oracle replays both token-exact
+    lexicon filters and the sign label."""
+    d = T(spark, sf_dir, "documents")
+    return _ts.sentiment_score(d, "doc_id", "text", _SENT_POS, _SENT_NEG)
+
+
+def _oracle_text_sentiment() -> str:
+    pos = "[" + ", ".join(f"'{w}'" for w in sorted(_SENT_POS)) + "]"
+    neg = "[" + ", ".join(f"'{w}'" for w in sorted(_SENT_NEG)) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split({_NF_SQL}, ' '), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({pos}, x))) AS n_pos,
+         len(list_filter(toks, x -> list_contains({neg}, x))) AS n_neg
+  FROM t),
+s AS (
+  SELECT doc_id AS id, n_tokens, n_pos, n_neg,
+         CASE WHEN n_tokens > 0
+              THEN round(CAST(n_pos - n_neg AS DOUBLE) / n_tokens, 6)
+              ELSE 0.0 END AS score
+  FROM c)
+SELECT id, n_tokens, n_pos, n_neg, score,
+       CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg'
+            ELSE 'neu' END AS label
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12401,6 +12486,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_embeddedness": q_graph_embeddedness,
     "events_burstiness": q_events_burstiness,
     "dedup_chunk_share": q_dedup_chunk_share,
+    # round-4 session-18v additions: functional dependencies, signed
+    # sentiment.
+    "schema_fd": q_schema_fd,
+    "text_sentiment": q_text_sentiment,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12762,6 +12851,8 @@ ORACLES: dict[str, str] = {
     "graph_embeddedness": ORACLE_GRAPH_EMBEDDEDNESS,
     "events_burstiness": ORACLE_EVENTS_BURSTINESS,
     "dedup_chunk_share": _oracle_dedup_chunk_share(),
+    "schema_fd": ORACLE_SCHEMA_FD,
+    "text_sentiment": _oracle_text_sentiment(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

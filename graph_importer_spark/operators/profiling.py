@@ -621,3 +621,61 @@ def information_gain(
             F.round(F.col("hl") - F.col("hc"), decimals).alias("info_gain"),
         )
     )
+
+
+def functional_dependencies(
+    df: DataFrame,
+    candidate_pairs: list[tuple[str, str]],
+    decimals: int = 6,
+) -> DataFrame:
+    """Functional-dependency audit (the TANE-style check restricted
+    to declared candidates): for each (determinant, dependent) pair,
+    how many determinant values map to MORE than one dependent value
+    — 0 violations means A -> B holds exactly; the violation rate
+    says how close a dirty column is to being derivable.
+
+    -> (determinant, dependent, n_keys, n_violating_keys,
+       violation_rate, holds).
+
+    Scale shape: one (det, dep) distinct + det-keyed count per pair,
+    all pairs riding ONE unpivot scan (the profiling shape — never a
+    job per pair).
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("fd"),
+                        F.col(a).cast("string").alias("av"),
+                        F.lit(b).alias("dep"),
+                        F.col(b).cast("string").alias("bv"),
+                    )
+                    for a, b in candidate_pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.fd", "p.av", "p.dep", "p.bv")
+    dd = pairs.distinct()
+    per_key = dd.groupBy("fd", "dep", "av").agg(
+        F.count("*").alias("_ndep")
+    )
+    return (
+        per_key.groupBy("fd", "dep")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum((F.col("_ndep") > 1).cast("bigint")).alias(
+                "n_violating_keys"
+            ),
+        )
+        .select(
+            F.col("fd").alias("determinant"),
+            F.col("dep").alias("dependent"),
+            "n_keys",
+            "n_violating_keys",
+            F.round(
+                F.col("n_violating_keys") / F.col("n_keys"), decimals
+            ).alias("violation_rate"),
+            (F.col("n_violating_keys") == 0).alias("holds"),
+        )
+    )

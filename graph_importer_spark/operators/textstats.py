@@ -1150,3 +1150,48 @@ def augment_token_dropout(
         (F.size("_t") - F.size(kept)).alias("n_dropped"),
         F.array_join(kept, " ").alias("aug_text"),
     )
+
+
+def sentiment_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    positive: list[str],
+    negative: list[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Signed-lexicon sentiment scoring (the AFINN/VADER-lite shape
+    with caller-supplied wordlists): score = (pos_hits - neg_hits) /
+    tokens, token-exact matching per lexicon_hits' rule (no
+    substring false positives).
+
+    -> (id, n_tokens, n_pos, n_neg, score, label) with label in
+    {pos, neg, neu} by score sign (zero -> neu).
+
+    Scale shape: two plan-constant lexicon arrays, zero-shuffle
+    per-row array codegen — the lexicon_hits plan with a signed
+    combiner.
+    """
+    pos = sorted({w.lower() for w in positive})
+    neg = sorted({w.lower() for w in negative})
+    pa = F.array(*[F.lit(w) for w in pos])
+    na = F.array(*[F.lit(w) for w in neg])
+    nf = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.filter(F.split(nf, " "), lambda t: t != "")
+    n_pos = F.size(F.filter(toks, lambda t: F.array_contains(pa, t)))
+    n_neg = F.size(F.filter(toks, lambda t: F.array_contains(na, t)))
+    n_tok = F.size(toks)
+    score = F.when(
+        n_tok > 0, F.round((n_pos - n_neg) / n_tok, decimals)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        score.alias("score"),
+        F.when(score > 0, F.lit("pos"))
+        .when(score < 0, F.lit("neg"))
+        .otherwise(F.lit("neu"))
+        .alias("label"),
+    )

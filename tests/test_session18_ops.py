@@ -1415,3 +1415,50 @@ def test_chunk_share_survives_insertion(spark):
     pairs = {(r.id1, r.id2): r for r in out}
     assert (1, 2) in pairs and pairs[(1, 2)].share > 0.7
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_functional_dependencies_holds_and_violates(spark):
+    from graph_importer_spark.operators.profiling import (
+        functional_dependencies,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "x"), (1, "a", "x")],
+        "k long, g string, v string",
+    )
+    out = {
+        (r.determinant, r.dependent): r
+        for r in functional_dependencies(
+            d, [("k", "g"), ("g", "v"), ("k", "v")]
+        ).collect()
+    }
+    assert out[("k", "g")].holds  # each k maps to one g
+    assert out[("k", "v")].holds
+    # g 'a' maps to both x and y -> violation
+    gv = out[("g", "v")]
+    assert not gv.holds and gv.n_violating_keys == 1
+    assert gv.violation_rate == 0.5
+
+
+def test_sentiment_score_signs(spark):
+    from graph_importer_spark.operators.textstats import sentiment_score
+
+    d = spark.createDataFrame(
+        [
+            (1, "good good bad day"),
+            (2, "bad bad good"),
+            (3, "neutral words only"),
+            (4, "GOOD Goodness"),  # case-folds; substrings don't count
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in sentiment_score(
+            d, "doc_id", "text", ["good"], ["bad"]
+        ).collect()
+    }
+    assert out[1].label == "pos" and out[1].score == pytest.approx(0.25)
+    assert out[2].label == "neg"
+    assert out[3].label == "neu" and out[3].n_pos == 0
+    assert out[4].n_pos == 1  # 'goodness' is not a hit
