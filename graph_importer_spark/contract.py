@@ -12306,6 +12306,80 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18w: streaming CDC apply
+# ---------------------------------------------------------------------------
+
+
+def q_stream_cdc_apply(spark, sf_dir):
+    """streaming_cdc_apply executed AS A STREAM: the change log split
+    into two version-ordered micro-batch files (inserts, then
+    updates + deletes), file-per-trigger; the folded snapshot must
+    equal the one-shot batch apply over the whole log — which is the
+    oracle."""
+    import os as _os
+    import tempfile as _tmp
+
+    from graph_importer_spark import streaming as _stream
+    from graph_importer_spark.tables import GraphCatalog
+
+    o = T(spark, sf_dir, "orders")
+    c1 = o.filter(F.col("o_orderkey") < 1500).select(
+        (F.col("o_orderkey") % 800).alias("k"),
+        F.col("o_orderkey").alias("version"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("v"), F.col("o_orderkey").cast("string")).alias("val"),
+    )
+    c2 = o.filter(
+        (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000)
+    ).select(
+        (F.col("o_orderkey") % 800).alias("k"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("w"), F.col("o_orderkey").cast("string")).alias("val"),
+    )
+    root = _tmp.mkdtemp(prefix="graft_cdc_stream_")
+    ch_dir = _os.path.join(root, "changes")
+    _os.makedirs(ch_dir)
+    for i, batch in enumerate((c1, c2)):
+        pdf = batch.toPandas()
+        path = _os.path.join(ch_dir, f"{i:04d}.parquet")
+        pdf.to_parquet(path, index=False)
+        _os.utime(path, (1700000000 + i, 1700000000 + i))
+    cat = GraphCatalog(spark, _os.path.join(root, "wh"))
+    q = _stream.streaming_cdc_apply(
+        spark,
+        ch_dir,
+        cat,
+        _os.path.join(root, "ckpt"),
+        c1.schema,
+        key="k",
+        data_cols=["val"],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return cat.read("current")
+
+
+ORACLE_STREAM_CDC_APPLY = r"""
+WITH ch AS (
+  SELECT o_orderkey % 800 AS k, o_orderkey AS version, 'I' AS op,
+         'v' || CAST(o_orderkey AS VARCHAR) AS val
+  FROM orders WHERE o_orderkey < 1500
+  UNION ALL
+  SELECT o_orderkey % 800, o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END,
+         'w' || CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000),
+w AS (
+  SELECT k, arg_max(op, version) AS op, arg_max(val, version) AS val
+  FROM ch GROUP BY k)
+SELECT k, val FROM w WHERE op <> 'D'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12490,6 +12564,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sentiment.
     "schema_fd": q_schema_fd,
     "text_sentiment": q_text_sentiment,
+    # round-4 session-18w addition: streaming CDC apply (oracle = the
+    # one-shot batch apply over the whole log).
+    "stream_cdc_apply": q_stream_cdc_apply,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12853,6 +12930,7 @@ ORACLES: dict[str, str] = {
     "dedup_chunk_share": _oracle_dedup_chunk_share(),
     "schema_fd": ORACLE_SCHEMA_FD,
     "text_sentiment": _oracle_text_sentiment(),
+    "stream_cdc_apply": ORACLE_STREAM_CDC_APPLY,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,
