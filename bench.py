@@ -268,6 +268,9 @@ HEADLINE = [
     "dedup_chunk_share",
     "schema_fd",
     "text_sentiment",
+    "emb_label_noise",
+    "orders_woe",
+    "mm_frame_energy",
 ]
 
 

@@ -12380,6 +12380,131 @@ SELECT k, val FROM w WHERE op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18x: k-NN label noise, WoE/IV, frame energy
+# ---------------------------------------------------------------------------
+
+
+def q_emb_label_noise(spark, sf_dir):
+    """k-NN label-agreement audit (similarity.knn_label_agreement)
+    over the labeled embeddings; the oracle replays the brute top-5
+    and the neighborhood vote."""
+    from graph_importer_spark.operators.similarity import knn_label_agreement
+
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.col("embedding").cast("array<double>")
+    return knn_label_agreement(
+        emb.select("vec_id", v.alias("embedding"), "label"), k=5
+    )
+
+
+def _oracle_emb_label_noise(k: int = 5) -> str:
+    cos = "round({d} / ({na} * {nb}), 6)".format(
+        d=_DOT.format(a="{a}", b="{b}"),
+        na=_NORM.format(v="{a}"),
+        nb=_NORM.format(v="{b}"),
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label
+  FROM embeddings WHERE vec_id < 200),
+s AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         q.label AS ql, n.label AS nl,
+         {cos.format(a='q.v', b='n.v')} AS cosine
+  FROM c q JOIN c n ON n.vec_id <> q.vec_id),
+r AS (
+  SELECT query_id, ql, nl,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM s),
+p AS (
+  SELECT query_id, ql, COUNT(*) AS n_neighbors,
+         SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS n_agree
+  FROM r WHERE rn <= {k} GROUP BY query_id, ql)
+SELECT query_id AS id, ql AS label, n_neighbors, n_agree,
+       round(CAST(n_agree AS DOUBLE) / n_neighbors, 6) AS agreement,
+       round(CAST(n_agree AS DOUBLE) / n_neighbors, 6) < 0.5 AS is_suspect
+FROM p
+"""
+
+
+def q_orders_woe(spark, sf_dir):
+    """Weight-of-evidence / IV encoding (profiling.woe_iv): order
+    priority against the status='F' event label; smoothed cells; the
+    oracle replays every ratio."""
+    from graph_importer_spark.operators.profiling import woe_iv
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("bad"),
+    )
+    return woe_iv(o, "o_orderpriority", "bad")
+
+
+ORACLE_ORDERS_WOE = r"""
+WITH base AS (
+  SELECT o_orderpriority AS value,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+per AS (
+  SELECT value, COUNT(*) AS n,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n_good,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n_bad
+  FROM base GROUP BY value),
+tot AS (
+  SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb, COUNT(*) AS nc FROM per)
+SELECT value, n, n_good, n_bad,
+       round(ln(((n_good + 0.5) / (tg + 0.5 * nc))
+                / ((n_bad + 0.5) / (tb + 0.5 * nc))), 6) AS woe,
+       round((((n_good + 0.5) / (tg + 0.5 * nc))
+              - ((n_bad + 0.5) / (tb + 0.5 * nc)))
+             * ln(((n_good + 0.5) / (tg + 0.5 * nc))
+                  / ((n_bad + 0.5) / (tb + 0.5 * nc))), 6) AS iv_contrib
+FROM per, tot
+"""
+
+
+def q_mm_frame_energy(spark, sf_dir):
+    """Per-frame energy stats (multimodal.frame_energy): exact
+    integer byte sums per 4-frame split; the oracle replays the
+    VARCHAR slicing under the asserted ASCII precondition (the
+    mm_frame_sample contract)."""
+    from graph_importer_spark.operators.multimodal import frame_energy
+
+    m = _docs_media(spark, sf_dir).filter(F.col("media_id") < 100)
+    return frame_energy(m, n_frames=4)
+
+
+ORACLE_MM_FRAME_ENERGY = r"""
+WITH m AS (
+  SELECT doc_id AS media_id, text AS tx FROM documents WHERE doc_id < 100),
+par AS (
+  SELECT media_id, tx, strlen(tx) AS len, strlen(tx) // 4 AS size
+  FROM m),
+fr AS (
+  SELECT media_id, CAST(f.f AS BIGINT) AS frame_idx,
+         substring(tx, f.f * size + 1,
+                   CASE WHEN f.f = 3 THEN len - 3 * size
+                        ELSE size END) AS chunk
+  FROM par, UNNEST(generate_series(0, 3)) f(f)
+  WHERE len >= 4),
+small AS (
+  SELECT media_id, CAST(0 AS BIGINT) AS frame_idx, tx AS chunk
+  FROM par WHERE len < 4),
+allf AS (SELECT * FROM fr UNION ALL SELECT * FROM small),
+b AS (
+  SELECT media_id, frame_idx,
+         ascii(substring(chunk, i, 1)) AS v
+  FROM allf, UNNEST(generate_series(1, strlen(chunk))) u(i))
+SELECT media_id, frame_idx,
+       COUNT(*) AS n_bytes,
+       CAST(SUM(v) AS BIGINT) AS sum_b,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq_b
+FROM b GROUP BY media_id, frame_idx
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12567,6 +12692,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18w addition: streaming CDC apply (oracle = the
     # one-shot batch apply over the whole log).
     "stream_cdc_apply": q_stream_cdc_apply,
+    # round-4 session-18x additions: label-noise audit, WoE/IV,
+    # frame energy.
+    "emb_label_noise": q_emb_label_noise,
+    "orders_woe": q_orders_woe,
+    "mm_frame_energy": q_mm_frame_energy,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -12931,6 +13061,9 @@ ORACLES: dict[str, str] = {
     "schema_fd": ORACLE_SCHEMA_FD,
     "text_sentiment": _oracle_text_sentiment(),
     "stream_cdc_apply": ORACLE_STREAM_CDC_APPLY,
+    "emb_label_noise": _oracle_emb_label_noise(),
+    "orders_woe": ORACLE_ORDERS_WOE,
+    "mm_frame_energy": ORACLE_MM_FRAME_ENERGY,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

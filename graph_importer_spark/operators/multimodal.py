@@ -343,3 +343,69 @@ def phash_near_dup_pairs(
         .select("id1", "id2", ham.alias("hamming"))
         .filter(F.col("hamming") <= k)
     )
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sumsq_b", LongType()),
+    ]
+)
+
+
+def frame_energy(
+    media: DataFrame, n_frames: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame energy statistics over the decoded byte stream (the
+    audio/video feature-extraction shape: silence detection, scene
+    cuts, loudness normalization all start from per-frame
+    mean/variance; the real codec decode slots in before the frame
+    split, exactly the frame_sample boundary).  Emits EXACT integer
+    byte sums so the derived mean/variance replay with no float
+    accumulation drift.
+
+    -> (media_id, frame_idx, n_bytes, sum_b, sumsq_b); mean =
+    sum_b / n_bytes, var = sumsq_b/n - mean² — caller-side algebra.
+
+    Scale shape: one mapInPandas pass, numpy-vectorized, frames
+    partitioned exactly like frame_sample's output.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = b"" if payload is None else bytes(payload)
+                if len(b) < n_frames:
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    rows.append(
+                        (mid, 0, len(b), int(arr.sum()), int((arr * arr).sum()))
+                    )
+                    continue
+                size = len(b) // n_frames
+                for f in range(n_frames):
+                    end = (f + 1) * size if f < n_frames - 1 else len(b)
+                    arr = np.frombuffer(
+                        b[f * size : end], dtype=np.uint8
+                    ).astype(np.int64)
+                    rows.append(
+                        (
+                            mid,
+                            f,
+                            int(arr.size),
+                            int(arr.sum()),
+                            int((arr * arr).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_bytes", "sum_b", "sumsq_b"],
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        run, ENERGY_SCHEMA
+    )

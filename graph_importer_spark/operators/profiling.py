@@ -679,3 +679,52 @@ def functional_dependencies(
             (F.col("n_violating_keys") == 0).alias("holds"),
         )
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category
+    (the credit-scoring standard; Siddiqi's IV bands: < 0.02 useless,
+    > 0.3 strong): WoE(v) = ln(p(v|good) / p(v|bad)) with additive
+    ``smoothing`` on the cell counts (the zero-cell fix,
+    deterministic); iv_contrib sums to the feature's IV.
+
+    ``label_col`` must be 0/1 (1 = 'bad'/event).
+
+    -> (value, n, n_good, n_bad, woe, iv_contrib).
+
+    Scale shape: ONE (value, label-split) aggregate with map-side
+    partials + a 1-row totals broadcast; all ratio algebra on the
+    bounded category table.
+    """
+    y = F.col(label_col).cast("int")
+    per = df.groupBy(F.col(feature_col).alias("value")).agg(
+        F.count("*").alias("n"),
+        F.sum((y == 0).cast("bigint")).alias("n_good"),
+        F.sum((y == 1).cast("bigint")).alias("n_bad"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_good").alias("_tg"), F.sum("n_bad").alias("_tb"),
+        F.count("*").alias("_nc"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pg = (F.col("n_good") + smoothing) / (
+        F.col("_tg") + smoothing * F.col("_nc")
+    )
+    pb = (F.col("n_bad") + smoothing) / (
+        F.col("_tb") + smoothing * F.col("_nc")
+    )
+    woe = F.log(pg / pb)
+    return j.select(
+        "value",
+        "n",
+        "n_good",
+        "n_bad",
+        F.round(woe, decimals).alias("woe"),
+        F.round((pg - pb) * woe, decimals).alias("iv_contrib"),
+    )

@@ -700,3 +700,56 @@ def truncation_recall(
             F.coalesce("n_hit", F.lit(0)) / F.col("_nk"), decimals
         ).alias("recall"),
     )
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """k-NN label-agreement audit (the Confident-Learning-lite label-
+    noise detector): for every vector, the fraction of its k nearest
+    cosine neighbors sharing its label — rows whose neighborhoods
+    vote against them are the mislabel candidates a data-centric
+    cleanup reviews first.
+
+    -> (id, label, n_neighbors, n_agree, agreement, is_suspect)
+    with is_suspect = agreement < 0.5 (strict minority).
+
+    Scale shape: brute cosine_topk over the full set (every row is a
+    query — the O(n²) labeled-baseline regime; swap ann_topk_ivf in
+    for the probe at scale, same downstream plan) + one broadcast
+    label join + a per-id aggregate.
+    """
+    top = cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl")
+    )
+    j = (
+        top.join(
+            F.broadcast(labels.select(F.col("_lid").alias("query_id"),
+                                      F.col("_lbl").alias("_ql"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("_lid").alias("neighbor_id"),
+                                      F.col("_lbl").alias("_nl"))),
+            "neighbor_id",
+        )
+    )
+    per = j.groupBy("query_id", "_ql").agg(
+        F.count("*").alias("n_neighbors"),
+        F.sum((F.col("_nl") == F.col("_ql")).cast("bigint")).alias("n_agree"),
+    )
+    agreement = F.round(F.col("n_agree") / F.col("n_neighbors"), decimals)
+    return per.select(
+        F.col("query_id").alias("id"),
+        F.col("_ql").alias("label"),
+        "n_neighbors",
+        "n_agree",
+        agreement.alias("agreement"),
+        (agreement < 0.5).alias("is_suspect"),
+    )

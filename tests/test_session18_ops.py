@@ -1493,3 +1493,47 @@ def test_streaming_cdc_apply_folds_batches(spark, tmp_path):
     out = {r.k: r.val for r in cat.read("current").collect()}
     # 1 kept, 2 updated, 3 deleted, 4 inserted in batch 2
     assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_knn_label_agreement_flags_planted_mislabel(spark):
+    from graph_importer_spark.operators.similarity import knn_label_agreement
+
+    import math
+
+    # two tight clusters with clean labels + one mislabeled point
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + 0.01 * i, 0.0], 0))
+        rows.append((100 + i, [0.0, 1.0 + 0.01 * i], 1))
+    rows.append((500, [1.0, 0.005], 1))  # sits in cluster 0, labeled 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.id: r for r in knn_label_agreement(e, k=5).collect()}
+    assert out[500].is_suspect and out[500].agreement == 0.0
+    clean = [r for i, r in out.items() if i != 500 and i < 100]
+    assert all(r.agreement >= 0.8 for r in clean)
+
+
+def test_woe_iv_directions(spark):
+    from graph_importer_spark.operators.profiling import woe_iv
+
+    rows = [("safe", 0)] * 90 + [("safe", 1)] * 10 + [("risky", 0)] * 30 + [
+        ("risky", 1)
+    ] * 70
+    d = spark.createDataFrame(rows, "v string, y int")
+    out = {r.value: r for r in woe_iv(d, "v", "y").collect()}
+    assert out["safe"].woe > 0 and out["risky"].woe < 0
+    assert out["safe"].iv_contrib > 0 and out["risky"].iv_contrib > 0
+    assert out["safe"].n_good == 90 and out["risky"].n_bad == 70
+
+
+def test_frame_energy_exact_sums(spark):
+    from graph_importer_spark.operators.multimodal import frame_energy
+
+    rows = [(1, bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])), (2, b"ab")]
+    m = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {(r.media_id, r.frame_idx): r for r in frame_energy(m, n_frames=4).collect()}
+    # 9 bytes / 4 frames: sizes 2,2,2,3 (remainder to last)
+    assert out[(1, 0)].sum_b == 3 and out[(1, 0)].sumsq_b == 5
+    assert out[(1, 3)].n_bytes == 3 and out[(1, 3)].sum_b == 7 + 8 + 9
+    # short payload: single frame 0
+    assert out[(2, 0)].n_bytes == 2 and out[(2, 0)].sum_b == ord("a") + ord("b")
