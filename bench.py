@@ -271,6 +271,7 @@ HEADLINE = [
     "emb_label_noise",
     "orders_woe",
     "mm_frame_energy",
+    "text_qlm",
 ]
 
 

@@ -12505,6 +12505,60 @@ FROM b GROUP BY media_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18y: Dirichlet query-likelihood ranking
+# ---------------------------------------------------------------------------
+
+
+_QLM_TERMS = ("merge", "spark", "window")
+
+
+def q_text_qlm(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood ranking (retrieval.
+    qlm_topk, Zhai-Lafferty) — the LM ranker next to text_bm25 on the
+    same query; the oracle replays the collection model, the full-
+    query smoothing (absent terms still penalize), and the top-20."""
+    from graph_importer_spark.operators.retrieval import qlm_topk
+
+    d = T(spark, sf_dir, "documents")
+    return qlm_topk(d, "doc_id", "text", list(_QLM_TERMS), k=20, mu=256.0)
+
+
+def _oracle_text_qlm(mu: float = 256.0, k: int = 20) -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(_QLM_TERMS))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split({_NF_SQL}, ' '), t -> t <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         list_filter(toks, t -> t IN ({in_list})) AS hits
+  FROM d),
+stats AS (SELECT SUM(dl) AS c_len FROM base),
+tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(hits) AS term FROM base)
+  GROUP BY doc_id, term),
+ctf AS (
+  SELECT term, CAST(SUM(tf) AS DOUBLE) / stats.c_len AS pc
+  FROM tfc, stats GROUP BY term, stats.c_len),
+terms AS (SELECT term, pc FROM ctf),
+pairs AS (
+  SELECT b.doc_id, b.dl, t.term, t.pc, COALESCE(tfc.tf, 0) AS tf
+  FROM base b CROSS JOIN terms t
+  LEFT JOIN tfc ON tfc.doc_id = b.doc_id AND tfc.term = t.term),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS INT)
+           AS n_terms_present,
+         round(SUM(ln((tf + {mu} * pc) / (dl + {mu}))), 4) AS score
+  FROM pairs GROUP BY doc_id)
+SELECT doc_id, n_terms_present, score FROM scored
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12697,6 +12751,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_noise": q_emb_label_noise,
     "orders_woe": q_orders_woe,
     "mm_frame_energy": q_mm_frame_energy,
+    # round-4 session-18y addition: Dirichlet query-likelihood.
+    "text_qlm": q_text_qlm,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13064,6 +13120,7 @@ ORACLES: dict[str, str] = {
     "emb_label_noise": _oracle_emb_label_noise(),
     "orders_woe": ORACLE_ORDERS_WOE,
     "mm_frame_energy": ORACLE_MM_FRAME_ENERGY,
+    "text_qlm": _oracle_text_qlm(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

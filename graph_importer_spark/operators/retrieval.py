@@ -546,3 +546,84 @@ def autocomplete_index(
         .filter(F.col("rank") <= top_k)
         .select("prefix", "rank", "term", "n")
     )
+
+
+def qlm_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 256.0,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty SIGIR'01 — the language-modeling ranker next to BM25):
+    score(d) = Σ_t ln((tf + mu * p_c(t)) / (dl + mu)) over the query
+    terms, p_c the collection unigram model.  Terms absent from the
+    collection contribute nothing (their p_c is 0 for every doc —
+    a constant shift dropped for rank stability).
+
+    Unlike BM25, every document scores on EVERY query term (the
+    smoothing term), so the per-doc sum is over the full query — a
+    missing term still penalizes via ln(mu p_c / (dl + mu)).
+
+    -> (id, n_terms_present, score) top-k by (score desc, id),
+    score rounded to 4.
+
+    Scale shape: identical to bm25_topk — one corpus scan with the
+    array-level term filter, tf/df partial aggs, broadcast collection
+    stats; the full-query scoring pivots the <= |query| tf rows per
+    doc into a map (per-doc state bounded by the query length).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(t.lower() for t in query_terms))
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hits_arr = F.filter(toks, lambda t: t.isin(terms) & (t != F.lit("")))
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("dl"),
+        hits_arr.alias("hits"),
+    )
+    stats = base.agg(
+        F.sum("dl").alias("c_len"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    # per-doc term->tf map over the bounded per-doc hit rows
+    doc_tf = tf.groupBy(id_col, "dl").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("term", "tf")))
+        ).alias("_m")
+    )
+    # docs with no hits still rank (all-smoothing scores); bring them in
+    all_docs = base.select(id_col, "dl").join(
+        doc_tf.select(id_col, "_m"), id_col, "left"
+    )
+    cl = ctf.crossJoin(F.broadcast(stats)).select(
+        "term", (F.col("ctf") / F.col("c_len")).alias("pc")
+    )
+    pcs = {r["term"]: r["pc"] for r in cl.collect()}
+    present = [t for t in terms if t in pcs]
+    score = F.lit(0.0)
+    npresent = F.lit(0)
+    for t in present:
+        tf_t = F.coalesce(
+            F.element_at(F.col("_m"), F.lit(t)), F.lit(0)
+        ).cast("double")
+        score = score + F.log(
+            (tf_t + F.lit(float(mu)) * F.lit(float(pcs[t])))
+            / (F.col("dl") + F.lit(float(mu)))
+        )
+        npresent = npresent + (tf_t > 0).cast("int")
+    scored = all_docs.select(
+        F.col(id_col),
+        npresent.alias("n_terms_present"),
+        F.round(score, 4).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -1537,3 +1537,27 @@ def test_frame_energy_exact_sums(spark):
     assert out[(1, 3)].n_bytes == 3 and out[(1, 3)].sum_b == 7 + 8 + 9
     # short payload: single frame 0
     assert out[(2, 0)].n_bytes == 2 and out[(2, 0)].sum_b == ord("a") + ord("b")
+
+
+def test_qlm_ranks_term_rich_docs_first(spark):
+    from graph_importer_spark.operators.retrieval import qlm_topk
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+            (4, "spark spark filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = qlm_topk(d, "doc_id", "text", ["spark"], k=4, mu=10.0).collect()
+    order = [r.doc_id for r in out]
+    # doc 4 has the highest tf/dl ratio; doc 3 the all-smoothing floor
+    assert order[0] == 4 and order[-1] == 3
+    assert out[0].n_terms_present == 1
+    assert [r.doc_id for r in out][:3] == sorted(
+        [1, 2, 4], key=lambda i: -dict(zip(order, [r.score for r in out]))[i]
+    )
+    # every document scores (smoothing keeps no-hit docs rankable)
+    assert len(out) == 4
