@@ -1553,11 +1553,15 @@ def test_qlm_ranks_term_rich_docs_first(spark):
     )
     out = qlm_topk(d, "doc_id", "text", ["spark"], k=4, mu=10.0).collect()
     order = [r.doc_id for r in out]
-    # doc 4 has the highest tf/dl ratio; doc 3 the all-smoothing floor
-    assert order[0] == 4 and order[-1] == 3
+    # hand-computed with p_c = 6/18, mu = 10:
+    # ln((tf + mu/3)/(dl + mu)) -> doc1 -0.862 > doc4 -0.891 >
+    # doc2 -1.242 > doc3 -1.504
+    assert order == [1, 4, 2, 3]
     assert out[0].n_terms_present == 1
-    assert [r.doc_id for r in out][:3] == sorted(
-        [1, 2, 4], key=lambda i: -dict(zip(order, [r.score for r in out]))[i]
+    import math
+
+    assert out[0].score == pytest.approx(
+        round(math.log((3 + 10 * (6 / 18)) / (5 + 10)), 4), abs=1e-4
     )
     # every document scores (smoothing keeps no-hit docs rankable)
-    assert len(out) == 4
+    assert len(out) == 4 and out[-1].n_terms_present == 0
