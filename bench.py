@@ -272,6 +272,9 @@ HEADLINE = [
     "orders_woe",
     "mm_frame_energy",
     "text_qlm",
+    "events_forecast",
+    "kg_temporal",
+    "orders_bootstrap",
 ]
 
 

@@ -12559,6 +12559,181 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18z: forecast backtest, temporal consistency,
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def q_events_forecast(spark, sf_dir):
+    """Seasonal-naive hourly forecast backtest (timeseries.
+    forecast_eval_seasonal_naive): last 7 days held out; the oracle
+    replays the train-only baseline and every sMAPE contribution."""
+    from graph_importer_spark.operators.timeseries import (
+        forecast_eval_seasonal_naive,
+    )
+
+    return forecast_eval_seasonal_naive(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_FORECAST = r"""
+WITH cell AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM cell),
+grid AS (
+  SELECT CAST(u.day AS BIGINT) AS day, CAST(h.h AS BIGINT) AS hour,
+         span.hi
+  FROM span, UNNEST(generate_series(span.lo, span.hi)) u(day),
+       UNNEST(generate_series(0, 23)) h(h)),
+full_ AS (
+  SELECT g.day, g.hour, g.hi, COALESCE(cell.n, 0) AS n
+  FROM grid g LEFT JOIN cell USING (day, hour)),
+train AS (SELECT * FROM full_ WHERE day < hi - 6),
+test AS (SELECT * FROM full_ WHERE day >= hi - 6),
+base AS (
+  SELECT day % 7 AS dow, hour,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS fc
+  FROM train GROUP BY 1, 2),
+j AS (
+  SELECT t.day, t.hour, t.n AS actual,
+         round(COALESCE(b.fc, 0.0), 6) AS forecast
+  FROM test t LEFT JOIN base b
+    ON b.dow = t.day % 7 AND b.hour = t.hour)
+SELECT day, hour, actual, forecast,
+       round(abs(actual - forecast), 6) AS abs_err,
+       CASE WHEN actual + forecast > 0
+            THEN round(2.0 * abs(actual - forecast)
+                       / (actual + forecast), 6)
+            ELSE 0.0 END AS smape_contrib
+FROM j
+"""
+
+
+def q_kg_temporal(spark, sf_dir):
+    """Temporal ordering audit (triples.temporal_consistency):
+    placed-day vs shipped-day facts per order with every 50th order's
+    ship date corrupted to precede placement (the planted violation);
+    min/max collapse across multi-lineitem assertions."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    placed_day = F.floor(F.unix_timestamp("o_orderdate") / 86400)
+    placed = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("placed_day").alias("pred"),
+        placed_day.cast("string").alias("obj"),
+    )
+    ship_day = F.floor(F.unix_timestamp("l_shipdate") / 86400)
+    shipped = li.join(
+        o.select("o_orderkey", placed_day.alias("_pd")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("shipped_day").alias("pred"),
+        F.when(
+            F.col("l_orderkey") % 50 == 0, (F.col("_pd") - 5)
+        )
+        .otherwise(ship_day)
+        .cast("string")
+        .alias("obj"),
+    )
+    return _triples.temporal_consistency(
+        placed.unionByName(shipped), "placed_day", "shipped_day"
+    )
+
+
+ORACLE_KG_TEMPORAL = r"""
+WITH placed AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS subj,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS v
+  FROM orders WHERE o_orderkey < 4000),
+shipped AS (
+  SELECT 'o' || CAST(l.l_orderkey AS VARCHAR) AS subj,
+         CASE WHEN l.l_orderkey % 50 = 0
+              THEN CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) - 5
+              ELSE CAST(floor(epoch(l.l_shipdate) / 86400) AS BIGINT)
+         END AS v
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_orderkey < 4000),
+b AS (SELECT subj, MIN(CAST(v AS DOUBLE)) AS before_val
+      FROM placed GROUP BY subj),
+a AS (SELECT subj, MAX(CAST(v AS DOUBLE)) AS after_val
+      FROM shipped GROUP BY subj)
+SELECT b.subj, round(before_val, 6) AS before_val,
+       round(after_val, 6) AS after_val,
+       round(after_val - before_val, 6) AS gap,
+       after_val < before_val AS is_violation
+FROM b JOIN a USING (subj)
+"""
+
+
+def q_orders_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap CI for mean order value (evalmetrics.
+    poisson_bootstrap_ci, Chamandy et al. 2012): 40 replicates,
+    90% interval; the oracle replays the inverse-CDF weights and the
+    replicate-mean quantiles."""
+    from graph_importer_spark.operators.evalmetrics import (
+        poisson_bootstrap_ci,
+    )
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    return poisson_bootstrap_ci(
+        o, "o_orderkey", "o_totalprice", n_replicates=40, alpha=0.1
+    )
+
+
+def _oracle_orders_bootstrap(
+    n_rep: int = 40, alpha: float = 0.1, seed: int = 42
+) -> str:
+    from graph_importer_spark.operators.evalmetrics import _POISSON_CUM
+
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h8, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    w = str(len(_POISSON_CUM))
+    for k in range(len(_POISSON_CUM) - 1, -1, -1):
+        w = f"CASE WHEN u < {_POISSON_CUM[k]} THEN {k} ELSE {w} END"
+    return f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(round(CAST(o_totalprice AS DOUBLE), 9)
+              AS DECIMAL(28,9)) AS v
+  FROM orders WHERE o_orderkey < 4000),
+fan AS (
+  SELECT id, v, CAST(u.b AS BIGINT) AS b,
+         substring(md5(id || '#' || CAST(u.b AS VARCHAR) || '#{seed}'),
+                   1, 8) AS h8
+  FROM o, UNNEST(generate_series(0, {n_rep - 1})) u(b)),
+wt AS (
+  SELECT b, v, ({w}) AS w
+  FROM (SELECT b, v, ({poly}) % 1000000 AS u, h8 FROM fan)),
+per AS (
+  SELECT b, SUM(w) AS n, SUM(v * w) AS s
+  FROM wt GROUP BY b HAVING SUM(w) > 0),
+means AS (SELECT CAST(s AS DOUBLE) / n AS m FROM per),
+q AS (
+  SELECT quantile_cont(m, [{alpha / 2}, {1 - alpha / 2}]) AS qq,
+         COUNT(*) AS nb
+  FROM means),
+base AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+  FROM o)
+SELECT base.n, round(base.m, 6) AS mean,
+       round(qq[1], 6) AS ci_lo, round(qq[2], 6) AS ci_hi,
+       nb AS n_replicates
+FROM base, q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12753,6 +12928,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_energy": q_mm_frame_energy,
     # round-4 session-18y addition: Dirichlet query-likelihood.
     "text_qlm": q_text_qlm,
+    # round-4 session-18z additions: forecast backtest, temporal
+    # consistency, Poisson bootstrap.
+    "events_forecast": q_events_forecast,
+    "kg_temporal": q_kg_temporal,
+    "orders_bootstrap": q_orders_bootstrap,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13121,6 +13301,9 @@ ORACLES: dict[str, str] = {
     "orders_woe": ORACLE_ORDERS_WOE,
     "mm_frame_energy": ORACLE_MM_FRAME_ENERGY,
     "text_qlm": _oracle_text_qlm(),
+    "events_forecast": ORACLE_EVENTS_FORECAST,
+    "kg_temporal": ORACLE_KG_TEMPORAL,
+    "orders_bootstrap": _oracle_orders_bootstrap(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -476,3 +476,103 @@ def conformal_threshold(
         "n_covered",
         F.round(F.col("n_covered") / F.col("n_test"), 6).alias("coverage"),
     )
+
+
+# Poisson(1) CDF thresholds scaled to 10^6 (e^-1 cumulative sums,
+# rounded once here so both engines compare the identical integers)
+_POISSON_CUM = [367879, 735759, 919699, 981012, 996340, 999406,
+                999917, 999990, 999999]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 50,
+    alpha: float = 0.05,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for a mean via the
+    Poisson bootstrap (Chamandy et al., Google 2012 — the streaming/
+    sharded bootstrap: resample-with-replacement weights become iid
+    Poisson(1) draws, so no replicate ever materializes):
+    weight(row, b) = inverse-CDF of u32(md5(id#b#seed)), a pure
+    function of the row — deterministic, partition-invariant,
+    SQL-replayable via the baked integer thresholds.
+
+    -> one row (n, mean, ci_lo, ci_hi, n_replicates) with the
+    percentile interval at level alpha over the replicate means.
+
+    Scale shape: ONE pass with a constant xB fan-out collapsed
+    immediately by the per-replicate partial aggregate (DECIMAL
+    sums); the quantile runs over the B-row replicate summary.
+    """
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("_b")
+    fan = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.round(F.col(value_col).cast("double"), 9)
+        .cast("decimal(28,9)")
+        .alias("_v"),
+    ).select("_id", "_v", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "#", "_id", F.col("_b").cast("string"),
+                            F.lit(str(seed)),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    w = F.lit(len(_POISSON_CUM))
+    for k in range(len(_POISSON_CUM) - 1, -1, -1):
+        w = F.when(u < _POISSON_CUM[k], F.lit(k)).otherwise(w)
+    per = (
+        fan.select("_b", w.alias("_w"), "_v")
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_w")).alias("_n"),
+            F.sum(F.col("_v") * F.col("_w")).alias("_s"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            (F.col("_s").cast("double") / F.col("_n")).alias("_mean")
+        )
+    )
+    qs = per.agg(
+        F.percentile(
+            "_mean", F.lit([alpha / 2, 1 - alpha / 2])
+        ).alias("_q"),
+        F.count("*").alias("_nb"),
+    )
+    base = df.agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 9).cast(
+                    "decimal(28,9)"
+                )
+            ).cast("double")
+            / F.count("*")
+        ).alias("_m"),
+    )
+    return base.crossJoin(F.broadcast(qs)).select(
+        "n",
+        F.round("_m", decimals).alias("mean"),
+        F.round(F.element_at("_q", 1), decimals).alias("ci_lo"),
+        F.round(F.element_at("_q", 2), decimals).alias("ci_hi"),
+        F.col("_nb").alias("n_replicates"),
+    )

@@ -1185,3 +1185,77 @@ def burstiness(
         F.round(sd, decimals).alias("std_gap_s"),
         F.round(b, decimals).alias("burstiness"),
     )
+
+
+def forecast_eval_seasonal_naive(
+    events: DataFrame,
+    ts_col: str = "ts",
+    test_days: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Backtest of the seasonal-naive hourly forecast (predict each
+    (dow, hour) cell's TRAIN-period mean) over the final
+    ``test_days`` of the span: per test cell, actual vs forecast,
+    plus sMAPE contribution — the baseline every fancier traffic
+    model must beat, with the same train/test discipline as
+    churn_labels (the cutoff splits the data, the baseline never
+    sees test).
+
+    -> (day, hour, actual, forecast, abs_err, smape_contrib); sum
+    smape_contrib / count for the sMAPE.
+
+    Scale shape: one (day, hour) collapse + a (dow, hour) rollup of
+    the TRAIN half; the test join is bounded-table x bounded-table.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    cell = events.groupBy(
+        F.floor(t / 86400).alias("day"),
+        (F.floor(t / 3600) % 24).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    span = cell.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    grid = span.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day"),
+        F.col("_hi").alias("_hi"),
+    ).crossJoin(
+        events.sparkSession.range(24).select(
+            F.col("id").cast("bigint").alias("hour")
+        )
+    )
+    full = grid.join(cell, ["day", "hour"], "left").select(
+        "day", "hour", "_hi", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    cutoff = F.col("_hi") - F.lit(test_days - 1)
+    train = full.filter(F.col("day") < cutoff)
+    test = full.filter(F.col("day") >= cutoff)
+    base = train.groupBy(
+        (F.col("day") % 7).alias("dow"), F.col("hour").alias("_bh")
+    ).agg((F.sum("n") / F.count("*")).alias("_fc"))
+    j = test.join(
+        F.broadcast(base),
+        (F.col("day") % 7 == F.col("dow")) & (F.col("hour") == F.col("_bh")),
+        "left",
+    ).select(
+        "day",
+        "hour",
+        F.col("n").alias("actual"),
+        F.round(F.coalesce("_fc", F.lit(0.0)), decimals).alias("forecast"),
+    )
+    denom = F.col("actual") + F.col("forecast")
+    return j.select(
+        "day",
+        "hour",
+        "actual",
+        "forecast",
+        F.round(F.abs(F.col("actual") - F.col("forecast")), decimals).alias(
+            "abs_err"
+        ),
+        F.when(
+            denom > 0,
+            F.round(
+                2.0 * F.abs(F.col("actual") - F.col("forecast")) / denom,
+                decimals,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("smape_contrib"),
+    )

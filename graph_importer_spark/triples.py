@@ -1264,3 +1264,45 @@ def benford_audit(
             (F.col("n") - expn) * (F.col("n") - expn) / expn, decimals
         ).alias("chi2"),
     )
+
+
+def temporal_consistency(
+    facts: DataFrame,
+    before_pred: str,
+    after_pred: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Ordering-constraint audit between two numeric/date fact
+    predicates (born-before-died, placed-before-shipped,
+    created-before-modified): for each subject holding BOTH facts,
+    flag violations where the ``after`` literal precedes the
+    ``before`` one.  Literals compare as DOUBLE (run
+    normalize_literals first for messy strings).
+
+    -> (subj, before_val, after_val, gap, is_violation).
+
+    Scale shape: two pred-filtered projections (filters push to the
+    pred-partitioned scan) + ONE subject-keyed equi-join; multiple
+    assertions per side collapse to min(before)/max(after) first —
+    the most charitable reading, so a flagged violation is real
+    under every assertion choice.
+    """
+    b = (
+        facts.filter(F.col("pred") == before_pred)
+        .groupBy("subj")
+        .agg(F.min(F.col("obj").cast("double")).alias("before_val"))
+    )
+    a = (
+        facts.filter(F.col("pred") == after_pred)
+        .groupBy("subj")
+        .agg(F.max(F.col("obj").cast("double")).alias("after_val"))
+    )
+    return b.join(a, "subj").select(
+        "subj",
+        F.round("before_val", decimals).alias("before_val"),
+        F.round("after_val", decimals).alias("after_val"),
+        F.round(F.col("after_val") - F.col("before_val"), decimals).alias(
+            "gap"
+        ),
+        (F.col("after_val") < F.col("before_val")).alias("is_violation"),
+    )

@@ -1565,3 +1565,59 @@ def test_qlm_ranks_term_rich_docs_first(spark):
     )
     # every document scores (smoothing keeps no-hit docs rankable)
     assert len(out) == 4 and out[-1].n_terms_present == 0
+
+
+def test_forecast_eval_perfect_on_stationary(spark):
+    from graph_importer_spark.operators.timeseries import (
+        forecast_eval_seasonal_naive,
+    )
+
+    # 28 days, exactly 3 events at hour 12 every day: forecast == actual
+    rows = [(dt.datetime(2024, 1, d, 12, m),) for d in range(1, 29) for m in (0, 1, 2)]
+    e = spark.createDataFrame(rows, "ts timestamp")
+    out = forecast_eval_seasonal_naive(e, test_days=7).collect()
+    hit = [r for r in out if r.hour == 12]
+    assert len(hit) == 7
+    assert all(r.abs_err == 0.0 and r.smape_contrib == 0.0 for r in hit)
+    # off-hours forecast 0, actual 0 -> contribution 0
+    assert all(r.smape_contrib == 0.0 for r in out)
+
+
+def test_temporal_consistency_flags_planted(spark):
+    from graph_importer_spark.triples import temporal_consistency
+
+    facts = spark.createDataFrame(
+        [
+            ("a", "born", "1950"), ("a", "died", "2000"),
+            ("b", "born", "1990"), ("b", "died", "1980"),   # violation
+            ("c", "born", "1970"),                          # no pair
+            ("d", "born", "1960"), ("d", "died", "1955"),
+            ("d", "died", "1999"),                          # max wins -> ok
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r.subj: r for r in temporal_consistency(facts, "born", "died").collect()}
+    assert not out["a"].is_violation and out["a"].gap == 50.0
+    assert out["b"].is_violation
+    assert "c" not in out
+    assert not out["d"].is_violation  # charitable max over assertions
+
+
+def test_poisson_bootstrap_brackets_mean(spark):
+    from graph_importer_spark.operators.evalmetrics import poisson_bootstrap_ci
+
+    d = spark.createDataFrame(
+        [(i, 100.0 + (i % 21) - 10) for i in range(2000)], "k long, v double"
+    )
+    r = poisson_bootstrap_ci(d, "k", "v", n_replicates=30, alpha=0.1).collect()[0]
+    assert r.n == 2000 and r.n_replicates == 30
+    assert r.ci_lo <= r.mean <= r.ci_hi
+    # CI width for a tight distribution over 2000 rows stays modest
+    assert r.ci_hi - r.ci_lo < 2.0
+    # determinism
+    r2 = poisson_bootstrap_ci(
+        spark.createDataFrame([(i, 100.0 + (i % 21) - 10) for i in range(2000)],
+                              "k long, v double").repartition(9),
+        "k", "v", n_replicates=30, alpha=0.1,
+    ).collect()[0]
+    assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
