@@ -275,6 +275,8 @@ HEADLINE = [
     "events_forecast",
     "kg_temporal",
     "orders_bootstrap",
+    "eval_map",
+    "eval_fairness",
 ]
 
 

@@ -12734,6 +12734,168 @@ FROM base, q
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18aa: MAP@k, group-fairness audit
+# ---------------------------------------------------------------------------
+
+
+def q_eval_map(spark, sf_dir):
+    """Per-query AP@10 (evalmetrics.map_at_k) of the two BM25 runs
+    against the all-terms relevance rule — the eval_ndcg fixture
+    graded by average precision; the oracle replays the cumulative
+    precision walk over the top-k lists."""
+    from graph_importer_spark.operators import retrieval as _ret
+    from graph_importer_spark.operators.evalmetrics import map_at_k
+    from graph_importer_spark.operators.textstats import normalize_text
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    runs, truths = [], []
+    for name, terms in sorted(_RRF_RUNS.items()):
+        runs.append(
+            _ret.bm25_topk(
+                d, "doc_id", "text", list(terms), k=20, k1=1.5, b=0.75
+            ).withColumn("query", F.lit(name))
+        )
+        cond = None
+        for t in sorted(terms):
+            c = F.array_contains(toks, t)
+            cond = c if cond is None else (cond & c)
+        truths.append(
+            d.filter(cond).select(F.lit(name).alias("query"), "doc_id")
+        )
+    return map_at_k(
+        runs[0].unionByName(runs[1]),
+        truths[0].unionByName(truths[1]),
+        "query",
+        "doc_id",
+        "score",
+        k=10,
+    ).orderBy("query")
+
+
+def _oracle_eval_map(k: int = 10) -> str:
+    parts = []
+    for name, terms in sorted(_RRF_RUNS.items()):
+        conds = " AND ".join(
+            f"list_contains(string_split({_NF_SQL}, ' '), '{t}')"
+            for t in sorted(terms)
+        )
+        parts.append(f"""
+SELECT '{name}' AS query,
+  (SELECT COUNT(*) FROM documents WHERE {conds}) AS n_rel,
+  (SELECT COALESCE(SUM(rel), 0) FROM (
+     SELECT CASE WHEN doc_id IN (SELECT doc_id FROM documents
+                                 WHERE {conds}) THEN 1 ELSE 0 END AS rel,
+            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+     FROM ({_oracle_bm25(terms, 20)})) r WHERE rnk <= {k})
+    AS n_retrieved_rel,
+  (SELECT COALESCE(SUM(CASE WHEN rel = 1 THEN cum * 1.0 / rnk
+                            ELSE 0 END), 0) FROM (
+     SELECT rel, rnk,
+            SUM(rel) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cum
+     FROM (
+       SELECT CASE WHEN doc_id IN (SELECT doc_id FROM documents
+                                   WHERE {conds}) THEN 1 ELSE 0 END AS rel,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+       FROM ({_oracle_bm25(terms, 20)})) q WHERE rnk <= {k}) z)
+    AS sc""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH base AS ({union})
+SELECT query, CAST(n_rel AS BIGINT) AS n_rel,
+       CAST(n_retrieved_rel AS BIGINT) AS n_retrieved_rel,
+       CASE WHEN LEAST(n_rel, {k}) > 0
+            THEN round(sc / LEAST(n_rel, {k}), 6) END AS ap
+FROM base ORDER BY query
+"""
+
+
+def q_eval_fairness(spark, sf_dir):
+    """Group-fairness audit (evalmetrics.fairness_metrics): md5-
+    coined labels/preds with a PLANTED selection-rate disadvantage
+    for one group (its positives flip to negative predictions 40% of
+    the time), reference group g0; the oracle replays every rate and
+    ratio."""
+    from graph_importer_spark.operators.evalmetrics import fairness_metrics
+
+    o = T(spark, sf_dir, "orders")
+
+    def u32(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(prefix), F.col("o_orderkey").cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    grp = F.concat(F.lit("g"), (u32("fg") % 3).cast("string"))
+    y = (u32("fy") % 2).cast("int")
+    fair_pred = F.when(u32("fp") % 10 < 8, y).otherwise(1 - y)
+    biased = (grp == "g2") & (y == 1) & (u32("fb") % 10 < 4)
+    pred = F.when(biased, F.lit(0)).otherwise(fair_pred)
+    d = o.select(grp.alias("grp"), y.alias("label"), pred.alias("pred"))
+    return fairness_metrics(d, "grp", "label", "pred", "g0")
+
+
+def _oracle_eval_fairness() -> str:
+    def poly(var):
+        return " + ".join(
+            f"CAST(strpos('0123456789abcdef', substring({var}, {j + 1}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    return f"""
+WITH h AS (
+  SELECT substring(md5('fg' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hg,
+         substring(md5('fy' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hy,
+         substring(md5('fp' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hp,
+         substring(md5('fb' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hb
+  FROM orders),
+l AS (
+  SELECT 'g' || CAST(({poly('hg')}) % 3 AS VARCHAR) AS grp,
+         CAST(({poly('hy')}) % 2 AS INT) AS y,
+         ({poly('hp')}) % 10 AS cp, ({poly('hb')}) % 10 AS cb
+  FROM h),
+p AS (
+  SELECT grp, y,
+         CASE WHEN grp = 'g2' AND y = 1 AND cb < 4 THEN 0
+              WHEN cp < 8 THEN y ELSE 1 - y END AS pred
+  FROM l),
+per AS (
+  SELECT grp, COUNT(*) AS n, SUM(pred) AS np,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp
+  FROM p GROUP BY grp),
+ref AS (
+  SELECT CAST(np AS DOUBLE) / n AS rsel,
+         CAST(tp AS DOUBLE) / pos AS rtpr
+  FROM per WHERE grp = 'g0')
+SELECT grp, n,
+       round(CAST(np AS DOUBLE) / n, 6) AS sel_rate,
+       CASE WHEN pos > 0
+            THEN round(CAST(tp AS DOUBLE) / pos, 6) END AS tpr,
+       CASE WHEN n - pos > 0
+            THEN round(CAST(fp AS DOUBLE) / (n - pos), 6) END AS fpr,
+       CASE WHEN rsel > 0
+            THEN round((CAST(np AS DOUBLE) / n) / rsel, 6) END AS di_ratio,
+       round(CAST(tp AS DOUBLE) / pos - rtpr, 6) AS eo_gap
+FROM per, ref
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -12933,6 +13095,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_forecast": q_events_forecast,
     "kg_temporal": q_kg_temporal,
     "orders_bootstrap": q_orders_bootstrap,
+    # round-4 session-18aa additions: MAP@k, fairness audit.
+    "eval_map": q_eval_map,
+    "eval_fairness": q_eval_fairness,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13304,6 +13469,8 @@ ORACLES: dict[str, str] = {
     "events_forecast": ORACLE_EVENTS_FORECAST,
     "kg_temporal": ORACLE_KG_TEMPORAL,
     "orders_bootstrap": _oracle_orders_bootstrap(),
+    "eval_map": _oracle_eval_map(),
+    "eval_fairness": _oracle_eval_fairness(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

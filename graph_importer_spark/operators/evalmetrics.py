@@ -576,3 +576,123 @@ def poisson_bootstrap_ci(
         F.round(F.element_at("_q", 2), decimals).alias("ci_hi"),
         F.col("_nb").alias("n_replicates"),
     )
+
+
+def map_at_k(
+    runs: DataFrame,
+    truth: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str = "score",
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean-average-precision family: per-query AP@k over a ranked
+    run (rank by score desc, ties to smaller id) against a relevant
+    set — AP = mean over relevant RETRIEVED positions of
+    precision@that-position, divided by min(n_rel, k) (the standard
+    truncated-AP normalizer); the corpus 'MAP' is the average of the
+    per-query rows.
+
+    -> (query, n_rel, n_retrieved_rel, ap).
+
+    Scale shape: the rank window runs over the bounded top-k run
+    lists only (the eval-family contract); truth joins by
+    (query, id); everything else is per-query aggregation.
+    """
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ranked = (
+        runs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+    )
+    rel = truth.select(
+        F.col(query_col), F.col(id_col), F.lit(1).alias("_rel")
+    )
+    j = ranked.join(rel, [query_col, id_col], "left").select(
+        query_col, "_r", F.coalesce("_rel", F.lit(0)).alias("_rel")
+    )
+    wcum = (
+        Window.partitionBy(query_col)
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec_at = F.sum("_rel").over(wcum) / F.col("_r")
+    contrib = F.when(F.col("_rel") == 1, prec_at).otherwise(F.lit(0.0))
+    per = j.select(query_col, "_rel", contrib.alias("_c")).groupBy(
+        query_col
+    ).agg(
+        F.sum("_rel").alias("n_retrieved_rel"),
+        F.sum("_c").alias("_sc"),
+    )
+    nrel = truth.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    out = per.join(nrel, query_col, "right").select(
+        F.col(query_col).alias("query"),
+        "n_rel",
+        F.coalesce("n_retrieved_rel", F.lit(0)).alias("n_retrieved_rel"),
+        F.when(
+            F.least(F.col("n_rel"), F.lit(k)) > 0,
+            F.round(
+                F.coalesce("_sc", F.lit(0.0))
+                / F.least(F.col("n_rel"), F.lit(k)),
+                decimals,
+            ),
+        ).alias("ap"),
+    )
+    return out
+
+
+def fairness_metrics(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+    reference_group: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier: per group the
+    selection rate (P(pred=1)), TPR and FPR, plus the disparate-
+    impact ratio (selection rate / reference group's — the EEOC
+    four-fifths rule reads < 0.8 as adverse impact) and the
+    equal-opportunity gap (TPR - reference TPR).
+
+    Undefined rates are NULL (no positives/negatives in a group),
+    never fabricated.
+
+    -> (grp, n, sel_rate, tpr, fpr, di_ratio, eo_gap).
+
+    Scale shape: ONE (group, label, pred) aggregate (bounded
+    2x2x|groups| cells) + a 1-row reference broadcast.
+    """
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(p).alias("_np"),
+        F.sum((y == 1).cast("int")).alias("_pos"),
+        F.sum(((y == 1) & (p == 1)).cast("int")).alias("_tp"),
+        F.sum(((y == 0) & (p == 1)).cast("int")).alias("_fp"),
+    )
+    sel = F.col("_np") / F.col("n")
+    tpr = F.when(F.col("_pos") > 0, F.col("_tp") / F.col("_pos"))
+    fpr = F.when(
+        F.col("n") - F.col("_pos") > 0,
+        F.col("_fp") / (F.col("n") - F.col("_pos")),
+    )
+    base = per.withColumn("_sel", sel).withColumn("_tpr", tpr)
+    ref = base.filter(F.col("grp") == reference_group).select(
+        F.col("_sel").alias("_rsel"), F.col("_tpr").alias("_rtpr")
+    )
+    j = base.crossJoin(F.broadcast(ref))
+    return j.select(
+        "grp",
+        "n",
+        F.round("_sel", decimals).alias("sel_rate"),
+        F.round("_tpr", decimals).alias("tpr"),
+        F.round(fpr, decimals).alias("fpr"),
+        F.when(
+            F.col("_rsel") > 0, F.round(F.col("_sel") / F.col("_rsel"), decimals)
+        ).alias("di_ratio"),
+        F.round(F.col("_tpr") - F.col("_rtpr"), decimals).alias("eo_gap"),
+    )

@@ -1621,3 +1621,45 @@ def test_poisson_bootstrap_brackets_mean(spark):
         "k", "v", n_replicates=30, alpha=0.1,
     ).collect()[0]
     assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
+
+
+def test_map_at_k_hand_example(spark):
+    from graph_importer_spark.operators.evalmetrics import map_at_k
+
+    runs = spark.createDataFrame(
+        [("q", 10, 0.9), ("q", 11, 0.8), ("q", 12, 0.7), ("q", 13, 0.6)],
+        "query string, doc_id long, score double",
+    )
+    truth = spark.createDataFrame(
+        [("q", 10), ("q", 12), ("q", 99)], "query string, doc_id long"
+    )
+    r = map_at_k(runs, truth, "query", "doc_id", "score", k=4).collect()[0]
+    # relevant at ranks 1 and 3: AP = (1/1 + 2/3) / min(3,4)
+    assert r.n_rel == 3 and r.n_retrieved_rel == 2
+    assert r.ap == pytest.approx((1.0 + 2 / 3) / 3, abs=1e-6)
+    # query with truth but no run rows -> ap 0
+    truth2 = truth.unionByName(
+        spark.createDataFrame([("q2", 1)], "query string, doc_id long")
+    )
+    out = {r.query: r for r in map_at_k(runs, truth2, "query", "doc_id", "score", k=4).collect()}
+    assert out["q2"].ap == 0.0 and out["q2"].n_retrieved_rel == 0
+
+
+def test_fairness_metrics_detects_planted_bias(spark):
+    from graph_importer_spark.operators.evalmetrics import fairness_metrics
+
+    rows = []
+    # group A: perfect classifier; group B: half the positives denied
+    for i in range(100):
+        y = i % 2
+        rows.append(("A", y, y))
+    for i in range(100):
+        y = i % 2
+        pred = 0 if (y == 1 and i % 4 == 1) else y
+        rows.append(("B", y, pred))
+    d = spark.createDataFrame(rows, "g string, y int, p int")
+    out = {r.grp: r for r in fairness_metrics(d, "g", "y", "p", "A").collect()}
+    assert out["A"].tpr == 1.0 and out["A"].di_ratio == 1.0
+    assert out["B"].tpr == 0.5 and out["B"].eo_gap == -0.5
+    assert out["B"].di_ratio == 0.5  # four-fifths rule violated
+    assert out["A"].fpr == 0.0
