@@ -277,6 +277,8 @@ HEADLINE = [
     "orders_bootstrap",
     "eval_map",
     "eval_fairness",
+    "graph_katz",
+    "dedup_bow",
 ]
 
 

@@ -12896,6 +12896,112 @@ FROM per, ref
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18bb: Katz centrality, bag-of-words dedup
+# ---------------------------------------------------------------------------
+
+
+def q_graph_katz(spark, sf_dir):
+    """Truncated Katz centrality (analytics.katz_centrality, 3 hops,
+    alpha 0.1) on the l_orderkey<600 co-purchase subgraph; the oracle
+    replays the per-hop walk counts and the attenuated DECIMAL
+    rollup."""
+    from graph_importer_spark.operators.analytics import katz_centrality
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 600)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return katz_centrality(e, alpha=0.1, max_hops=3)
+
+
+def _oracle_graph_katz(alpha: float = 0.1, hops: int = 3) -> str:
+    terms = " + ".join(
+        f"COALESCE(w{k}.w, 0) * CAST(round({alpha ** k:.12f}, 9)"
+        f" AS DECIMAL(28,9))"
+        for k in range(1, hops + 1)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN walks{k} w{k} ON w{k}.id = v.id"
+        for k in range(1, hops + 1)
+    )
+    walk_ctes = [
+        """
+walks1 AS MATERIALIZED (
+  SELECT v AS id, COUNT(*) AS w FROM adj GROUP BY v)"""
+    ]
+    for k in range(2, hops + 1):
+        walk_ctes.append(
+            f""",
+walks{k} AS MATERIALIZED (
+  SELECT adj.v AS id, SUM(p.w) AS w
+  FROM walks{k - 1} p JOIN adj ON adj.u = p.id
+  GROUP BY adj.v)"""
+        )
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 600),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey) WHERE x.l_partkey < y.l_partkey),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+verts AS (SELECT DISTINCT u AS id FROM adj),
+{''.join(walk_ctes)}
+SELECT v.id, COALESCE(w1.w, 0) AS degree,
+       round(CAST(({terms}) AS DOUBLE), 6) AS katz
+FROM verts v
+{joins}
+"""
+
+
+def q_dedup_bow(spark, sf_dir):
+    """Order-insensitive exact dedup (dedup.bow_dup_groups): shuffled
+    -token clones planted (every 9th doc reversed word order) must
+    land in their source's group; the oracle replays the sorted-token
+    fingerprints."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 7000).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    return _dedup.bow_dup_groups(d.unionByName(clones), "doc_id", "text")
+
+
+ORACLE_DEDUP_BOW = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 7000,
+         array_to_string(list_reverse(
+           string_split({_NF_SQL}, ' ')), ' ')
+  FROM documents WHERE doc_id < 200 AND doc_id % 9 = 0),
+f AS (
+  SELECT doc_id AS id,
+         md5(array_to_string(list_sort(list_filter(
+           string_split({_NF_SQL}, ' '), t -> t <> '')), ' ')) AS bow_fp
+  FROM corpus),
+g AS (SELECT bow_fp, MIN(id) AS keeper FROM f GROUP BY bow_fp)
+SELECT f.id, f.bow_fp, g.keeper, f.id <> g.keeper AS is_dup
+FROM f JOIN g USING (bow_fp)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -13098,6 +13204,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18aa additions: MAP@k, fairness audit.
     "eval_map": q_eval_map,
     "eval_fairness": q_eval_fairness,
+    # round-4 session-18bb additions: Katz centrality, BoW dedup.
+    "graph_katz": q_graph_katz,
+    "dedup_bow": q_dedup_bow,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13471,6 +13580,8 @@ ORACLES: dict[str, str] = {
     "orders_bootstrap": _oracle_orders_bootstrap(),
     "eval_map": _oracle_eval_map(),
     "eval_fairness": _oracle_eval_fairness(),
+    "graph_katz": _oracle_graph_katz(),
+    "dedup_bow": ORACLE_DEDUP_BOW,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

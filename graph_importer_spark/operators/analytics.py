@@ -2682,3 +2682,76 @@ def edge_embeddedness(
         F.coalesce("_c", F.lit(0)).alias("embeddedness"),
         (F.coalesce("_c", F.lit(0)) == 0).alias("is_local_bridge"),
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    max_hops: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953): x(v) = Σ_{k=1..K} α^k ·
+    (# walks of length k ending at v) — attenuated walk counting,
+    the centrality that credits distant influence where degree sees
+    only neighbors; the K-truncation is the standard convergent
+    prefix for α < 1/λ_max.
+
+    Determinism: per-hop walk counts are exact integers; the α^k
+    weights multiply at the end (9dp-rounded DECIMAL accumulation),
+    so the score replays exactly.
+
+    -> (id, walks_1..walks_K as a map-free wide row? no —
+    (id, hop, walks) long form plus the rolled-up katz per id in
+    every row would denormalize; emit (id, katz) plus the hop-1
+    count (degree) for reference).
+
+    Scale shape: K rounds of one src-keyed join + dst-keyed partial
+    count each (walk counts, not paths — hub fan-in collapses
+    map-side); round k's frame is the (vertex, count) table, never
+    the corpus.
+    """
+    cu = _undirected(edges)
+    und = cu.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(cu.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    verts = und.select(F.col("src").alias("id")).distinct()
+    cur = und.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("w")
+    )
+    total = cur.select(
+        "id",
+        F.round(F.col("w") * F.lit(alpha), 9)
+        .cast("decimal(28,9)")
+        .alias("_k"),
+        F.col("w").alias("degree"),
+    )
+    for hop in range(2, max_hops + 1):
+        nxt = (
+            cur.join(und, cur["id"] == und["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        total = (
+            total.join(nxt, "id", "full")
+            .select(
+                "id",
+                (
+                    F.coalesce(
+                        F.col("_k"), F.lit(0).cast("decimal(28,9)")
+                    )
+                    + F.round(
+                        F.coalesce("w", F.lit(0)) * F.lit(alpha**hop), 9
+                    ).cast("decimal(28,9)")
+                ).alias("_k"),
+                F.coalesce("degree", F.lit(0)).alias("degree"),
+            )
+        )
+        cur = nxt
+    return verts.join(total, "id", "left").select(
+        "id",
+        F.coalesce("degree", F.lit(0)).alias("degree"),
+        F.round(
+            F.coalesce(F.col("_k").cast("double"), F.lit(0.0)), decimals
+        ).alias("katz"),
+    )

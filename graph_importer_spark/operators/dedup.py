@@ -1208,3 +1208,32 @@ def chunk_share_pairs(
             ).alias("share"),
         )
     )
+
+
+def bow_dup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Order-insensitive exact duplicate groups: documents group by
+    the md5 of their SORTED token multiset — catches template pages
+    and shuffled boilerplate that byte-exact dedup misses while
+    staying exact (no similarity threshold; reordered words ARE the
+    only tolerated edit).
+
+    -> (id, bow_fp, keeper, is_dup), keeper = min id per group.
+
+    Scale shape: the fingerprint is a zero-shuffle array expression
+    (sort_array over the token split); grouping is one
+    fingerprint-keyed aggregate, the exact_dup_groups plan.
+    """
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    fp = F.md5(F.encode(F.array_join(F.sort_array(toks), " "), "UTF-8"))
+    base = df.select(F.col(id_col).alias("id"), fp.alias("bow_fp"))
+    groups = base.groupBy("bow_fp").agg(F.min("id").alias("keeper"))
+    return base.join(groups, "bow_fp").select(
+        "id",
+        "bow_fp",
+        "keeper",
+        (F.col("id") != F.col("keeper")).alias("is_dup"),
+    )

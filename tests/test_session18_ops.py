@@ -1663,3 +1663,37 @@ def test_fairness_metrics_detects_planted_bias(spark):
     assert out["B"].tpr == 0.5 and out["B"].eo_gap == -0.5
     assert out["B"].di_ratio == 0.5  # four-fifths rule violated
     assert out["A"].fpr == 0.0
+
+
+def test_katz_path_graph(spark):
+    from graph_importer_spark.operators.analytics import katz_centrality
+
+    # path 1-2-3: walks ending at 2: len1=2, len2=2 (1-2-... wait:
+    # hand-check below uses alpha=0.5, K=2
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.id: r for r in katz_centrality(e, alpha=0.5, max_hops=2).collect()}
+    # vertex 2: len-1 walks = 2 (from 1, from 3); len-2 walks = 2
+    # (1-2 via? walks of length 2 ending at 2: 2-1-2, 2-3-2) -> wait
+    # walk counts: W2(v) = sum over neighbors u of W1(u);
+    # W1: [1]=1, [2]=2, [3]=1; W2[2] = W1(1) + W1(3) = 2
+    assert out[2].degree == 2
+    assert out[2].katz == pytest.approx(0.5 * 2 + 0.25 * 2, abs=1e-6)
+    # vertex 1: W1=1, W2[1] = W1(2) = 2
+    assert out[1].katz == pytest.approx(0.5 * 1 + 0.25 * 2, abs=1e-6)
+
+
+def test_bow_dedup_groups_shuffled_text(spark):
+    from graph_importer_spark.operators.dedup import bow_dup_groups
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma  Alpha beta"),   # same bag after normalization
+            (3, "alpha beta"),          # different bag
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in bow_dup_groups(d, "doc_id", "text").collect()}
+    assert out[1].keeper == 1 and not out[1].is_dup
+    assert out[2].keeper == 1 and out[2].is_dup
+    assert out[3].keeper == 3 and not out[3].is_dup
