@@ -279,6 +279,8 @@ HEADLINE = [
     "eval_fairness",
     "graph_katz",
     "dedup_bow",
+    "kg_range_types",
+    "events_acf",
 ]
 
 

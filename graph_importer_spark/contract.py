@@ -13002,6 +13002,140 @@ FROM f JOIN g USING (bow_fp)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18cc: predicate range typing, daily ACF
+# ---------------------------------------------------------------------------
+
+
+def q_kg_range_types(spark, sf_dir):
+    """Predicate range typing (triples.predicate_range_types) over a
+    mixed-form fact set (integers, decimals, dates, booleans,
+    strings, plus a dirty minority per predicate); the oracle replays
+    the lexical census and the majority election."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    i = F.col("o_orderkey")
+    facts = (
+        o.select(
+            F.lit("total").alias("pred"),
+            F.when(i % 13 == 0, F.lit("n/a"))
+            .otherwise(F.col("o_totalprice").cast("string"))
+            .alias("obj"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("placed_on").alias("pred"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("rushed").alias("pred"),
+                F.when(
+                    F.col("o_orderpriority").startswith("1"), F.lit("true")
+                )
+                .otherwise(F.lit("false"))
+                .alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("cust_ref").alias("pred"),
+                F.col("o_custkey").cast("string").alias("obj"),
+            )
+        )
+    )
+    return _triples.predicate_range_types(facts)
+
+
+ORACLE_KG_RANGE_TYPES = r"""
+WITH facts AS (
+  SELECT 'total' AS pred,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'n/a'
+              ELSE CAST(o_totalprice AS VARCHAR) END AS obj
+  FROM orders WHERE o_orderkey < 4000
+  UNION ALL
+  SELECT 'placed_on', strftime(o_orderdate, '%Y-%m-%d')
+  FROM orders WHERE o_orderkey < 4000
+  UNION ALL
+  SELECT 'rushed',
+         CASE WHEN o_orderpriority LIKE '1%' THEN 'true' ELSE 'false' END
+  FROM orders WHERE o_orderkey < 4000
+  UNION ALL
+  SELECT 'cust_ref', CAST(o_custkey AS VARCHAR)
+  FROM orders WHERE o_orderkey < 4000),
+c AS (
+  SELECT pred,
+         regexp_matches(obj, '^-?[0-9]+$') AS is_int,
+         regexp_matches(obj, '^-?[0-9]+\.[0-9]+$') AS is_dec,
+         regexp_matches(obj, '^[0-9]{4}-[0-9]{2}-[0-9]{2}') AS is_date,
+         lower(obj) IN ('true', 'false') AS is_bool
+  FROM facts),
+per AS (
+  SELECT pred, COUNT(*) AS n,
+         SUM(CASE WHEN is_int THEN 1 ELSE 0 END) AS n_int,
+         SUM(CASE WHEN is_dec AND NOT is_int THEN 1 ELSE 0 END)
+           AS n_decimal,
+         SUM(CASE WHEN is_date AND NOT is_int AND NOT is_dec
+                  THEN 1 ELSE 0 END) AS n_date,
+         SUM(CASE WHEN is_bool THEN 1 ELSE 0 END) AS n_bool,
+         SUM(CASE WHEN NOT is_int AND NOT is_dec AND NOT is_date
+                   AND NOT is_bool THEN 1 ELSE 0 END) AS n_string
+  FROM c GROUP BY pred),
+w AS (
+  SELECT *, GREATEST(n_bool, n_date, n_decimal, n_int, n_string) AS mx
+  FROM per)
+SELECT pred, n, n_int, n_decimal, n_date, n_bool, n_string,
+       CASE WHEN n_bool = mx THEN 'boolean'
+            WHEN n_date = mx THEN 'date'
+            WHEN n_decimal = mx THEN 'decimal'
+            WHEN n_int = mx THEN 'integer'
+            ELSE 'string' END AS inferred_type,
+       round(CAST(mx AS DOUBLE) / n, 6) AS purity
+FROM w
+"""
+
+
+def q_events_acf(spark, sf_dir):
+    """Daily-count autocorrelation at lags 1-7 (timeseries.
+    daily_acf); the oracle replays the grid fill, the exact-ratio
+    mean, and every 9dp-DECIMAL deviation product."""
+    from graph_importer_spark.operators.timeseries import daily_acf
+
+    return daily_acf(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_ACF = r"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+span AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi, SUM(n) AS tot FROM per),
+grid AS (
+  SELECT CAST(u.day AS BIGINT) AS day,
+         CAST(span.tot AS DOUBLE) / (span.hi - span.lo + 1) AS mu
+  FROM span, UNNEST(generate_series(span.lo, span.hi)) u(day)),
+full_ AS (
+  SELECT g.day, COALESCE(per.n, 0) - g.mu AS d
+  FROM grid g LEFT JOIN per USING (day)),
+den AS (
+  SELECT CAST(SUM(CAST(round(d * d, 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS den
+  FROM full_),
+lags AS (SELECT CAST(u.k AS INT) AS lag FROM UNNEST(generate_series(1, 7)) u(k)),
+nums AS (
+  SELECT l.lag, COUNT(*) AS n_pairs,
+         CAST(SUM(CAST(round(a.d * b.d, 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS num
+  FROM lags l JOIN full_ a ON TRUE
+  JOIN full_ b ON b.day = a.day + l.lag
+  GROUP BY l.lag)
+SELECT lag, n_pairs,
+       CASE WHEN den.den > 0 THEN round(num / den.den, 6) END AS acf
+FROM nums, den
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -13207,6 +13341,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18bb additions: Katz centrality, BoW dedup.
     "graph_katz": q_graph_katz,
     "dedup_bow": q_dedup_bow,
+    # round-4 session-18cc additions: range typing, daily ACF.
+    "kg_range_types": q_kg_range_types,
+    "events_acf": q_events_acf,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13582,6 +13719,8 @@ ORACLES: dict[str, str] = {
     "eval_fairness": _oracle_eval_fairness(),
     "graph_katz": _oracle_graph_katz(),
     "dedup_bow": ORACLE_DEDUP_BOW,
+    "kg_range_types": ORACLE_KG_RANGE_TYPES,
+    "events_acf": ORACLE_EVENTS_ACF,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

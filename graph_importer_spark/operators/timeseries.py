@@ -1259,3 +1259,74 @@ def forecast_eval_seasonal_naive(
         .otherwise(F.lit(0.0))
         .alias("smape_contrib"),
     )
+
+
+def daily_acf(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..``max_lag`` (the weekly-cycle detector: a spike at lag 7
+    IS the seasonality seasonality_profile assumes): classic
+    sample-ACF normal form r_k = Σ(x_t - x̄)(x_{t+k} - x̄) / Σ(x_t -
+    x̄)², deviations from the FULL-series mean.
+
+    Determinism: the mean is an exact ratio; deviation products round
+    to 9dp DECIMAL before summing.
+
+    -> (lag, n_pairs, acf); NULL acf when the series is constant.
+
+    Scale shape: ONE day-keyed collapse; each lag is a self-join of
+    the bounded day summary shifted by k — max_lag bounded-table
+    joins, no corpus re-scan.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    per = events.groupBy(day.alias("day")).agg(F.count("*").alias("n"))
+    span = per.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi"),
+        F.sum("n").alias("_tot"), F.count("*").alias("_nd0"),
+    )
+    grid = span.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day"),
+        (F.col("_tot") / (F.col("_hi") - F.col("_lo") + 1)).alias("_mu"),
+    )
+    full = grid.join(per, "day", "left").select(
+        "day",
+        "_mu",
+        (F.coalesce("n", F.lit(0)) - F.col("_mu")).alias("_d"),
+    )
+    denom_t = full.agg(
+        F.sum(
+            F.round(F.col("_d") * F.col("_d"), 9).cast("decimal(38,9)")
+        ).alias("_den")
+    )
+    out = None
+    for k in range(1, max_lag + 1):
+        a = full.select(F.col("day"), F.col("_d").alias("_da"))
+        b = full.select(
+            (F.col("day") - k).alias("day"), F.col("_d").alias("_db")
+        )
+        num = a.join(b, "day").agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.round(F.col("_da") * F.col("_db"), 9).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("_num"),
+        )
+        row = num.crossJoin(F.broadcast(denom_t)).select(
+            F.lit(k).alias("lag"),
+            "n_pairs",
+            F.when(
+                F.col("_den").cast("double") > 0,
+                F.round(
+                    F.col("_num").cast("double")
+                    / F.col("_den").cast("double"),
+                    decimals,
+                ),
+            ).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

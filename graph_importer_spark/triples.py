@@ -1306,3 +1306,61 @@ def temporal_consistency(
         ),
         (F.col("after_val") < F.col("before_val")).alias("is_violation"),
     )
+
+
+def predicate_range_types(
+    facts: DataFrame, decimals: int = 6
+) -> DataFrame:
+    """Predicate range typing: per predicate, the literal-form census
+    of its object values (integer / decimal / date-like / boolean /
+    string by LEXICAL shape — no casts, so dirty values can't throw)
+    and the majority form as the inferred range type (ties to the
+    lexicographically smaller type name) — the schema-discovery step
+    before declaring an ontology range or building typed indexes.
+
+    -> (pred, n, n_int, n_decimal, n_date, n_bool, n_string,
+       inferred_type, purity).
+
+    Scale shape: ONE (pred, shape) classification aggregate (pure
+    regexp codegen, partial agg absorbs Zipf predicates).
+    """
+    o = F.col("obj")
+    is_int = o.rlike(r"^-?[0-9]+$")
+    is_dec = o.rlike(r"^-?[0-9]+\.[0-9]+$")
+    is_date = o.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}")
+    is_bool = F.lower(o).isin("true", "false")
+    per = facts.groupBy(F.col("pred")).agg(
+        F.count("*").alias("n"),
+        F.sum(is_int.cast("bigint")).alias("n_int"),
+        F.sum((is_dec & ~is_int).cast("bigint")).alias("n_decimal"),
+        F.sum((is_date & ~is_int & ~is_dec).cast("bigint")).alias("n_date"),
+        F.sum(is_bool.cast("bigint")).alias("n_bool"),
+        F.sum(
+            (~is_int & ~is_dec & ~is_date & ~is_bool).cast("bigint")
+        ).alias("n_string"),
+    )
+    counts = F.array(
+        F.struct(F.col("n_bool").alias("c"), F.lit("boolean").alias("t")),
+        F.struct(F.col("n_date").alias("c"), F.lit("date").alias("t")),
+        F.struct(F.col("n_decimal").alias("c"), F.lit("decimal").alias("t")),
+        F.struct(F.col("n_int").alias("c"), F.lit("integer").alias("t")),
+        F.struct(F.col("n_string").alias("c"), F.lit("string").alias("t")),
+    )
+    mx = F.array_max(F.transform(counts, lambda s: s.getField("c")))
+    winner = F.array_min(
+        F.transform(
+            F.filter(counts, lambda s: s.getField("c") == mx),
+            lambda s: s.getField("t"),
+        )
+    )
+    return per.select(
+        "pred",
+        "n",
+        "n_int",
+        "n_decimal",
+        "n_date",
+        "n_bool",
+        "n_string",
+        winner.alias("inferred_type"),
+        F.round(mx / F.col("n"), decimals).alias("purity"),
+    )

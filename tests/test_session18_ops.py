@@ -1697,3 +1697,38 @@ def test_bow_dedup_groups_shuffled_text(spark):
     assert out[1].keeper == 1 and not out[1].is_dup
     assert out[2].keeper == 1 and out[2].is_dup
     assert out[3].keeper == 3 and not out[3].is_dup
+
+
+def test_predicate_range_types_census(spark):
+    from graph_importer_spark.triples import predicate_range_types
+
+    facts = spark.createDataFrame(
+        [
+            ("p_num", "x", "42"), ("p_num", "x", "17"), ("p_num", "x", "oops"),
+            ("p_dec", "x", "3.14"), ("p_dec", "x", "2.71"),
+            ("p_date", "x", "2024-01-05"), ("p_bool", "x", "True"),
+        ],
+        "pred string, subj string, obj string",
+    )
+    out = {r.pred: r for r in predicate_range_types(facts.select("pred", "obj")).collect()}
+    assert out["p_num"].inferred_type == "integer"
+    assert out["p_num"].purity == pytest.approx(2 / 3, abs=1e-6)
+    assert out["p_dec"].inferred_type == "decimal"
+    assert out["p_date"].inferred_type == "date"
+    assert out["p_bool"].inferred_type == "boolean"
+
+
+def test_daily_acf_weekly_cycle(spark):
+    from graph_importer_spark.operators.timeseries import daily_acf
+
+    # strong weekly cycle: 10 events on day%7==0, 2 otherwise, 35 days
+    rows = []
+    for d in range(1, 36):
+        n = 10 if d % 7 == 0 else 2
+        rows += [(dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=h),)
+                 for h in range(n)]
+    e = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.lag: r.acf for r in daily_acf(e, max_lag=7).collect()}
+    # lag-7 autocorrelation dominates every shorter lag
+    assert out[7] > 0.5
+    assert all(out[7] > out[k] for k in range(1, 7))
