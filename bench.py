@@ -281,6 +281,8 @@ HEADLINE = [
     "dedup_bow",
     "kg_range_types",
     "events_acf",
+    "text_diversity",
+    "orders_corr",
 ]
 
 

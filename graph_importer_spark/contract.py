@@ -13136,6 +13136,88 @@ FROM nums, den
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18dd: lexical diversity, correlation matrix
+# ---------------------------------------------------------------------------
+
+
+def q_text_diversity(spark, sf_dir):
+    """Per-doc lexical diversity triad (textstats.lexical_diversity);
+    the oracle replays the (doc, token) census and every ratio."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return _ts.lexical_diversity(d, "doc_id", "text")
+
+
+ORACLE_TEXT_DIVERSITY = rf"""
+WITH tt AS (
+  SELECT doc_id AS id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(string_split({_NF_SQL}, ' ')) AS tok
+        FROM documents WHERE doc_id < 300)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+per AS (
+  SELECT id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+         SUM(c * (c - 1)) AS pairs
+  FROM tt GROUP BY id)
+SELECT id, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       round(CAST(hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+       CASE WHEN n_tokens >= 2
+            THEN round(1.0 - CAST(pairs AS DOUBLE)
+                       / (n_tokens * (n_tokens - 1)), 6) END AS simpson
+FROM per
+"""
+
+
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_orders_corr(spark, sf_dir):
+    """One-pass pairwise Pearson matrix (profiling.
+    correlation_matrix) over four lineitem measures; the oracle
+    replays the 9dp-DECIMAL moment sums and the r algebra."""
+    from graph_importer_spark.operators.profiling import correlation_matrix
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    return correlation_matrix(li, _CORR_COLS)
+
+
+def _oracle_orders_corr() -> str:
+    cols = sorted(_CORR_COLS)
+    sums = []
+    for c in cols:
+        sums.append(
+            f"SUM(CAST(round(CAST({c} AS DOUBLE), 9) AS DECIMAL(38,9)))"
+            f" AS s_{c}"
+        )
+        sums.append(
+            f"SUM(CAST(round(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE), 9)"
+            f" AS DECIMAL(38,9))) AS q_{c}"
+        )
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sums.append(
+                f"SUM(CAST(round(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE), 9)"
+                f" AS DECIMAL(38,9))) AS p_{a}_{b}"
+            )
+            va = f"(CAST(q_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) / n)"
+            vb = f"(CAST(q_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n)"
+            cov = f"(CAST(p_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n)"
+            pair_rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,\n"
+                f"  CASE WHEN {va} > 0 AND {vb} > 0\n"
+                f"       THEN round({cov} / sqrt({va} * {vb}), 6) END AS r\n"
+                f"FROM summ"
+            )
+    return f"""
+WITH summ AS (
+  SELECT COUNT(*) AS n, {', '.join(sums)}
+  FROM lineitem WHERE l_orderkey < 4000)
+{' UNION ALL '.join(pair_rows)}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -13344,6 +13426,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18cc additions: range typing, daily ACF.
     "kg_range_types": q_kg_range_types,
     "events_acf": q_events_acf,
+    # round-4 session-18dd additions: lexical diversity, correlation
+    # matrix.
+    "text_diversity": q_text_diversity,
+    "orders_corr": q_orders_corr,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13721,6 +13807,8 @@ ORACLES: dict[str, str] = {
     "dedup_bow": ORACLE_DEDUP_BOW,
     "kg_range_types": ORACLE_KG_RANGE_TYPES,
     "events_acf": ORACLE_EVENTS_ACF,
+    "text_diversity": ORACLE_TEXT_DIVERSITY,
+    "orders_corr": _oracle_orders_corr(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

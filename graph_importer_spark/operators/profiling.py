@@ -728,3 +728,55 @@ def woe_iv(
         F.round(woe, decimals).alias("woe"),
         F.round((pg - pb) * woe, decimals).alias("iv_contrib"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    numeric_cols: list[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over declared numeric columns in
+    ONE pass: every pair's moment sums (9dp DECIMAL — order-exact)
+    ride a single wide aggregate, then the r algebra runs on the
+    1-row summary — the EDA correlation matrix without |cols| scans
+    or a VectorAssembler detour.
+
+    -> (col_a, col_b, n, r) for a < b lexicographically; NULL r when
+    either column is constant.
+    """
+    cols = sorted(numeric_cols)
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(d9(x)).alias(f"_s_{c}"))
+        aggs.append(F.sum(d9(x * x)).alias(f"_q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            xa = F.col(a).cast("double")
+            xb = F.col(b).cast("double")
+            aggs.append(F.sum(d9(xa * xb)).alias(f"_p_{a}_{b}"))
+    summ = df.agg(*aggs)
+    rows = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = F.col("_n")
+            sa = F.col(f"_s_{a}").cast("double")
+            sb = F.col(f"_s_{b}").cast("double")
+            qa = F.col(f"_q_{a}").cast("double")
+            qb = F.col(f"_q_{b}").cast("double")
+            pab = F.col(f"_p_{a}_{b}").cast("double")
+            va = qa - sa * sa / n
+            vb = qb - sb * sb / n
+            cov = pab - sa * sb / n
+            r = F.when(
+                (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+            )
+            row = summ.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                n.alias("n"),
+                F.round(r, decimals).alias("r"),
+            )
+            rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -1195,3 +1195,52 @@ def sentiment_score(
         .otherwise(F.lit("neu"))
         .alias("label"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio, hapax
+    fraction (types occurring once — the productive-vocabulary
+    signal), and Simpson diversity 1 - Σ n_i(n_i-1)/(N(N-1)) — the
+    repetitiveness triad next to text_repetition's gram signals
+    (template/boilerplate pages sit low on all three).
+
+    -> (id, n_tokens, n_types, ttr, hapax_frac, simpson); NULL
+    simpson for docs with < 2 tokens (undefined, not 0).
+
+    Scale shape: one explode collapsed by the (doc, token) partial
+    aggregate, then a doc-keyed rollup — all counts exact integers,
+    every ratio a deterministic division.
+    """
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    tt = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).groupBy("id", "tok").agg(F.count("*").alias("c"))
+    per = tt.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("_hapax"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("_pairs"),
+    )
+    n = F.col("n_tokens")
+    return per.select(
+        "id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / n, decimals).alias("ttr"),
+        F.round(F.col("_hapax") / F.col("n_types"), decimals).alias(
+            "hapax_frac"
+        ),
+        F.when(
+            n >= 2,
+            F.round(
+                F.lit(1.0) - F.col("_pairs") / (n * (n - 1)), decimals
+            ),
+        ).alias("simpson"),
+    )

@@ -1732,3 +1732,31 @@ def test_daily_acf_weekly_cycle(spark):
     # lag-7 autocorrelation dominates every shorter lag
     assert out[7] > 0.5
     assert all(out[7] > out[k] for k in range(1, 7))
+
+
+def test_lexical_diversity_known_values(spark):
+    from graph_importer_spark.operators.textstats import lexical_diversity
+
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in lexical_diversity(d, "doc_id", "text").collect()}
+    assert out[1].n_tokens == 4 and out[1].n_types == 2
+    assert out[1].ttr == 0.5 and out[1].hapax_frac == 0.5
+    # simpson: 1 - (3*2 + 0) / (4*3) = 0.5
+    assert out[1].simpson == 0.5
+    assert out[2].ttr == 1.0 and out[2].simpson == 1.0
+    assert out[3].simpson is None  # < 2 tokens: undefined
+
+
+def test_correlation_matrix_signs(spark):
+    from graph_importer_spark.operators.profiling import correlation_matrix
+
+    rows = [(float(i), float(2 * i + 1), float(-i), 7.0) for i in range(50)]
+    d = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    out = {(r.col_a, r.col_b): r for r in correlation_matrix(d, ["a", "b", "c", "k"]).collect()}
+    assert out[("a", "b")].r == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "c")].r == pytest.approx(-1.0, abs=1e-6)
+    assert out[("a", "k")].r is None  # constant column
+    assert len(out) == 6 and all(r.n == 50 for r in out.values())
