@@ -283,6 +283,8 @@ HEADLINE = [
     "events_acf",
     "text_diversity",
     "orders_corr",
+    "orders_gini",
+    "events_stationary",
 ]
 
 

@@ -13218,6 +13218,104 @@ WITH summ AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18ee: Gini coefficient, Markov stationary distribution
+# ---------------------------------------------------------------------------
+
+
+def q_orders_gini(spark, sf_dir):
+    """Exact Gini over customer revenue (profiling.gini_coefficient)
+    via the distinct-value tie-group walk; the oracle replays the
+    integer rank algebra."""
+    from graph_importer_spark.operators.profiling import gini_coefficient
+
+    o = T(spark, sf_dir, "orders")
+    return gini_coefficient(o, "o_custkey", "o_totalprice")
+
+
+ORACLE_ORDERS_GINI = r"""
+WITH per AS (
+  SELECT o_custkey AS k,
+         round(CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE), 2) AS v
+  FROM orders GROUP BY o_custkey),
+summ AS (SELECT v, COUNT(*) AS m FROM per GROUP BY v),
+walk AS (
+  SELECT v, m,
+         COALESCE(SUM(m) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+  FROM summ),
+tot AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(round(v, 9) AS DECIMAL(28,9))) AS t
+  FROM per),
+agg AS (
+  SELECT SUM(CAST(round(v * (m * (2 * r + m) - m * tot.n), 9)
+                  AS DECIMAL(38,9))) AS num,
+         MAX(tot.n) AS n_keys, MAX(tot.t) AS t
+  FROM walk, tot)
+SELECT n_keys, round(CAST(t AS DOUBLE), 2) AS total,
+       CASE WHEN CAST(t AS DOUBLE) > 0
+            THEN round(CAST(num AS DOUBLE)
+                       / (n_keys * CAST(t AS DOUBLE)), 6) END AS gini
+FROM agg
+"""
+
+
+def q_events_stationary(spark, sf_dir):
+    """Markov stationary distribution (timeseries.
+    stationary_distribution, 12 power-iteration steps with 9dp
+    renormalization); the oracle unrolls every step over the bounded
+    transition table."""
+    from graph_importer_spark.operators.timeseries import (
+        stationary_distribution,
+    )
+
+    return stationary_distribution(
+        T(spark, sf_dir, "events"), iterations=12
+    )
+
+
+def _oracle_events_stationary(iterations: int = 12) -> str:
+    parts = [
+        """
+WITH seq AS (
+  SELECT prev_type AS s, event_type AS t FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev_type
+    FROM events) WHERE prev_type IS NOT NULL),
+cnt AS MATERIALIZED (SELECT s, t, COUNT(*) AS n FROM seq GROUP BY s, t),
+tr AS MATERIALIZED (
+  SELECT cnt.s, cnt.t,
+         round(CAST(cnt.n AS DOUBLE) / tot.tn, 9) AS p
+  FROM cnt JOIN (SELECT s, SUM(n) AS tn FROM cnt GROUP BY s) tot
+    USING (s)),
+states AS MATERIALIZED (
+  SELECT s AS state FROM tr UNION SELECT t FROM tr),
+ns AS (SELECT COUNT(*) AS n FROM states),
+pi0 AS MATERIALIZED (
+  SELECT state, 1.0 / ns.n AS pi FROM states, ns)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+m{k} AS MATERIALIZED (
+  SELECT tr.t AS state, round(SUM(round(pi.pi * tr.p, 9)), 9) AS pi
+  FROM pi{k - 1} pi JOIN tr ON tr.s = pi.state
+  GROUP BY tr.t),
+t{k} AS MATERIALIZED (SELECT SUM(pi) AS tt FROM m{k}),
+pi{k} AS MATERIALIZED (
+  SELECT state, round(pi / t{k}.tt, 9) AS pi FROM m{k}, t{k})"""
+        )
+    parts.append(
+        f"""
+SELECT s.state, round(COALESCE(p.pi, 0.0), 6) AS pi
+FROM states s LEFT JOIN pi{iterations} p USING (state)"""
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -13430,6 +13528,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # matrix.
     "text_diversity": q_text_diversity,
     "orders_corr": q_orders_corr,
+    # round-4 session-18ee additions: Gini, stationary distribution.
+    "orders_gini": q_orders_gini,
+    "events_stationary": q_events_stationary,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13809,6 +13910,8 @@ ORACLES: dict[str, str] = {
     "events_acf": ORACLE_EVENTS_ACF,
     "text_diversity": ORACLE_TEXT_DIVERSITY,
     "orders_corr": _oracle_orders_corr(),
+    "orders_gini": ORACLE_ORDERS_GINI,
+    "events_stationary": _oracle_events_stationary(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -780,3 +780,73 @@ def correlation_matrix(
             )
             rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact Gini coefficient of per-key value totals (the inequality
+    number beside concentration_curve's quantile view): G =
+    Σ (2i - n - 1) x_(i) / (n Σx) over ascending-sorted per-key
+    totals — computed WITHOUT a per-key global sort by walking the
+    DISTINCT-value summary (value, count) ascending: a tie group of
+    m keys at value v occupying ranks r+1..r+m contributes
+    v · (m·(2r + m) - m·n ... expanded below) exactly.
+
+    -> one row (n_keys, total, gini).
+
+    Scale shape: one key-keyed DECIMAL aggregate -> |keys| rows ->
+    one (value) rollup; the ordered walk runs over DISTINCT values
+    only (the eval_auc bounded-summary argument).
+    """
+    amt = F.round(
+        F.sum(F.round(F.col(value_col), 9).cast("decimal(28,9)")).cast(
+            "double"
+        ),
+        2,
+    )
+    per = df.groupBy(F.col(key_col).alias("k")).agg(amt.alias("v"))
+    summ = per.groupBy("v").agg(F.count("*").alias("m"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    walk = summ.select(
+        "v",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).alias("_r"),
+    )
+    tot = per.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).alias("_t"),
+    )
+    j = walk.crossJoin(F.broadcast(tot))
+    # sum over the tie group of (2i - n - 1) for i = r+1..r+m:
+    #   m*(2r + m) - m*n  (integer arithmetic, exact)
+    group_term = F.round(
+        F.col("v")
+        * (
+            F.col("m") * (2 * F.col("_r") + F.col("m"))
+            - F.col("m") * F.col("_n")
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    agg = j.agg(
+        F.sum(group_term).alias("_num"),
+        F.max("_n").alias("n_keys"),
+        F.max("_t").alias("_t"),
+    )
+    return agg.select(
+        "n_keys",
+        F.round(F.col("_t").cast("double"), 2).alias("total"),
+        F.when(
+            F.col("_t").cast("double") > 0,
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("n_keys") * F.col("_t").cast("double")),
+                decimals,
+            ),
+        ).alias("gini"),
+    )

@@ -1330,3 +1330,67 @@ def daily_acf(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def stationary_distribution(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    iterations: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the long-run where-do-users-end-up readout over
+    transition_counts' matrix): power iteration from the uniform
+    vector, ``iterations`` steps, every step a bounded
+    |types|² matrix-vector product with 9dp rounding so the result
+    replays exactly.
+
+    -> (state, pi) — the probability mass after ``iterations`` steps
+    (converged for ergodic chains at this length; compare two
+    iteration counts to check).
+
+    Scale shape: the corpus pays transition_counts' one lag window +
+    count agg; the power iteration runs entirely on the bounded
+    transition table (a driver loop of |types|²-row jobs).
+    """
+    tc = transition_counts(events, key_col, ts_col, id_col, type_col, 9)
+    trans = tc.select(
+        F.col("prev_type").alias("s"), F.col("next_type").alias("t"), "p"
+    ).localCheckpoint(eager=True)
+    states = (
+        trans.select(F.col("s").alias("state"))
+        .unionByName(trans.select(F.col("t").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_states = states.count()
+    pi = states.select(
+        "state", (F.lit(1.0) / F.lit(float(n_states))).alias("pi")
+    )
+    for _ in range(iterations):
+        pi = (
+            pi.join(trans, pi["state"] == trans["s"])
+            .groupBy(F.col("t").alias("state"))
+            .agg(
+                F.round(F.sum(F.round(F.col("pi") * F.col("p"), 9)), 9).alias(
+                    "pi"
+                )
+            )
+        )
+        # states with no inbound mass drop out; renormalize drift from
+        # the rounding so masses stay a distribution
+        tot = pi.agg(F.sum("pi").alias("_t"))
+        pi = (
+            pi.crossJoin(F.broadcast(tot))
+            .select(
+                "state", F.round(F.col("pi") / F.col("_t"), 9).alias("pi")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return states.join(pi, "state", "left").select(
+        "state",
+        F.round(F.coalesce("pi", F.lit(0.0)), decimals).alias("pi"),
+    )

@@ -1760,3 +1760,42 @@ def test_correlation_matrix_signs(spark):
     assert out[("a", "c")].r == pytest.approx(-1.0, abs=1e-6)
     assert out[("a", "k")].r is None  # constant column
     assert len(out) == 6 and all(r.n == 50 for r in out.values())
+
+
+def test_gini_known_distributions(spark):
+    from graph_importer_spark.operators.profiling import gini_coefficient
+
+    equal = spark.createDataFrame(
+        [(i, 10.0) for i in range(10)], "k long, v double"
+    )
+    r = gini_coefficient(equal, "k", "v").collect()[0]
+    assert r.gini == pytest.approx(0.0, abs=1e-9)
+    # one key holds everything: G -> (n-1)/n
+    whale = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 10)], "k long, v double"
+    )
+    r2 = gini_coefficient(whale, "k", "v").collect()[0]
+    assert r2.gini == pytest.approx(0.9, abs=1e-6)
+    assert r2.n_keys == 10 and r2.total == 100.0
+
+
+def test_stationary_two_state_chain(spark):
+    from graph_importer_spark.operators.timeseries import (
+        stationary_distribution,
+    )
+
+    # chain: from A go to B w.p. 1; from B: half A, half B
+    # stationary: pi(A) = 1/3, pi(B) = 2/3
+    rows = []
+    i = 0
+    seq = ("A B B A B B A B A B B " * 30).split()
+    base = dt.datetime(2024, 1, 1)
+    for j, s in enumerate(seq):
+        rows.append((1, base + dt.timedelta(minutes=j), j, s))
+    e = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.state: r.pi for r in stationary_distribution(e, iterations=15).collect()}
+    assert abs(out["A"] + out["B"] - 1.0) < 1e-6
+    # empirical chain close to the 1/3-2/3 design
+    assert 0.25 < out["A"] < 0.45 and 0.55 < out["B"] < 0.75
