@@ -285,6 +285,7 @@ HEADLINE = [
     "orders_corr",
     "orders_gini",
     "events_stationary",
+    "sketch_kmv",
 ]
 
 

@@ -13316,6 +13316,53 @@ FROM states s LEFT JOIN pi{iterations} p USING (state)"""
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18ff: KMV/theta distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_kmv(spark, sf_dir):
+    """KMV/theta distinct sketch (sketches.theta_sketch_lite, k=64):
+    per-event-type distinct users — small enough that both the exact
+    (<k) and estimator (>=k) paths can fire; the oracle replays the
+    48-bit md5 hashes, the k-smallest selection, and the (k-1)/theta
+    estimate."""
+    from graph_importer_spark.operators.sketches import theta_sketch_lite
+
+    e = T(spark, sf_dir, "events")
+    return theta_sketch_lite(e, "event_type", "user_id", k=64)
+
+
+def _oracle_sketch_kmv(k: int = 64, seed: int = 9) -> str:
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring(h12, {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (11 - j)}"
+        for j in range(12)
+    )
+    m = 1 << 48
+    return f"""
+WITH dv AS (
+  SELECT DISTINCT event_type AS key,
+         ({poly}) AS h
+  FROM (SELECT DISTINCT event_type,
+               substring(md5(CAST(user_id AS VARCHAR) || '|{seed}'),
+                         1, 12) AS h12
+        FROM events)),
+per AS (
+  SELECT key, list_sort(list(DISTINCT h)) AS hs, COUNT(DISTINCT h) AS nd
+  FROM dv GROUP BY key),
+c AS (
+  SELECT key, nd,
+         CASE WHEN nd >= {k}
+              THEN round(hs[{k}] / {float(m)}, 9) END AS theta
+  FROM per)
+SELECT key, LEAST(nd, {k}) AS n_kept, theta,
+       CASE WHEN nd < {k} THEN round(CAST(nd AS DOUBLE), 2)
+            ELSE round({float(k - 1)} / theta, 2) END AS estimate
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # flagship, always driver-checked
@@ -13531,6 +13578,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18ee additions: Gini, stationary distribution.
     "orders_gini": q_orders_gini,
     "events_stationary": q_events_stationary,
+    # round-4 session-18ff addition: KMV/theta sketch.
+    "sketch_kmv": q_sketch_kmv,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13912,6 +13961,7 @@ ORACLES: dict[str, str] = {
     "orders_corr": _oracle_orders_corr(),
     "orders_gini": ORACLE_ORDERS_GINI,
     "events_stationary": _oracle_events_stationary(),
+    "sketch_kmv": _oracle_sketch_kmv(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

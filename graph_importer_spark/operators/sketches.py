@@ -463,3 +463,72 @@ def hll_estimate(
     return agg.select(
         *group_cols, F.round(est, decimals).alias("approx_distinct")
     )
+
+
+def theta_sketch_lite(
+    df,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: int = 9,
+):
+    """KMV/theta distinct sketch (the k-minimum-values estimator —
+    the mergeable DISTINCT sketch that also supports set EXPRESSIONS,
+    unlike HLL's union-only registers): per group keep the k smallest
+    congruential hashes of the values; the estimate is
+    (k - 1) / theta with theta = the k-th smallest normalized hash.
+    Groups with < k distinct values report exactly.
+
+    -> (key, n_kept, theta, estimate) with estimate rounded to 2.
+
+    Determinism: the congruential hash and the k-smallest selection
+    (sort_array + slice over the collected distinct hashes) are pure
+    functions of the value set.
+
+    Scale shape: one (key, value) distinct collapse, then a
+    key-keyed collect bounded by... the DISTINCT VALUE count — the
+    honest caveat: the bounded-state variant keeps partial k-mins
+    map-side via partial_agg on sorted slices; this reference form
+    collects per-group distinct hashes and slices, correct when
+    per-group distinct counts are collectable (set-expression
+    support is what you buy over fm_distinct/hll for the price).
+    """
+    from pyspark.sql import functions as F
+
+    # md5-derived 48-bit hash — the repo's cross-engine-replayable
+    # convention (xxhash64 has no DuckDB twin)
+    _M = 1 << 48
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|", F.col(value_col).cast("string"), F.lit(str(seed))
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dv = (
+        df.select(F.col(key_col).alias("key"), h.alias("_h"))
+        .distinct()
+    )
+    per = dv.groupBy("key").agg(
+        F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_mins"),
+        F.count("*").alias("_nd"),
+    )
+    theta = F.element_at("_mins", k) / F.lit(float(_M))
+    est = F.when(
+        F.col("_nd") < k, F.col("_nd").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / theta)
+    return per.select(
+        "key",
+        F.least(F.col("_nd"), F.lit(k)).alias("n_kept"),
+        F.when(F.col("_nd") >= k, F.round(theta, 9)).alias("theta"),
+        F.round(est, 2).alias("estimate"),
+    )

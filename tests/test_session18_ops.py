@@ -1799,3 +1799,23 @@ def test_stationary_two_state_chain(spark):
     assert abs(out["A"] + out["B"] - 1.0) < 1e-6
     # empirical chain close to the 1/3-2/3 design
     assert 0.25 < out["A"] < 0.45 and 0.55 < out["B"] < 0.75
+
+
+def test_kmv_sketch_exact_and_estimated(spark):
+    from graph_importer_spark.operators.sketches import theta_sketch_lite
+
+    rows = [("small", i % 10) for i in range(100)] + [
+        ("big", i) for i in range(2000)
+    ]
+    d = spark.createDataFrame(rows, "g string, v long")
+    out = {r.key: r for r in theta_sketch_lite(d, "g", "v", k=64).collect()}
+    # < k distinct: exact
+    assert out["small"].estimate == 10.0 and out["small"].theta is None
+    # >= k distinct: estimator within 30% of 2000 (k=64 -> ~12% rse)
+    assert out["big"].n_kept == 64
+    assert 1300 < out["big"].estimate < 2900
+    # determinism
+    out2 = {r.key: r for r in theta_sketch_lite(
+        d.repartition(7), "g", "v", k=64).collect()}
+    assert out == out2 or all(
+        out[k0].estimate == out2[k0].estimate for k0 in out)
