@@ -13365,6 +13365,14 @@ FROM c
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
+    # End-of-round composition: the flagship + the round-4 sessions
+    # 10-17 additions (never driver-checked — round 4 has ONE driver
+    # pass, at round end) + the first 14 session-18 rows through
+    # graph_mis.  The remaining ~232 registered rows are out of
+    # window by arithmetic necessity (50-row cap); every one is
+    # locally verified by the full scripts/check_contract.py sweep
+    # (all green as of the closing sweep), which is the same
+    # row-count + schema + value-hash comparison the driver runs.
     # flagship, always driver-checked
     "kg_flagship": q_kg_flagship,
     # round-4 session-10 additions (window rule (a): new entries take
