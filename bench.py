@@ -286,6 +286,9 @@ HEADLINE = [
     "orders_gini",
     "events_stationary",
     "sketch_kmv",
+    "graph_conductance",
+    "text_kwic",
+    "events_alerts",
 ]
 
 

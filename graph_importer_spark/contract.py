@@ -13363,6 +13363,119 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18gg: conductance, KWIC, alert suppression
+# ---------------------------------------------------------------------------
+
+
+def q_graph_conductance(spark, sf_dir):
+    """Per-community conductance (analytics.community_conductance)
+    under the deterministic 8-community assignment on the co-purchase
+    graph; the oracle replays degrees, volumes, and the cut counts."""
+    from graph_importer_spark.operators.analytics import (
+        community_conductance,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    assign = verts.select("id", (F.col("id") % 8).alias("community"))
+    return community_conductance(e, assign, "id", "community")
+
+
+ORACLE_GRAPH_CONDUCTANCE = f"""
+WITH {_COPURCHASE_SQL},
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+vol AS (
+  SELECT v % 8 AS c, SUM(deg) AS volume, COUNT(*) AS n_nodes
+  FROM deg GROUP BY v % 8),
+cuts AS (
+  SELECT c, COUNT(*) AS cut FROM (
+    SELECT a % 8 AS c FROM e WHERE a % 8 <> b % 8
+    UNION ALL
+    SELECT b % 8 FROM e WHERE a % 8 <> b % 8) GROUP BY c),
+tot AS (SELECT SUM(volume) AS tv FROM vol)
+SELECT vol.c AS community, n_nodes, volume,
+       COALESCE(cut, 0) AS cut,
+       CASE WHEN LEAST(volume, tot.tv - volume) > 0
+            THEN round(CAST(COALESCE(cut, 0) AS DOUBLE)
+                       / LEAST(volume, tot.tv - volume), 6) END
+         AS conductance
+FROM vol LEFT JOIN cuts ON cuts.c = vol.c, tot
+"""
+
+
+def q_text_kwic(spark, sf_dir):
+    """Keyword-in-context concordance (retrieval.kwic_concordance)
+    for 'spark', ±3 tokens, 5 hits/doc; the oracle replays the
+    position scan and both context slices."""
+    from graph_importer_spark.operators.retrieval import kwic_concordance
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return kwic_concordance(d, "doc_id", "text", "spark", window=3)
+
+
+ORACLE_TEXT_KWIC = rf"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split({_NF_SQL}, ' '), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 200),
+pos AS (
+  SELECT id, t, u.i AS p,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY u.i) AS hn
+  FROM d, UNNEST(generate_series(1, len(t))) u(i)
+  WHERE t[u.i] = 'spark'),
+hits AS (SELECT * FROM pos WHERE hn <= 5)
+SELECT id, CAST(hn - 1 AS INT) AS hit_idx, CAST(p AS INT) AS position,
+       COALESCE(array_to_string(
+         list_slice(t, GREATEST(p - 3, 1), p - 1), ' '), '') AS left_ctx,
+       COALESCE(array_to_string(
+         list_slice(t, p + 1, LEAST(p + 3, len(t))), ' '), '') AS right_ctx
+FROM hits
+"""
+
+
+def q_events_alerts(spark, sf_dir):
+    """Alert-suppression audit (timeseries.alert_suppression, 4 h
+    windows) over per-user event streams; the oracle replays the
+    sequential keep-scan as a recursive kept-chain plus the
+    rn-ordered storm attribution."""
+    from graph_importer_spark.operators.timeseries import alert_suppression
+
+    return alert_suppression(
+        T(spark, sf_dir, "events"), suppress_seconds=4 * 3600
+    )
+
+
+ORACLE_EVENTS_ALERTS = r"""
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id AS key, event_id AS i,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY floor(epoch(ts)), event_id) AS rn
+  FROM events),
+wk(key, rn, t, storm) AS (
+  SELECT key, rn, t, 0 FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT wk.key, e.rn, e.t, wk.storm + 1
+  FROM wk JOIN ev e ON e.key = wk.key
+   AND e.rn = (SELECT MIN(e2.rn) FROM ev e2
+               WHERE e2.key = wk.key AND e2.t >= wk.t + 14400)),
+kept AS MATERIALIZED (SELECT * FROM wk)
+SELECT ev.key, ev.i AS id, ev.t AS ts_s,
+       EXISTS (SELECT 1 FROM kept k
+               WHERE k.key = ev.key AND k.rn = ev.rn) AS kept,
+       (SELECT MAX(k.storm) FROM kept k
+        WHERE k.key = ev.key AND k.rn <= ev.rn) AS storm_idx
+FROM ev
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # End-of-round composition: the flagship + the round-4 sessions
@@ -13588,6 +13701,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stationary": q_events_stationary,
     # round-4 session-18ff addition: KMV/theta sketch.
     "sketch_kmv": q_sketch_kmv,
+    # round-4 session-18gg additions: conductance, KWIC, alert
+    # suppression.
+    "graph_conductance": q_graph_conductance,
+    "text_kwic": q_text_kwic,
+    "events_alerts": q_events_alerts,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -13970,6 +14088,9 @@ ORACLES: dict[str, str] = {
     "orders_gini": ORACLE_ORDERS_GINI,
     "events_stationary": _oracle_events_stationary(),
     "sketch_kmv": _oracle_sketch_kmv(),
+    "graph_conductance": ORACLE_GRAPH_CONDUCTANCE,
+    "text_kwic": ORACLE_TEXT_KWIC,
+    "events_alerts": ORACLE_EVENTS_ALERTS,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

@@ -2755,3 +2755,77 @@ def katz_centrality(
             F.coalesce(F.col("_k").cast("double"), F.lit(0.0)), decimals
         ).alias("katz"),
     )
+
+
+def community_conductance(
+    edges: DataFrame,
+    assign: DataFrame,
+    id_col: str = "id",
+    comm_col: str = "community",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-community conductance φ(S) = cut(S) / min(vol(S),
+    vol(V∖S)) — the community-quality number that penalizes leaky
+    boundaries where modularity rewards density; the standard accept/
+    reject gate on lpa/slpa/cc output before canonicalization trusts
+    a cluster.
+
+    -> (community, n_nodes, volume, cut, conductance); NULL
+    conductance for a community with zero volume.
+
+    Scale shape: one degree aggregate + two assignment joins map
+    each edge to (ca, cb); cut and volume are partial-agg sums over
+    the bounded community key; total volume is a 1-row broadcast.
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    asg = assign.select(
+        F.col(id_col).alias("v"), F.col(comm_col).alias("c")
+    )
+    vol = (
+        deg.join(asg, "v")
+        .groupBy("c")
+        .agg(F.sum("deg").alias("volume"), F.count("*").alias("n_nodes"))
+    )
+    ea = und.join(
+        asg.select(F.col("v").alias("a"), F.col("c").alias("_ca")), "a"
+    ).join(asg.select(F.col("v").alias("b"), F.col("c").alias("_cb")), "b")
+    cut_a = ea.filter(F.col("_ca") != F.col("_cb")).select(
+        F.col("_ca").alias("c")
+    )
+    cut_b = ea.filter(F.col("_ca") != F.col("_cb")).select(
+        F.col("_cb").alias("c")
+    )
+    cuts = cut_a.unionByName(cut_b).groupBy("c").agg(
+        F.count("*").alias("cut")
+    )
+    tot = vol.agg(F.sum("volume").alias("_tv"))
+    j = (
+        vol.join(cuts, "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes",
+            "volume",
+            F.coalesce("cut", F.lit(0)).alias("cut"),
+            F.when(
+                F.least(
+                    F.col("volume"), F.col("_tv") - F.col("volume")
+                )
+                > 0,
+                F.round(
+                    F.coalesce("cut", F.lit(0))
+                    / F.least(
+                        F.col("volume"), F.col("_tv") - F.col("volume")
+                    ),
+                    decimals,
+                ),
+            ).alias("conductance"),
+        )
+    )
+    return j

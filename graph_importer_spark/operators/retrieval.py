@@ -627,3 +627,69 @@ def qlm_topk(
         F.round(score, 4).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def kwic_concordance(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    term: str,
+    window: int = 3,
+    max_hits_per_doc: int = 5,
+) -> DataFrame:
+    """Keyword-in-context concordance (the corpus linguist's / data
+    auditor's grep-with-context): every occurrence of ``term`` (token
+    -exact over the dedup normal form) with ``window`` tokens of left
+    and right context — the eyeballing surface behind lexicon
+    tuning, PII rule review, and decontamination spot checks.
+
+    -> (id, hit_idx, position, left_ctx, right_ctx),
+    ``max_hits_per_doc`` bounds the per-document fan-out (stated).
+
+    Scale shape: position finding and both context slices are
+    zero-shuffle per-row array expressions; only the final hit rows
+    explode.
+    """
+    t = term.lower()
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    pos = F.slice(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_t"), F.lit(1))),
+                lambda i: F.when(
+                    F.element_at(F.col("_t"), i) == t, i
+                ),
+            ),
+            lambda p: p.isNotNull(),
+        ),
+        1,
+        max_hits_per_doc,
+    )
+    hits = d.filter(F.size("_t") > 0).select(
+        "id", "_t", F.posexplode(pos).alias("hit_idx", "p")
+    )
+    left = F.array_join(
+        F.slice(
+            F.col("_t"),
+            F.greatest(F.col("p") - window, F.lit(1)),
+            F.least(F.lit(window), F.col("p") - 1),
+        ),
+        " ",
+    )
+    right = F.array_join(
+        F.when(
+            F.col("p") < F.size("_t"),
+            F.slice(F.col("_t"), F.col("p") + 1, window),
+        ).otherwise(F.array().cast("array<string>")),
+        " ",
+    )
+    return hits.select(
+        "id",
+        F.col("hit_idx").cast("int").alias("hit_idx"),
+        F.col("p").cast("int").alias("position"),
+        left.alias("left_ctx"),
+        right.alias("right_ctx"),
+    )

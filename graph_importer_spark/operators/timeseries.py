@@ -1394,3 +1394,63 @@ def stationary_distribution(
         "state",
         F.round(F.coalesce("pi", F.lit(0.0)), decimals).alias("pi"),
     )
+
+
+def alert_suppression(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    suppress_seconds: int = 600,
+) -> DataFrame:
+    """Alert-fatigue suppression audit: within each key's event
+    stream, an event is SUPPRESSED when it falls within
+    ``suppress_seconds`` of the previous KEPT event — the classic
+    paging-dedup rule (first alert fires, the storm behind it is
+    folded), whose kept set is the fixpoint of a sequential scan,
+    NOT a simple lag filter (a long storm re-fires every window
+    width, by design).
+
+    -> (key, id, ts_s, kept, storm_idx): storm_idx numbers each
+    key's kept alerts 0.. and ties every suppressed event to the
+    kept alert that muted it.
+
+    Scale shape: one key shuffle; the sequential keep-scan runs as a
+    per-key sorted-array fold (collect bounded by the key's event
+    count — alert streams are key-bounded by construction; cap
+    upstream if a key can page unboundedly).
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    per = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    t.alias("t"), F.col(id_col).cast("long").alias("i")
+                )
+            )
+        ).alias("_ev")
+    )
+    # sequential fold: carry (last_kept_t, storm_idx); emit per event
+    fold = (
+        "aggregate(_ev, "
+        " named_struct('last', CAST(-1000000000000 AS BIGINT),"
+        "              'storm', CAST(-1 AS INT),"
+        "              'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT,"
+        "                    t: BIGINT, kept: BOOLEAN, storm: INT>>)),"
+        " (acc, e) -> IF(e.t - acc.last >= {S},"
+        "   named_struct('last', e.t, 'storm', acc.storm + 1,"
+        "     'out', array_append(acc.out, named_struct('i', e.i,"
+        "       't', e.t, 'kept', true, 'storm', acc.storm + 1))),"
+        "   named_struct('last', acc.last, 'storm', acc.storm,"
+        "     'out', array_append(acc.out, named_struct('i', e.i,"
+        "       't', e.t, 'kept', false, 'storm', acc.storm)))),"
+        " acc -> acc.out)"
+    ).format(S=int(suppress_seconds))
+    out = per.select("key", F.explode(F.expr(fold)).alias("_o"))
+    return out.select(
+        "key",
+        F.col("_o.i").alias("id"),
+        F.col("_o.t").alias("ts_s"),
+        F.col("_o.kept").alias("kept"),
+        F.col("_o.storm").alias("storm_idx"),
+    )

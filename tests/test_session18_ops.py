@@ -1819,3 +1819,51 @@ def test_kmv_sketch_exact_and_estimated(spark):
         d.repartition(7), "g", "v", k=64).collect()}
     assert out == out2 or all(
         out[k0].estimate == out2[k0].estimate for k0 in out)
+
+
+def test_community_conductance_dense_vs_leaky(spark):
+    from graph_importer_spark.operators.analytics import community_conductance
+
+    # community 1 = triangle {1,2,3} with one external edge; community
+    # 2 = pair {4,5} tied to the triangle
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)], "id long, community long"
+    )
+    out = {r.community: r for r in community_conductance(e, assign).collect()}
+    # vol(10) = 2+2+3 = 7, cut = 1 -> 1/min(7, 3)
+    assert out[10].volume == 7 and out[10].cut == 1
+    assert out[10].conductance == pytest.approx(1 / 3, abs=1e-6)
+    assert out[20].volume == 3 and out[20].cut == 1
+    assert out[20].conductance == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_kwic_contexts(spark):
+    from graph_importer_spark.operators.retrieval import kwic_concordance
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta TARGET gamma delta epsilon TARGET")],
+        "doc_id long, text string",
+    )
+    out = kwic_concordance(d, "doc_id", "text", "target", window=2).collect()
+    assert len(out) == 2
+    first, second = sorted(out, key=lambda r: r.position)
+    assert first.left_ctx == "alpha beta" and first.right_ctx == "gamma delta"
+    assert second.left_ctx == "delta epsilon" and second.right_ctx == ""
+
+
+def test_alert_suppression_storms(spark):
+    from graph_importer_spark.operators.timeseries import alert_suppression
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=s), i)
+            for i, s in enumerate([0, 100, 599, 600, 1300])]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r.id: r for r in alert_suppression(e, suppress_seconds=600).collect()}
+    # kept: 0 (t=0), 3 (t=600, first >= 600), 4? t=1300 >= 600+600 -> kept
+    assert out[0].kept and out[3].kept and out[4].kept
+    assert not out[1].kept and not out[2].kept
+    assert out[1].storm_idx == 0 and out[3].storm_idx == 1
+    assert out[4].storm_idx == 2
