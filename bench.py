@@ -289,6 +289,8 @@ HEADLINE = [
     "graph_conductance",
     "text_kwic",
     "events_alerts",
+    "emb_drift",
+    "eval_ips",
 ]
 
 

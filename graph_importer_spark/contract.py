@@ -13476,6 +13476,166 @@ FROM ev
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18hh: centroid drift, IPS off-policy evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_emb_drift(spark, sf_dir):
+    """Per-label centroid drift (quantize.centroid_drift): even-id
+    vectors as snapshot A, odd-id as B; the oracle replays both
+    dim-wise 6dp means and the cosine/L2 comparison."""
+    from graph_importer_spark.operators.quantize import centroid_drift
+
+    emb = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"), "label")
+    a = base.filter(F.col("vec_id") % 2 == 0)
+    b = base.filter(F.col("vec_id") % 2 == 1)
+    return centroid_drift(a, b)
+
+
+ORACLE_EMB_DRIFT = r"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT vec_id % 2 AS side, label, u.i AS d, v[u.i] AS x
+  FROM e, UNNEST(generate_series(1, len(v))) u(i)),
+mu AS (
+  SELECT side, label, d, round(AVG(x), 6) AS m, COUNT(*) AS c
+  FROM dims GROUP BY side, label, d),
+vecs AS (
+  SELECT side, label, list(m ORDER BY d) AS mv, MAX(c) AS n
+  FROM mu GROUP BY side, label),
+a AS (SELECT label, mv AS va, n AS n_a FROM vecs WHERE side = 0),
+b AS (SELECT label, mv AS vb, n AS n_b FROM vecs WHERE side = 1),
+j AS (
+  SELECT COALESCE(a.label, b.label) AS label,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, va, vb
+  FROM a FULL JOIN b USING (label)),
+m AS (
+  SELECT label, n_a, n_b,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(va)),
+                          i -> va[i] * vb[i])), (x, y) -> x + y) AS dot,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(va, x -> x * x)), (x, y) -> x + y)) AS na,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(vb, x -> x * x)), (x, y) -> x + y)) AS nb,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(va)),
+                          i -> (va[i] - vb[i]) * (va[i] - vb[i]))),
+           (x, y) -> x + y)) AS l2,
+         va IS NOT NULL AND vb IS NOT NULL AS ok
+  FROM j)
+SELECT label, n_a, n_b,
+       CASE WHEN ok AND na > 0 AND nb > 0
+            THEN round(dot / (na * nb), 6) END AS cosine,
+       CASE WHEN ok THEN round(l2, 6) END AS l2
+FROM m
+"""
+
+
+_IPS_PROBS = {0: 0.5, 1: 0.3, 2: 0.2}
+
+
+def q_eval_ips(spark, sf_dir):
+    """Off-policy IPS/SNIPS evaluation (evalmetrics.ips_policy_value):
+    md5-logged arms under known propensities, md5 rewards biased
+    toward arm 1, target policy = always arm 1; the oracle replays
+    the clipped weights and the 9dp DECIMAL sums."""
+    from graph_importer_spark.operators.evalmetrics import ips_policy_value
+
+    o = T(spark, sf_dir, "orders")
+
+    def u32(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(prefix), F.col("o_orderkey").cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    u = u32("arm") % 10
+    arm = (
+        F.when(u < 5, F.lit(0)).when(u < 8, F.lit(1)).otherwise(F.lit(2))
+    )
+    prob = (
+        F.when(arm == 0, F.lit(0.5))
+        .when(arm == 1, F.lit(0.3))
+        .otherwise(F.lit(0.2))
+    )
+    # reward Bernoulli, higher for arm 1 (the policy being evaluated)
+    r_coin = u32("rew") % 100
+    reward = F.when(
+        (arm == 1) & (r_coin < 60), F.lit(1.0)
+    ).when((arm != 1) & (r_coin < 30), F.lit(1.0)).otherwise(F.lit(0.0))
+    logs = o.select(
+        arm.alias("arm"),
+        prob.alias("prob"),
+        reward.alias("reward"),
+        F.lit(1).alias("target_arm"),
+    )
+    return ips_policy_value(logs, "arm", "reward", "prob", "target_arm")
+
+
+def _oracle_eval_ips(clip: float = 10.0) -> str:
+    def poly(var):
+        return " + ".join(
+            f"CAST(strpos('0123456789abcdef', substring({var}, {j + 1}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    return f"""
+WITH h AS (
+  SELECT substring(md5('arm' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS ha,
+         substring(md5('rew' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hr
+  FROM orders),
+l AS (
+  SELECT ({poly('ha')}) % 10 AS u, ({poly('hr')}) % 100 AS rc FROM h),
+p AS (
+  SELECT CASE WHEN u < 5 THEN 0 WHEN u < 8 THEN 1 ELSE 2 END AS arm,
+         rc
+  FROM l),
+q AS (
+  SELECT arm,
+         CASE arm WHEN 0 THEN 0.5 WHEN 1 THEN 0.3 ELSE 0.2 END AS prob,
+         CASE WHEN arm = 1 AND rc < 60 THEN 1.0
+              WHEN arm <> 1 AND rc < 30 THEN 1.0 ELSE 0.0 END AS reward
+  FROM p),
+w AS (
+  SELECT *,
+         LEAST(CASE WHEN arm = 1 THEN 1.0 / prob ELSE 0.0 END, {clip})
+           AS wt
+  FROM q),
+a AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_matched,
+         SUM(CAST(round(wt * reward, 9) AS DECIMAL(38,9))) AS swr,
+         SUM(CAST(round(wt, 9) AS DECIMAL(38,9))) AS sw,
+         SUM(CAST(round(reward, 9) AS DECIMAL(38,9))) AS sr
+  FROM w)
+SELECT n, n_matched,
+       round(CAST(swr AS DOUBLE) / n, 6) AS ips,
+       CASE WHEN CAST(sw AS DOUBLE) > 0
+            THEN round(CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE), 6) END
+         AS snips,
+       round(CAST(sr AS DOUBLE) / n, 6) AS avg_logged_reward
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # End-of-round composition: the flagship + the round-4 sessions
@@ -13706,6 +13866,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_conductance": q_graph_conductance,
     "text_kwic": q_text_kwic,
     "events_alerts": q_events_alerts,
+    # round-4 session-18hh additions: centroid drift, IPS eval.
+    "emb_drift": q_emb_drift,
+    "eval_ips": q_eval_ips,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -14091,6 +14254,8 @@ ORACLES: dict[str, str] = {
     "graph_conductance": ORACLE_GRAPH_CONDUCTANCE,
     "text_kwic": ORACLE_TEXT_KWIC,
     "events_alerts": ORACLE_EVENTS_ALERTS,
+    "emb_drift": ORACLE_EMB_DRIFT,
+    "eval_ips": _oracle_eval_ips(),
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

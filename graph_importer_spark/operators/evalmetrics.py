@@ -696,3 +696,63 @@ def fairness_metrics(
         ).alias("di_ratio"),
         F.round(F.col("_tpr") - F.col("_rtpr"), decimals).alias("eo_gap"),
     )
+
+
+def ips_policy_value(
+    logs: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    prob_col: str,
+    target_arm_col: str,
+    clip: float | None = 10.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity scoring (the
+    logged-bandit replay estimator): V(π) ≈ mean over logged rounds
+    of reward · 1[π(x) = a] / p(a|x), optionally CLIPPED at ``clip``
+    (the standard variance/bias trade, stated), plus the
+    self-normalized (SNIPS) variant — the pre-deploy check for any
+    ranking/recommendation policy change.
+
+    -> one row (n, n_matched, ips, snips, avg_logged_reward).
+
+    Determinism: weights and weighted rewards round to 9dp DECIMAL
+    before summing.
+
+    Scale shape: ONE scalar aggregate over the log.
+    """
+    w_raw = (
+        F.when(
+            F.col(target_arm_col) == F.col(arm_col),
+            F.lit(1.0) / F.col(prob_col).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+    w = F.least(w_raw, F.lit(float(clip))) if clip is not None else w_raw
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    r = F.col(reward_col).cast("double")
+    agg = logs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col(target_arm_col) == F.col(arm_col)).cast("bigint")).alias(
+            "n_matched"
+        ),
+        F.sum(d9(w * r)).alias("_swr"),
+        F.sum(d9(w)).alias("_sw"),
+        F.sum(d9(r)).alias("_sr"),
+    )
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(F.col("_swr").cast("double") / F.col("n"), decimals).alias(
+            "ips"
+        ),
+        F.when(
+            F.col("_sw").cast("double") > 0,
+            F.round(
+                F.col("_swr").cast("double") / F.col("_sw").cast("double"),
+                decimals,
+            ),
+        ).alias("snips"),
+        F.round(F.col("_sr").cast("double") / F.col("n"), decimals).alias(
+            "avg_logged_reward"
+        ),
+    )

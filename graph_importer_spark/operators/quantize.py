@@ -257,3 +257,76 @@ def whiten(
         F.round(nb, decimals).alias("norm_before"),
         F.round(na, decimals).alias("norm_after"),
     )
+
+
+def centroid_drift(
+    a: DataFrame,
+    b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots (the
+    model-refresh gate: re-embedding a corpus with a new encoder
+    shifts class centroids; large drift says re-tune the ANN index
+    and thresholds before serving): per label present in either
+    snapshot, the cosine between the two 6dp-rounded mean vectors
+    and the L2 distance.
+
+    -> (label, n_a, n_b, cosine, l2); NULL metrics when a side is
+    missing the label or has a zero mean vector.
+
+    Scale shape: each side pays one (label, dim) partial aggregate
+    (dim-bounded state) rolled to one mean vector per label; the
+    comparison is a bounded-table join with array codegen.
+    """
+
+    def means(df, n_name, v_name):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dims = df.select(
+            F.col(label_col).alias("label"), F.posexplode(v).alias("_d", "_x")
+        )
+        return (
+            dims.groupBy("label", "_d")
+            .agg(F.round(F.avg("_x"), 6).alias("_mu"), F.count("*").alias("_c"))
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_d", "_mu"))),
+                    lambda s: s.getField("_mu"),
+                ).alias(v_name),
+                F.max("_c").alias(n_name),
+            )
+        )
+
+    ma = means(a, "n_a", "va")
+    mb = means(b, "n_b", "vb")
+    j = ma.join(mb, "label", "full")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    na, nb = nrm(F.col("va")), nrm(F.col("vb"))
+    ok = F.col("va").isNotNull() & F.col("vb").isNotNull()
+    return j.select(
+        "label",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.when(ok & (na > 0) & (nb > 0), F.round(dot / (na * nb), decimals)).alias(
+            "cosine"
+        ),
+        F.when(ok, F.round(l2, decimals)).alias("l2"),
+    )

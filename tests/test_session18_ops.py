@@ -1867,3 +1867,43 @@ def test_alert_suppression_storms(spark):
     assert not out[1].kept and not out[2].kept
     assert out[1].storm_idx == 0 and out[3].storm_idx == 1
     assert out[4].storm_idx == 2
+
+
+def test_centroid_drift_identical_and_shifted(spark):
+    from graph_importer_spark.operators.quantize import centroid_drift
+
+    a = spark.createDataFrame(
+        [(i, [1.0, 0.0], "x") for i in range(10)]
+        + [(100 + i, [0.0, 2.0], "y") for i in range(10)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    b = spark.createDataFrame(
+        [(i, [1.0, 0.0], "x") for i in range(5)]        # unchanged
+        + [(100 + i, [2.0, 0.0], "y") for i in range(5)]  # rotated 90°
+        + [(200, [1.0, 1.0], "z")],                       # B-only label
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = {r.label: r for r in centroid_drift(a, b).collect()}
+    assert out["x"].cosine == pytest.approx(1.0) and out["x"].l2 == 0.0
+    assert out["y"].cosine == pytest.approx(0.0, abs=1e-6)
+    assert out["z"].cosine is None and out["z"].n_a == 0
+
+
+def test_ips_recovers_target_value(spark):
+    from graph_importer_spark.operators.evalmetrics import ips_policy_value
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    # behavior: arm 0 w.p. 0.7, arm 1 w.p. 0.3; reward 1 iff arm==1
+    for _ in range(4000):
+        arm = 0 if rng.random() < 0.7 else 1
+        prob = 0.7 if arm == 0 else 0.3
+        rows.append((arm, prob, 1.0 if arm == 1 else 0.0, 1))
+    d = spark.createDataFrame(rows, "arm int, prob double, reward double, target_arm int")
+    r = ips_policy_value(d, "arm", "reward", "prob", "target_arm").collect()[0]
+    # true value of always-arm-1 is 1.0; IPS should land near it
+    assert 0.85 < r.ips < 1.15
+    assert r.snips == pytest.approx(1.0, abs=1e-6)  # matched rewards all 1
+    assert r.avg_logged_reward < 0.4
