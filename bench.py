@@ -291,6 +291,7 @@ HEADLINE = [
     "events_alerts",
     "emb_drift",
     "eval_ips",
+    "eval_rouge",
 ]
 
 

@@ -13636,6 +13636,88 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18ii: ROUGE-N overlap metric
+# ---------------------------------------------------------------------------
+
+
+def q_eval_rouge(spark, sf_dir):
+    """ROUGE-2 (evalmetrics.rouge_n) between each document's first-
+    and last-30-token windows (a deterministic candidate/reference
+    stand-in exercising clipped multiset matching); the oracle
+    replays the bigram census and the clipped intersection."""
+    from graph_importer_spark.operators.evalmetrics import rouge_n
+    from graph_importer_spark.operators.textstats import normalize_text
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda t: t != ""
+    )
+    pairs = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 30), " ").alias("cand"),
+        F.array_join(
+            F.when(
+                F.size(toks) > 30,
+                F.slice(toks, -30, 30),
+            ).otherwise(toks),
+            " ",
+        ).alias("ref"),
+    )
+    return rouge_n(pairs, "doc_id", "cand", "ref", n=2)
+
+
+ORACLE_EVAL_ROUGE = rf"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split({_NF_SQL}, ' '), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 200),
+p AS (
+  SELECT id, list_slice(t, 1, LEAST(30, len(t))) AS ct,
+         CASE WHEN len(t) > 30
+              THEN list_slice(t, len(t) - 29, len(t)) ELSE t END AS rt
+  FROM d),
+cg AS (
+  SELECT id, array_to_string(list_slice(ct, i, i + 1), ' ') AS g,
+         COUNT(*) AS nc
+  FROM p, UNNEST(generate_series(1, len(ct) - 1)) u(i)
+  WHERE len(ct) >= 2 GROUP BY id, g),
+rg AS (
+  SELECT id, array_to_string(list_slice(rt, i, i + 1), ' ') AS g,
+         COUNT(*) AS nr
+  FROM p, UNNEST(generate_series(1, len(rt) - 1)) u(i)
+  WHERE len(rt) >= 2 GROUP BY id, g),
+m AS (
+  SELECT cg.id, SUM(LEAST(nc, nr)) AS n_match
+  FROM cg JOIN rg ON rg.id = cg.id AND rg.g = cg.g GROUP BY cg.id),
+sz AS (
+  SELECT id,
+         CASE WHEN len(ct) >= 2 THEN len(ct) - 1 ELSE 0 END AS n_cand,
+         CASE WHEN len(rt) >= 2 THEN len(rt) - 1 ELSE 0 END AS n_ref
+  FROM p),
+j AS (
+  SELECT sz.id, n_ref AS n_ref_grams, n_cand AS n_cand_grams,
+         COALESCE(m.n_match, 0) AS n_match
+  FROM sz LEFT JOIN m ON m.id = sz.id)
+SELECT id, n_ref_grams, n_cand_grams, n_match,
+       CASE WHEN n_ref_grams > 0
+            THEN round(CAST(n_match AS DOUBLE) / n_ref_grams, 6) END
+         AS rouge_recall,
+       CASE WHEN n_cand_grams > 0
+            THEN round(CAST(n_match AS DOUBLE) / n_cand_grams, 6) END
+         AS rouge_precision,
+       CASE WHEN n_ref_grams > 0 AND n_cand_grams > 0
+             AND CAST(n_match AS DOUBLE) / n_ref_grams
+                 + CAST(n_match AS DOUBLE) / n_cand_grams > 0
+            THEN round(2 * (CAST(n_match AS DOUBLE) / n_ref_grams)
+                         * (CAST(n_match AS DOUBLE) / n_cand_grams)
+                       / (CAST(n_match AS DOUBLE) / n_ref_grams
+                          + CAST(n_match AS DOUBLE) / n_cand_grams), 6)
+       END AS rouge_f1
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # End-of-round composition: the flagship + the round-4 sessions
@@ -13869,6 +13951,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-18hh additions: centroid drift, IPS eval.
     "emb_drift": q_emb_drift,
     "eval_ips": q_eval_ips,
+    # round-4 session-18ii addition: ROUGE-N.
+    "eval_rouge": q_eval_rouge,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -14256,6 +14340,7 @@ ORACLES: dict[str, str] = {
     "events_alerts": ORACLE_EVENTS_ALERTS,
     "emb_drift": ORACLE_EMB_DRIFT,
     "eval_ips": _oracle_eval_ips(),
+    "eval_rouge": ORACLE_EVAL_ROUGE,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

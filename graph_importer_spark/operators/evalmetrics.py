@@ -756,3 +756,89 @@ def ips_policy_value(
             "avg_logged_reward"
         ),
     )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """ROUGE-N over (candidate, reference) text pairs (Lin 2004 —
+    the summarization/compression overlap metric): clipped n-gram
+    matches / reference n-gram count (recall), plus precision and
+    F1.  Counts use the standard CLIPPED multiset intersection
+    (a candidate gram credits at most its reference multiplicity).
+
+    -> (id, n_ref_grams, n_cand_grams, n_match, rouge_recall,
+       rouge_precision, rouge_f1); NULL metrics when a side has no
+    grams.
+
+    Scale shape: gram construction is per-row array codegen; the
+    clipped intersection is one (id, gram) count join over the two
+    exploded sides — per-pair state bounded by the texts themselves.
+    """
+
+    def grams(col):
+        toks = F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " "
+            ),
+            lambda t: t != "",
+        )
+        if n == 1:
+            return toks
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = pairs.select(
+        F.col(id_col).alias("id"),
+        grams(F.col(cand_col)).alias("_c"),
+        grams(F.col(ref_col)).alias("_r"),
+    )
+    cg = base.select("id", F.explode("_c").alias("g")).groupBy(
+        "id", "g"
+    ).agg(F.count("*").alias("nc"))
+    rg = base.select("id", F.explode("_r").alias("g")).groupBy(
+        "id", "g"
+    ).agg(F.count("*").alias("nr"))
+    match = (
+        cg.join(rg, ["id", "g"])
+        .groupBy("id")
+        .agg(F.sum(F.least("nc", "nr")).alias("n_match"))
+    )
+    sizes = base.select(
+        "id", F.size("_c").alias("n_cand_grams"), F.size("_r").alias("n_ref_grams")
+    )
+    j = sizes.join(match, "id", "left").select(
+        "id",
+        "n_ref_grams",
+        "n_cand_grams",
+        F.coalesce("n_match", F.lit(0)).alias("n_match"),
+    )
+    rec = F.when(
+        F.col("n_ref_grams") > 0, F.col("n_match") / F.col("n_ref_grams")
+    )
+    prec = F.when(
+        F.col("n_cand_grams") > 0, F.col("n_match") / F.col("n_cand_grams")
+    )
+    f1 = F.when(
+        rec.isNotNull() & prec.isNotNull() & (rec + prec > 0),
+        2 * rec * prec / (rec + prec),
+    )
+    return j.select(
+        "id",
+        "n_ref_grams",
+        "n_cand_grams",
+        "n_match",
+        F.round(rec, decimals).alias("rouge_recall"),
+        F.round(prec, decimals).alias("rouge_precision"),
+        F.round(f1, decimals).alias("rouge_f1"),
+    )

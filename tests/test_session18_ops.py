@@ -1907,3 +1907,25 @@ def test_ips_recovers_target_value(spark):
     assert 0.85 < r.ips < 1.15
     assert r.snips == pytest.approx(1.0, abs=1e-6)  # matched rewards all 1
     assert r.avg_logged_reward < 0.4
+
+
+def test_rouge_n_clipped_matching(spark):
+    from graph_importer_spark.operators.evalmetrics import rouge_n
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "the cat sat"),          # perfect
+            (2, "a a a", "a b"),                         # clipping: uni 'a' x1
+            (3, "x y", "p q r"),                         # no overlap
+        ],
+        "id long, cand string, ref string",
+    )
+    u = {r.id: r for r in rouge_n(pairs, "id", "cand", "ref", n=1).collect()}
+    assert u[1].rouge_f1 == 1.0
+    # cand 'a a a' vs ref 'a b': clipped match = min(3,1) = 1
+    assert u[2].n_match == 1
+    assert u[2].rouge_recall == 0.5 and u[2].rouge_precision == pytest.approx(1 / 3, abs=1e-6)
+    assert u[3].n_match == 0 and u[3].rouge_f1 is None
+    b = {r.id: r for r in rouge_n(pairs, "id", "cand", "ref", n=2).collect()}
+    assert b[1].rouge_f1 == 1.0 and b[1].n_ref_grams == 2
+    assert b[3].n_cand_grams == 1 and b[3].n_match == 0
