@@ -292,6 +292,8 @@ HEADLINE = [
     "emb_drift",
     "eval_ips",
     "eval_rouge",
+    "graph_centralization",
+    "events_hhi",
 ]
 
 

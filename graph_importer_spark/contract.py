@@ -13718,6 +13718,69 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-18jj: degree centralization, traffic HHI
+# ---------------------------------------------------------------------------
+
+
+def q_graph_centralization(spark, sf_dir):
+    """Freeman degree centralization (analytics.
+    degree_centralization) of the co-purchase graph; the oracle
+    replays the degree aggregate and the closed form."""
+    from graph_importer_spark.operators.analytics import (
+        degree_centralization,
+    )
+
+    return degree_centralization(_copurchase_edges(spark, sf_dir))
+
+
+ORACLE_GRAPH_CENTRALIZATION = f"""
+WITH {_COPURCHASE_SQL},
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+a AS (
+  SELECT COUNT(*) AS n_nodes, MAX(deg) AS max_degree,
+         SUM(deg) AS sd
+  FROM deg),
+m AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT n_nodes, n_edges, max_degree,
+       CASE WHEN n_nodes >= 3
+            THEN round(CAST(n_nodes * max_degree - sd AS DOUBLE)
+                       / ((n_nodes - 1) * (n_nodes - 2)), 6) END
+         AS centralization
+FROM a, m
+"""
+
+
+def q_events_hhi(spark, sf_dir):
+    """Traffic HHI over the (dow, hour) cells (timeseries.
+    traffic_hhi); exact share ratios, 9dp rounded square sum."""
+    from graph_importer_spark.operators.timeseries import traffic_hhi
+
+    return traffic_hhi(T(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_HHI = r"""
+WITH per AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS t, COUNT(*) AS n_cells FROM per),
+h AS (
+  SELECT tot.n_cells,
+         CAST(SUM(CAST(round((CAST(n AS DOUBLE) / tot.t)
+                             * (CAST(n AS DOUBLE) / tot.t), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS hh
+  FROM per, tot GROUP BY tot.n_cells)
+SELECT n_cells, round(hh, 6) AS hhi,
+       round(1.0 / n_cells, 6) AS flat_hhi,
+       round(hh * n_cells, 6) AS peakiness
+FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # End-of-round composition: the flagship + the round-4 sessions
@@ -13953,6 +14016,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_ips": q_eval_ips,
     # round-4 session-18ii addition: ROUGE-N.
     "eval_rouge": q_eval_rouge,
+    # round-4 session-18jj additions: centralization, traffic HHI.
+    "graph_centralization": q_graph_centralization,
+    "events_hhi": q_events_hhi,
     # round-4 session-2 additions: CMS heavy hitters, SCD2 history,
     # Z-order layout, web link graph
     "sketch_cms_topk": q_sketch_cms_topk,
@@ -14341,6 +14407,8 @@ ORACLES: dict[str, str] = {
     "emb_drift": ORACLE_EMB_DRIFT,
     "eval_ips": _oracle_eval_ips(),
     "eval_rouge": ORACLE_EVAL_ROUGE,
+    "graph_centralization": ORACLE_GRAPH_CENTRALIZATION,
+    "events_hhi": ORACLE_EVENTS_HHI,
     "text_entropy": ORACLE_TEXT_ENTROPY,
     "kg_numeric_outliers": ORACLE_KG_NUMERIC_OUTLIERS,
     "events_ngrams": ORACLE_EVENTS_NGRAMS,

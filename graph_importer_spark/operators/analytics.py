@@ -2829,3 +2829,47 @@ def community_conductance(
         )
     )
     return j
+
+
+def degree_centralization(
+    edges: DataFrame, decimals: int = 6
+) -> DataFrame:
+    """Freeman degree centralization of the whole graph: Σ(d_max -
+    d_i) / ((n-1)(n-2)) — 0 for a cycle/regular graph, 1 for a
+    perfect star; the one-number 'is this graph hub-dominated?'
+    readout that decides whether the skew toolkit (salting, hub
+    caps) must be on before any join touches it.
+
+    -> one row (n_nodes, n_edges, max_degree, centralization);
+    NULL for n < 3 (denominator undefined).
+
+    Scale shape: one degree aggregate + one scalar aggregate.
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    m = und.count()
+    agg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        F.sum("deg").alias("_sd"),
+    )
+    n = F.col("n_nodes")
+    c = F.when(
+        n >= 3,
+        F.round(
+            (n * F.col("max_degree") - F.col("_sd"))
+            / ((n - 1) * (n - 2)),
+            decimals,
+        ),
+    )
+    return agg.select(
+        "n_nodes",
+        F.lit(m).alias("n_edges"),
+        "max_degree",
+        c.alias("centralization"),
+    )

@@ -1454,3 +1454,41 @@ def alert_suppression(
         F.col("_o.kept").alias("kept"),
         F.col("_o.storm").alias("storm_idx"),
     )
+
+
+def traffic_hhi(
+    events: DataFrame,
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of traffic over the weekly
+    (dow, hour) cells: HHI = Σ share² — 1/168 for perfectly flat
+    traffic, 1.0 for a single-cell spike; the one-number peakiness
+    next to seasonality_profile's full table (capacity planning reads
+    HHI, autoscaling reads the profile).
+
+    -> one row (n_cells, hhi, flat_hhi, peakiness) with peakiness =
+    hhi / flat_hhi (1 = flat).
+
+    Determinism: shares are exact count ratios; the share² sum runs
+    over the bounded 168-cell table with 9dp rounding.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    per = events.groupBy(
+        (F.floor(t / 86400) % 7).alias("dow"),
+        (F.floor(t / 3600) % 24).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("_t"), F.count("*").alias("n_cells"))
+    j = per.crossJoin(F.broadcast(tot))
+    hhi = F.sum(
+        F.round(
+            (F.col("n") / F.col("_t")) * (F.col("n") / F.col("_t")), 9
+        ).cast("decimal(28,9)")
+    )
+    agg = j.groupBy("n_cells").agg(hhi.cast("double").alias("_h"))
+    return agg.select(
+        "n_cells",
+        F.round("_h", decimals).alias("hhi"),
+        F.round(F.lit(1.0) / F.col("n_cells"), decimals).alias("flat_hhi"),
+        F.round(F.col("_h") * F.col("n_cells"), decimals).alias("peakiness"),
+    )

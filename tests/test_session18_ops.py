@@ -1929,3 +1929,37 @@ def test_rouge_n_clipped_matching(spark):
     b = {r.id: r for r in rouge_n(pairs, "id", "cand", "ref", n=2).collect()}
     assert b[1].rouge_f1 == 1.0 and b[1].n_ref_grams == 2
     assert b[3].n_cand_grams == 1 and b[3].n_match == 0
+
+
+def test_degree_centralization_star_vs_cycle(spark):
+    from graph_importer_spark.operators.analytics import degree_centralization
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_centralization(star).collect()[0]
+    assert r.centralization == pytest.approx(1.0)  # perfect star
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    r2 = degree_centralization(cycle).collect()[0]
+    assert r2.centralization == pytest.approx(0.0)
+    assert r2.n_nodes == 6 and r2.max_degree == 2
+
+
+def test_traffic_hhi_flat_vs_spike(spark):
+    from graph_importer_spark.operators.timeseries import traffic_hhi
+
+    # all events in one hour cell -> hhi 1.0
+    spike = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 9, m),) for m in range(30)], "ts timestamp"
+    )
+    r = traffic_hhi(spike).collect()[0]
+    assert r.hhi == 1.0 and r.n_cells == 1
+    # evenly spread over 4 cells -> hhi 0.25, peakiness 1.0
+    flat = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h, m),) for h in (1, 2, 3, 4) for m in (0, 30)],
+        "ts timestamp",
+    )
+    r2 = traffic_hhi(flat).collect()[0]
+    assert r2.hhi == pytest.approx(0.25) and r2.peakiness == pytest.approx(1.0)
