@@ -3544,7 +3544,7 @@ pick AS (
   FROM c JOIN t ON c.event_type = t.event_type CROSS JOIN qs
   WHERE c.cum >= CEIL(qs.q * t.total)
   GROUP BY c.event_type, qs.q)
-SELECT event_type, q, 0.0 + (bin + 1) * 10.0 AS est FROM pick
+SELECT event_type, q, CAST((bin + 1) * 10.0 AS DOUBLE) AS est FROM pick
 """
 
 
@@ -8684,11 +8684,27 @@ FROM r
 def q_emb_whiten(spark, sf_dir):
     """Embedding whitening (quantize.whiten): mean-center + L2
     renormalize; the oracle replays the 6dp per-dim mean, the ordered
-    left-fold norms, and the unit division."""
+    left-fold norms, and the unit division.  The whitened vector is
+    emitted as a comma-joined DECIMAL(18,6) string — the driver's
+    comparator cannot hash array-typed cells (CORRECTNESS_r04)."""
     from graph_importer_spark.operators.quantize import whiten
 
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return whiten(e, "vec_id", "embedding")
+    w = whiten(e, "vec_id", "embedding")
+    return w.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "centered",
+                lambda x: (x + F.lit(0.0))
+                .cast("decimal(18,6)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("centered"),
+        "norm_before",
+        "norm_after",
+    )
 
 
 ORACLE_EMB_WHITEN = r"""
@@ -8715,9 +8731,17 @@ n AS (
               list_transform(cen, x -> x * x)), (a, b) -> a + b)) AS na
   FROM c)
 SELECT vec_id,
-       CASE WHEN na = 0
-            THEN list_transform(cen, x -> round(x * 0.0, 6))
-            ELSE list_transform(cen, x -> round(x / na, 6)) END AS centered,
+       -- comma-joined DECIMAL(18,6) string (driver-hashable scalar);
+       -- + 0.0 normalizes IEEE -0.0 before the decimal cast, matching
+       -- the Spark side
+       array_to_string(
+         CASE WHEN na = 0
+              THEN list_transform(cen, x ->
+                     CAST(CAST(round(x * 0.0, 6) + 0.0 AS DECIMAL(18,6))
+                          AS VARCHAR))
+              ELSE list_transform(cen, x ->
+                     CAST(CAST(round(x / na, 6) + 0.0 AS DECIMAL(18,6))
+                          AS VARCHAR)) END, ',') AS centered,
        round(nb, 6) AS norm_before,
        round(na, 6) AS norm_after
 FROM n
@@ -8883,7 +8907,9 @@ agg AS (
   GROUP BY s.subj, s.pred, s.obj)
 SELECT t.subj, t.pred, t.obj, round(st.s_true, 6) AS score_true,
        COALESCE(a.n_cands, 0) AS n_cands,
-       COALESCE(a.nb + 1, 1) AS rank,
+       -- SUM() makes nb HUGEINT in DuckDB; CAST keeps the pandas dtype
+       -- int64 like Spark's (the CORRECTNESS_r04 hash-mismatch cause)
+       CAST(COALESCE(a.nb + 1, 1) AS BIGINT) AS rank,
        round(1.0 / COALESCE(a.nb + 1, 1), 6) AS rr,
        COALESCE(a.nb + 1, 1) <= 10 AS hit10
 FROM t JOIN st USING (subj, pred, obj)
@@ -8894,9 +8920,12 @@ LEFT JOIN agg a USING (subj, pred, obj)
 def q_text_stem(spark, sf_dir):
     """Stem-grouped vocabulary (textstats.stem_vocab): Porter-lite
     CASE-chain stemming over the corpus tokens; the oracle replays the
-    suffix rules clause for clause plus the deterministic top-60."""
+    suffix rules clause for clause plus the deterministic top-60.  The
+    surface-form sample is emitted comma-joined (the driver's comparator
+    cannot hash array-typed cells, CORRECTNESS_r04)."""
     d = T(spark, sf_dir, "documents")
-    return _ts.stem_vocab(d, "doc_id", "text", top=60)
+    v = _ts.stem_vocab(d, "doc_id", "text", top=60)
+    return v.withColumn("forms", F.array_join("forms", ","))
 
 
 _STEM_SQL = """
@@ -8938,7 +8967,8 @@ stf AS (SELECT doc_id, tok, {_STEM_SQL} AS stem FROM st2)
 SELECT stem, COUNT(*) AS n_occurrences,
        COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(DISTINCT tok) AS n_forms,
-       list_slice(list_sort(list_distinct(list(tok))), 1, 5) AS forms
+       array_to_string(
+         list_slice(list_sort(list_distinct(list(tok))), 1, 5), ',') AS forms
 FROM stf GROUP BY stem
 ORDER BY n_occurrences DESC, stem ASC LIMIT 60
 """
@@ -9131,8 +9161,13 @@ c AS (
            AS nbpe
   FROM t),
 g AS (
-  SELECT grp, COUNT(*) AS n_docs, SUM(nb) AS n_bytes, SUM(nc) AS n_chars,
-         SUM(nw) AS n_ws_tokens, SUM(nbpe) AS n_bpe_tokens
+  -- CAST the SUMs back to BIGINT: DuckDB's SUM(integer) yields HUGEINT,
+  -- which the driver's pandas bridge renders as float64 ("1507.0" vs
+  -- Spark's int64 "1507") — the CORRECTNESS_r04 hash-mismatch cause.
+  SELECT grp, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bytes,
+         CAST(SUM(nc) AS BIGINT) AS n_chars,
+         CAST(SUM(nw) AS BIGINT) AS n_ws_tokens,
+         CAST(SUM(nbpe) AS BIGINT) AS n_bpe_tokens
   FROM c GROUP BY grp)
 SELECT grp, n_docs, n_bytes, n_chars, n_ws_tokens, n_bpe_tokens,
        CASE WHEN n_bpe_tokens > 0
@@ -10253,7 +10288,8 @@ units AS (
   FROM u),
 sc AS (
   SELECT a.id, a.unit_idx, a.unit_text,
-         SUM(len(list_intersect(a.dl, b.dl))) AS score
+         -- BIGINT cast: DuckDB SUM(int) is HUGEINT -> float64 in pandas
+         CAST(SUM(len(list_intersect(a.dl, b.dl))) AS BIGINT) AS score
   FROM units a JOIN units b
     ON a.id = b.id AND a.unit_idx <> b.unit_idx
   GROUP BY a.id, a.unit_idx, a.unit_text),
@@ -10367,14 +10403,18 @@ kv AS (
   SELECT u.k AS key, json_extract_string(e.j, '$.' || u.k) AS v
   FROM e, UNNEST(json_keys(e.j)) u(k)),
 per AS (
+  -- BIGINT casts: DuckDB SUM(int) is HUGEINT -> float64 in pandas
   SELECT key, COUNT(*) AS n_present,
-         SUM(CASE WHEN regexp_matches(COALESCE(v, ''),
-                   '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS n_number,
-         SUM(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END) AS n_bool,
-         SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
-         SUM(CASE WHEN v IS NOT NULL AND v NOT IN ('true', 'false')
+         CAST(SUM(CASE WHEN regexp_matches(COALESCE(v, ''),
+                   '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_number,
+         CAST(SUM(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bool,
+         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(SUM(CASE WHEN v IS NOT NULL AND v NOT IN ('true', 'false')
                    AND NOT regexp_matches(v, '^-?[0-9]+(\.[0-9]+)?$')
-                  THEN 1 ELSE 0 END) AS n_string
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_string
   FROM kv GROUP BY key),
 w AS (
   SELECT key, n_present, n_number, n_bool, n_null, n_string,
@@ -10442,7 +10482,13 @@ def q_graph_shortest_path(spark, sf_dir):
         F.least(F.min("src"), F.min("dst")).alias("lo"),
         F.greatest(F.max("src"), F.max("dst")).alias("hi"),
     ).collect()[0]
-    return shortest_path_trace(e, ends.lo, ends.hi, max_hops=8)
+    tr = shortest_path_trace(e, ends.lo, ends.hi, max_hops=8)
+    # comma-joined hop string: the driver's comparator cannot hash
+    # array-typed cells (CORRECTNESS_r04 class)
+    return tr.withColumn(
+        "path",
+        F.array_join(F.transform("path", lambda x: x.cast("string")), ","),
+    )
 
 
 ORACLE_GRAPH_SHORTEST_PATH = r"""
@@ -10472,7 +10518,8 @@ wk(step, v) AS (
   WHERE wk.v <> sd.s)
 SELECT sd.s AS src, sd.t AS dst,
        CAST((SELECT d FROM m, sd WHERE m.id = sd.t) AS INT) AS dist,
-       (SELECT list(v ORDER BY step DESC) FROM wk) AS path
+       (SELECT string_agg(CAST(v AS VARCHAR), ',' ORDER BY step DESC)
+        FROM wk) AS path
 FROM sd
 WHERE EXISTS (SELECT 1 FROM m, sd WHERE m.id = sd.t)
 """
@@ -10544,7 +10591,7 @@ mb AS (SELECT b AS lbl, SUM(n) AS nb FROM pc GROUP BY b),
 pe AS (
   SELECT SUM(COALESCE(na, 0) * COALESCE(nb, 0)) AS pp
   FROM ma FULL JOIN mb USING (lbl))
-SELECT tot.n,
+SELECT CAST(tot.n AS BIGINT) AS n,
        round(CAST(agree AS DOUBLE) / tot.n, 6) AS po,
        round(CAST(pp AS DOUBLE) / (tot.n * tot.n), 6) AS pe,
        CASE WHEN CAST(pp AS DOUBLE) / (tot.n * tot.n) < 1.0
@@ -10627,7 +10674,8 @@ j AS (
          COALESCE(support, 0) - COALESCE(tp, 0) AS fn,
          COALESCE(support, 0) AS support
   FROM rows_ FULL JOIN cols_ USING (cls) LEFT JOIN diag USING (cls))
-SELECT cls, tp, fp, fn, support,
+SELECT cls, tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(support AS BIGINT) AS support,
        CASE WHEN tp + fp > 0
             THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
        CASE WHEN support > 0
@@ -11009,7 +11057,8 @@ armed AS (
          converted
   FROM u),
 per AS (
-  SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+  -- BIGINT cast: DuckDB SUM(int) is HUGEINT -> float64 in pandas
+  SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
   FROM armed GROUP BY arm),
 j AS (
   SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
@@ -11095,7 +11144,17 @@ def q_text_feature_hash(spark, sf_dir):
     8-bucket token hashing; the oracle replays every bucket's
     membership filter and signed fold."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return _ts.feature_hash(d, "doc_id", "text", n_features=8, signed=True)
+    fh = _ts.feature_hash(d, "doc_id", "text", n_features=8, signed=True)
+    # int64 like the oracle's BIGINT (same pandas dtype on the driver)
+    fh = fh.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+    # comma-joined bucket string: the driver's comparator cannot hash
+    # array-typed cells (CORRECTNESS_r04 class)
+    return fh.withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("string")), ","
+        ),
+    )
 
 
 def _oracle_text_feature_hash(n_features: int = 8) -> str:
@@ -11124,7 +11183,11 @@ b AS (
   SELECT id, len(toks) AS n_tokens,
        {buckets}
   FROM d)
-SELECT id, n_tokens, [{fcols}] AS features FROM b
+SELECT id, n_tokens,
+       array_to_string(list_transform([{fcols}],
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS features
+FROM b
 """
 
 
@@ -11465,7 +11528,9 @@ def q_eval_conformal(spark, sf_dir):
     )
     cal = scored.filter(F.col("o_orderkey") % 2 == 0)
     test = scored.filter(F.col("o_orderkey") % 2 == 1)
-    return conformal_threshold(cal, test, "score", alpha=0.1, decimals=4)
+    ct = conformal_threshold(cal, test, "score", alpha=0.1, decimals=4)
+    # int64 like the oracle's BIGINT (same pandas dtype on the driver)
+    return ct.withColumn("k", F.col("k").cast("bigint"))
 
 
 def _oracle_eval_conformal(alpha: float = 0.1) -> str:
@@ -11501,7 +11566,8 @@ t AS (
          SUM(CASE WHEN sc <= (SELECT q_hat FROM q)
                   THEN 1 ELSE 0 END) AS n_covered
   FROM test)
-SELECT kk.n_cal, kk.k, q.q_hat, t.n_test, t.n_covered,
+SELECT kk.n_cal, kk.k, q.q_hat, t.n_test,
+       CAST(t.n_covered AS BIGINT) AS n_covered,
        round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage
 FROM kk, q, t
 """
@@ -11569,7 +11635,7 @@ a AS (
          SUM(CASE WHEN delay IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
          quantile_cont(CAST(delay AS DOUBLE), [0.25, 0.5, 0.75]) AS q
   FROM dd)
-SELECT n_started, n_converted,
+SELECT n_started, CAST(n_converted AS BIGINT) AS n_converted,
        round(CAST(n_converted AS DOUBLE) / n_started, 6) AS conv_rate,
        round(q[1], 6) AS p25_s, round(q[2], 6) AS p50_s,
        round(q[3], 6) AS p75_s
@@ -11719,7 +11785,9 @@ s AS (
                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END
            AS sv
   FROM f)
-SELECT t, n_risk, n_events, n_censored, round(sv, 6) AS survival
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored, round(sv, 6) AS survival
 FROM s
 """
 
@@ -11740,7 +11808,7 @@ def _oracle_orders_pareto(fracs=(0.5, 0.8, 0.9)) -> str:
     for f in fracs:
         sels.append(
             f"""
-(SELECT {f} AS frac,
+(SELECT CAST({f} AS DOUBLE) AS frac,
         CAST(ck - nk + ceil((tv * {f} - (cv - v * nk)) / v) AS BIGINT)
           AS n_keys,
         tk, tv, v, cv, nk, ck
@@ -12260,7 +12328,8 @@ dd AS (SELECT DISTINCT fd, av, dep, bv FROM pairs),
 pk AS (SELECT fd, dep, av, COUNT(*) AS ndep FROM dd GROUP BY fd, dep, av)
 SELECT fd AS determinant, dep AS dependent,
        COUNT(*) AS n_keys,
-       SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
        round(CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS violation_rate,
        SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
@@ -12422,7 +12491,8 @@ p AS (
   SELECT query_id, ql, COUNT(*) AS n_neighbors,
          SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS n_agree
   FROM r WHERE rn <= {k} GROUP BY query_id, ql)
-SELECT query_id AS id, ql AS label, n_neighbors, n_agree,
+SELECT query_id AS id, ql AS label, n_neighbors,
+       CAST(n_agree AS BIGINT) AS n_agree,
        round(CAST(n_agree AS DOUBLE) / n_neighbors, 6) AS agreement,
        round(CAST(n_agree AS DOUBLE) / n_neighbors, 6) < 0.5 AS is_suspect
 FROM p
@@ -12454,7 +12524,8 @@ per AS (
   FROM base GROUP BY value),
 tot AS (
   SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb, COUNT(*) AS nc FROM per)
-SELECT value, n, n_good, n_bad,
+SELECT value, n, CAST(n_good AS BIGINT) AS n_good,
+       CAST(n_bad AS BIGINT) AS n_bad,
        round(ln(((n_good + 0.5) / (tg + 0.5 * nc))
                 / ((n_bad + 0.5) / (tb + 0.5 * nc))), 6) AS woe,
        round((((n_good + 0.5) / (tg + 0.5 * nc))
@@ -13071,15 +13142,18 @@ c AS (
          lower(obj) IN ('true', 'false') AS is_bool
   FROM facts),
 per AS (
+  -- BIGINT casts: DuckDB SUM(int) is HUGEINT -> float64 in pandas
   SELECT pred, COUNT(*) AS n,
-         SUM(CASE WHEN is_int THEN 1 ELSE 0 END) AS n_int,
-         SUM(CASE WHEN is_dec AND NOT is_int THEN 1 ELSE 0 END)
-           AS n_decimal,
-         SUM(CASE WHEN is_date AND NOT is_int AND NOT is_dec
-                  THEN 1 ELSE 0 END) AS n_date,
-         SUM(CASE WHEN is_bool THEN 1 ELSE 0 END) AS n_bool,
-         SUM(CASE WHEN NOT is_int AND NOT is_dec AND NOT is_date
-                   AND NOT is_bool THEN 1 ELSE 0 END) AS n_string
+         CAST(SUM(CASE WHEN is_int THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+         CAST(SUM(CASE WHEN is_dec AND NOT is_int THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_decimal,
+         CAST(SUM(CASE WHEN is_date AND NOT is_int AND NOT is_dec
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+         CAST(SUM(CASE WHEN is_bool THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bool,
+         CAST(SUM(CASE WHEN NOT is_int AND NOT is_dec AND NOT is_date
+                   AND NOT is_bool THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_string
   FROM c GROUP BY pred),
 w AS (
   SELECT *, GREATEST(n_bool, n_date, n_decimal, n_int, n_string) AS mx
@@ -13159,7 +13233,7 @@ per AS (
          SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
          SUM(c * (c - 1)) AS pairs
   FROM tt GROUP BY id)
-SELECT id, n_tokens, n_types,
+SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
        round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
        round(CAST(hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
        CASE WHEN n_tokens >= 2
@@ -13400,7 +13474,7 @@ cuts AS (
     UNION ALL
     SELECT b % 8 FROM e WHERE a % 8 <> b % 8) GROUP BY c),
 tot AS (SELECT SUM(volume) AS tv FROM vol)
-SELECT vol.c AS community, n_nodes, volume,
+SELECT vol.c AS community, n_nodes, CAST(volume AS BIGINT) AS volume,
        COALESCE(cut, 0) AS cut,
        CASE WHEN LEAST(volume, tot.tv - volume) > 0
             THEN round(CAST(COALESCE(cut, 0) AS DOUBLE)
@@ -13626,7 +13700,7 @@ a AS (
          SUM(CAST(round(wt, 9) AS DECIMAL(38,9))) AS sw,
          SUM(CAST(round(reward, 9) AS DECIMAL(38,9))) AS sr
   FROM w)
-SELECT n, n_matched,
+SELECT n, CAST(n_matched AS BIGINT) AS n_matched,
        round(CAST(swr AS DOUBLE) / n, 6) AS ips,
        CASE WHEN CAST(sw AS DOUBLE) > 0
             THEN round(CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE), 6) END
@@ -13664,7 +13738,11 @@ def q_eval_rouge(spark, sf_dir):
             " ",
         ).alias("ref"),
     )
-    return rouge_n(pairs, "doc_id", "cand", "ref", n=2)
+    r = rouge_n(pairs, "doc_id", "cand", "ref", n=2)
+    # int64 like the oracle's BIGINT (same pandas dtype on the driver)
+    return r.withColumn(
+        "n_cand_grams", F.col("n_cand_grams").cast("bigint")
+    ).withColumn("n_ref_grams", F.col("n_ref_grams").cast("bigint"))
 
 
 ORACLE_EVAL_ROUGE = rf"""
@@ -13699,7 +13777,7 @@ j AS (
   SELECT sz.id, n_ref AS n_ref_grams, n_cand AS n_cand_grams,
          COALESCE(m.n_match, 0) AS n_match
   FROM sz LEFT JOIN m ON m.id = sz.id)
-SELECT id, n_ref_grams, n_cand_grams, n_match,
+SELECT id, n_ref_grams, n_cand_grams, CAST(n_match AS BIGINT) AS n_match,
        CASE WHEN n_ref_grams > 0
             THEN round(CAST(n_match AS DOUBLE) / n_ref_grams, 6) END
          AS rouge_recall,
