@@ -10251,7 +10251,12 @@ v AS (
            list_transform(gaps, x -> CAST(
              CASE WHEN x < 128 THEN 1 WHEN x < 16384 THEN 2
                   WHEN x < 2097152 THEN 3 WHEN x < 268435456 THEN 4
-                  ELSE 5 END AS BIGINT))),
+                  WHEN x < 34359738368 THEN 5
+                  WHEN x < 4398046511104 THEN 6
+                  WHEN x < 562949953421312 THEN 7
+                  WHEN x < 72057594037927936 THEN 8
+                  WHEN x < 9223372036854775807 THEN 9
+                  ELSE 10 END AS BIGINT))),
            (a, b) -> a + b) AS vb
   FROM g)
 SELECT term, df, df * 8 AS raw_bytes, vb AS varint_bytes,
@@ -11120,8 +11125,10 @@ uq AS (
 nn1 AS (SELECT COUNT(*) AS v FROM fixture WHERE o_custkey IS NULL),
 nn2 AS (SELECT COUNT(*) AS v FROM fixture WHERE o_orderdate IS NULL),
 av AS (
+  -- dbt semantics: accepted_values ignores NULLs (not_null is the
+  -- separate check)
   SELECT COUNT(*) AS v FROM fixture
-  WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL),
+  WHERE o_orderstatus NOT IN ('O', 'F')),
 fk AS (
   SELECT COUNT(*) AS v FROM fixture
   WHERE o_custkey IS NOT NULL
@@ -14384,6 +14391,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_copurchase": q_kcore_copurchase,
     "events_json_stats": q_events_json_stats,
     "rollup_pricing": q_rollup_pricing,
+}
+
+# ---- round-5 driver window (first 50) ----
+# The driver's CORRECTNESS pass checks the first 50 registry entries.
+# Round-5 composition (VERDICT r04 tasks 1-2): the flagship, the four
+# rows red in CORRECTNESS_r04 (now fixed: scalar-ized arrays /
+# BIGINT-pinned HUGEINT oracles), then 45 rows that have NEVER had a
+# driver check — riskiest first: the 20 whose oracles carried the same
+# latent HUGEINT / array / decimal-literal defects (fixed this round,
+# verified by tests/test_contract_shapes.py + scripts/strict_sweep.py),
+# then session-15-18 rows verified only by the local sweeps.  Every
+# out-of-window row remains covered by the full local sweep.
+_WINDOW_R05 = [
+    # flagship (driver-checked every round)
+    "kg_flagship",
+    # CORRECTNESS_r04 red rows, fixed this round
+    "emb_whiten", "kg_transe_rank", "text_stem", "text_fertility",
+    # never-windowed rows whose oracles had the latent driver-only
+    # canonicalization defects (all fixed + strict-swept this round)
+    "text_summary", "events_json_schema", "graph_shortest_path",
+    "eval_kappa", "eval_confusion", "events_ab_test",
+    "text_feature_hash", "eval_conformal", "events_ttc", "events_km",
+    "orders_pareto", "schema_fd", "emb_label_noise", "orders_woe",
+    "kg_range_types", "text_diversity", "graph_conductance",
+    "eval_ips", "eval_rouge", "sketch_hist_quantiles",
+    # never-windowed session-18 rows (individually verified only)
+    "emb_decontam", "orders_rules", "er_fs_em", "graph_diameter",
+    "eval_ece", "eval_regression", "er_soundex", "kg_path_alt",
+    "sim_ann_multiprobe", "dedup_cdc_chunks", "imp_quarantine",
+    "drift_psi", "orders_ltv", "dedup_savings", "text_postings_delta",
+    "events_churn", "graph_quotient", "text_hard_negatives",
+    "graph_cc_sizes", "kg_redirects", "dedup_pr", "graph_cocitation",
+    "events_dau", "graph_matching", "orders_checks",
+]
+assert len(_WINDOW_R05) == 50 and len(set(_WINDOW_R05)) == 50
+QUERIES = {n: QUERIES[n] for n in _WINDOW_R05} | {
+    k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R05)
 }
 
 ORACLES: dict[str, str] = {

@@ -1038,13 +1038,20 @@ def cdc_chunks(
 
     m = 1 << mask_bits
     w = int(window)
+    # short-doc guard: for length(t) < window, sequence(w, length(t))
+    # is DESCENDING in Spark, hashing partial windows at out-of-range
+    # positions — ~1/2^mask_bits of them became spurious cuts past the
+    # end of the doc (unsorted ends, negative chunk_len).  Such docs
+    # are one single chunk by definition.
     expr = (
         "transform(array(__t), t -> "
-        " transform(array(array_distinct(concat("
+        " transform(array("
+        f"   CASE WHEN length(t) < {w} THEN array(length(t))"
+        "        ELSE array_distinct(concat("
         f"   filter(sequence({w}, length(t)), i -> "
         f"     conv(substring(md5(substr(t, i - {w} + 1, {w})), 1, 8), 16, 10)"
         f"       % {m} = 0),"
-        "   array(length(t))))), ends -> "
+        "   array(length(t)))) END), ends -> "
         "  transform(sequence(1, size(ends)), j -> struct("
         "    j - 1 AS chunk_idx,"
         "    CASE WHEN j = 1 THEN 1"

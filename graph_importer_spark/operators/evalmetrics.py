@@ -451,6 +451,11 @@ def conformal_threshold(
     s = F.round(F.col(score_col).cast("double"), decimals)
     summary = cal.groupBy(s.alias("sc")).agg(F.count("*").alias("n"))
     n_cal = cal.count()
+    if n_cal == 0:
+        raise ValueError(
+            "conformal_threshold: calibration set is empty — no order "
+            "statistic exists (need at least one calibration score)"
+        )
     import math
 
     k = min(int(math.ceil((n_cal + 1) * (1 - alpha))), n_cal)

@@ -315,9 +315,10 @@ def table_checks(
         for c in not_null_cols:
             rows.append(row("not_null", c, agg[c]))
     for c, vals in (accepted_values or {}).items():
-        n = df.filter(
-            ~F.col(c).isin(vals) | F.col(c).isNull()
-        ).count()
+        # dbt semantics: accepted_values ignores NULLs — not_null is
+        # the separate, orthogonal check (a nullable column should not
+        # double-fail here)
+        n = df.filter(~F.col(c).isin(vals)).count()
         rows.append(row("accepted_values", c, n))
     for c, dim, dim_col in fk or []:
         n = (

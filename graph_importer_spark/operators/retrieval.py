@@ -324,8 +324,11 @@ def postings_delta(
     + ascending gaps; bytes are costed under 7-bit varint vs raw
     8-byte ids.
 
-    Byte counting is ALL-INTEGER (CASE thresholds at 2^7, 2^14, 2^21,
-    2^28 — no float log), so the audit replays exactly.
+    Byte counting is ALL-INTEGER (CASE thresholds at 2^7, 2^14, ...,
+    2^63 — the full 10-byte 64-bit varint ladder, since the FIRST
+    list entry encodes the absolute doc id as a gap from 0 and 64-bit
+    id spaces need up to 10 bytes; no float log), so the audit
+    replays exactly.
 
     -> (term, df, raw_bytes, varint_bytes, ratio) with ratio rounded.
 
@@ -361,7 +364,12 @@ def postings_delta(
         .when(g < 16384, F.lit(2))
         .when(g < 2097152, F.lit(3))
         .when(g < 268435456, F.lit(4))
-        .otherwise(F.lit(5)),
+        .when(g < 34359738368, F.lit(5))  # 2^35
+        .when(g < 4398046511104, F.lit(6))  # 2^42
+        .when(g < 562949953421312, F.lit(7))  # 2^49
+        .when(g < 72057594037927936, F.lit(8))  # 2^56
+        .when(g < 9223372036854775807, F.lit(9))  # 2^63
+        .otherwise(F.lit(10)),
     )
     return per.select(
         "term",

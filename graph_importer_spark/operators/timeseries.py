@@ -671,7 +671,9 @@ def ab_test_summary(
     Exactly two arms named 'A' and 'B' are required (guard-railed).
 
     -> one row (n_a, conv_a, rate_a, n_b, conv_b, rate_b, lift, z);
-    z NULL when the pooled variance is 0.
+    with ``value_col`` set, val_a / val_b (the per-arm DECIMAL value
+    sums) follow conv_a / conv_b.  z NULL when the pooled variance
+    is 0.
 
     Scale shape: ONE arm-keyed aggregate (2 groups, map-side
     partials); the z arithmetic runs on the 2-row summary.
@@ -689,11 +691,13 @@ def ab_test_summary(
             else []
         ),
     )
+    vcols_a = [F.col("val").alias("val_a")] if value_col else []
+    vcols_b = [F.col("val").alias("val_b")] if value_col else []
     a = per.filter(F.col("arm") == "A").select(
-        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"), *vcols_a
     )
     b = per.filter(F.col("arm") == "B").select(
-        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"), *vcols_b
     )
     j = a.crossJoin(b)
     ra = F.col("conv_a") / F.col("n_a")
@@ -705,9 +709,11 @@ def ab_test_summary(
     return j.select(
         "n_a",
         "conv_a",
+        *(["val_a"] if value_col else []),
         F.round(ra, decimals).alias("rate_a"),
         "n_b",
         "conv_b",
+        *(["val_b"] if value_col else []),
         F.round(rb, decimals).alias("rate_b"),
         F.round(rb - ra, decimals).alias("lift"),
         F.when(se > 0, F.round((rb - ra) / se, decimals)).alias("z"),

@@ -645,6 +645,33 @@ def test_cdc_chunks_shift_robust(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_cdc_chunks_doc_shorter_than_window(spark):
+    """Docs shorter than the rolling window are one whole chunk.
+
+    Regression (ADVICE r04): sequence(window, length) is DESCENDING
+    when length < window, so out-of-range positions were hashed over
+    partial windows and ~1/2^mask_bits of them became spurious cut
+    positions past the end of the doc — unsorted ends, negative
+    chunk_len, garbage chunk_md5.
+    """
+    from graph_importer_spark.operators.dedup import cdc_chunks
+
+    rows = [(i, "x" * n) for i, n in enumerate(range(1, 16))]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(d, "doc_id", "text", mask_bits=2, window=16).collect()
+    # every short doc -> exactly one chunk spanning the whole doc
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.chunk_idx == 0 and r.start == 1
+        assert r.chunk_len == len(rows[r.id][1])
+        assert r.chunk_len > 0
+    # boundary case: length == window still chunks normally
+    d2 = spark.createDataFrame([(99, "y" * 16)], "doc_id long, text string")
+    o2 = cdc_chunks(d2, "doc_id", "text", mask_bits=2, window=16).collect()
+    assert sum(r.chunk_len for r in o2) == 16
+    assert all(r.chunk_len > 0 for r in o2)
+
+
 def test_quarantine_accounts_for_every_line(spark):
     from graph_importer_spark.importer.graphalytics import (
         parse_edges_quarantine,
@@ -737,6 +764,21 @@ def test_postings_delta_varint_math(spark):
     # gaps: 1, 199 -> 1 + 2 = 3
     assert b.varint_bytes == 3
     assert b.ratio == pytest.approx(3 / 16, abs=1e-6)
+
+
+def test_postings_delta_64bit_id_space(spark):
+    """The first list entry encodes the ABSOLUTE doc id (gap from 0):
+    64-bit id spaces cost up to 10 varint bytes, not the 5-byte cap of
+    the old 2^28 ladder (ADVICE r04)."""
+    from graph_importer_spark.operators.retrieval import postings_delta
+
+    big = 1 << 62  # gap from 0 needs ceil(63/7) = 9 varint bytes
+    d = spark.createDataFrame(
+        [(big, "omega"), (big + 5, "omega")], "doc_id long, text string"
+    )
+    out = {r.term: r for r in postings_delta(d, "doc_id", "text").collect()}
+    # gaps: 2^62 (9 bytes), 5 (1 byte)
+    assert out["omega"].varint_bytes == 10
 
 
 def test_extractive_summary_prefers_restated_unit(spark):
@@ -1039,6 +1081,28 @@ def test_table_checks_detects_planted_violations(spark):
     assert not any(r.passed for r in out.values())
 
 
+def test_table_checks_accepted_values_ignores_nulls(spark):
+    """dbt semantics (ADVICE r04): accepted_values ignores NULLs —
+    not_null is the separate check, so a nullable column must not
+    double-fail."""
+    from graph_importer_spark.operators.profiling import table_checks
+
+    d = spark.createDataFrame(
+        [(1, "O"), (2, None), (3, "F")], "k long, s string"
+    )
+    out = {
+        (r.check, r.column): r
+        for r in table_checks(
+            d,
+            not_null_cols=["s"],
+            accepted_values={"s": ["O", "F"]},
+        ).collect()
+    }
+    assert out[("accepted_values", "s")].n_violations == 0
+    assert out[("accepted_values", "s")].passed
+    assert out[("not_null", "s")].n_violations == 1
+
+
 def test_feature_hash_deterministic_and_signed(spark):
     from graph_importer_spark.operators.textstats import feature_hash
 
@@ -1156,6 +1220,32 @@ def test_conformal_threshold_coverage_guarantee(spark):
     # coverage should land near (and in expectation above) 0.9
     assert r.coverage >= 0.85
     assert 0.85 <= r.q_hat <= 0.95
+
+
+def test_conformal_threshold_empty_calibration_raises(spark):
+    """Empty calibration set -> explicit ValueError, not IndexError
+    from the order-statistic collect (ADVICE r04)."""
+    from graph_importer_spark.operators.evalmetrics import conformal_threshold
+
+    empty = spark.createDataFrame([], "score double")
+    test = spark.createDataFrame([(0.5,)], "score double")
+    with pytest.raises(ValueError, match="calibration set is empty"):
+        conformal_threshold(empty, test, "score", alpha=0.1)
+
+
+def test_ab_test_summary_value_col_carried(spark):
+    """With value_col set, the per-arm DECIMAL value sums appear as
+    val_a / val_b (ADVICE r04: they were aggregated then dropped)."""
+    from graph_importer_spark.operators.timeseries import ab_test_summary
+
+    rows = [("A", 1, 10.5), ("A", 0, 2.0), ("B", 1, 7.25), ("B", 1, 1.0)]
+    d = spark.createDataFrame(rows, "arm string, converted int, value double")
+    r = ab_test_summary(d, "arm", "converted", value_col="value").collect()[0]
+    assert float(r.val_a) == pytest.approx(12.5)
+    assert float(r.val_b) == pytest.approx(8.25)
+    # and the plain form still omits the value columns
+    r2 = ab_test_summary(d, "arm", "converted").collect()[0]
+    assert "val_a" not in r2.asDict()
 
 
 def test_seasonality_profile_conservation(spark):
