@@ -4303,10 +4303,10 @@ def q_kg_negative_samples(spark, sf_dir):
     every 7th order) that most corruptions survive, dense enough that
     some collide with positives and the anti-join filter provably
     drops rows; entity ranks passed explicitly (sorted) so the
-    md5-mod pick replays cross-engine."""
-    from pyspark.sql import Window as _W
-
+    md5-mod pick replays cross-engine (ids.sorted_ranks — the global
+    lexicographic rank without an unpartitioned window)."""
     from graph_importer_spark import triples as _tr
+    from graph_importer_spark.operators.ids import sorted_ranks
 
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     t = o.select(
@@ -4316,14 +4316,9 @@ def q_kg_negative_samples(spark, sf_dir):
         .alias("pred"),
         F.concat(F.lit("p"), (F.col("o_orderkey") % 997).cast("string")).alias("obj"),
     ).distinct()
-    ranks = (
-        t.select(F.col("obj").alias("neg_obj"))
-        .distinct()
-        .select(
-            "neg_obj",
-            (F.row_number().over(_W.orderBy("neg_obj")) - 1).alias("_rank"),
-        )
-    )
+    ranks = sorted_ranks(
+        t.select(F.col("obj").alias("neg_obj")), "neg_obj"
+    ).select("neg_obj", F.col("rank").alias("_rank"))
     return _tr.negative_samples(t, n_per_positive=2, entity_ranks=ranks)
 
 
@@ -8813,8 +8808,9 @@ def q_kg_transe_rank(spark, sf_dir):
     """TransE-style link-prediction ranking (triples.transe_rank) over
     the deterministic orders triple set; entity ranks passed sorted so
     both the candidate picks and the md5-derived embeddings replay
-    cross-engine, dims folded in identical order."""
-    from pyspark.sql import Window as _W
+    cross-engine, dims folded in identical order (ids.sorted_ranks —
+    the global lexicographic rank without an unpartitioned window)."""
+    from graph_importer_spark.operators.ids import sorted_ranks
 
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
     t = o.select(
@@ -8828,13 +8824,8 @@ def q_kg_transe_rank(spark, sf_dir):
             "obj"
         ),
     ).distinct()
-    ranks = (
-        t.select(F.col("obj").alias("_ent"))
-        .distinct()
-        .select(
-            "_ent",
-            (F.row_number().over(_W.orderBy("_ent")) - 1).alias("_rank"),
-        )
+    ranks = sorted_ranks(t.select(F.col("obj").alias("_ent")), "_ent").select(
+        "_ent", F.col("rank").alias("_rank")
     )
     return _triples.transe_rank(
         t, entity_ranks=ranks, dim=4, n_candidates=16

@@ -49,6 +49,47 @@ def dense_ids(
     )
 
 
+def sorted_ranks(
+    df: DataFrame, col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """-> (``col``, rank long): the exact GLOBAL lexicographic rank
+    (``row_number() OVER (ORDER BY col) - 1``) without an unpartitioned
+    window.
+
+    Same two-pass shape as ``dense_ids`` but RANGE-partitioned: range
+    partition i holds keys strictly below partition i+1's, so
+    global rank = (rows in earlier partitions) + (rank within this
+    partition).  The per-partition window sorts ~n/p keys; the only
+    driver traffic is the O(p) offset collect.  The result is a pure
+    function of the key set — range boundary placement (sampled by
+    repartitionByRange) moves rows between partitions but cannot
+    change any key's global rank — so SQL oracles replay it with a
+    plain ORDER BY row_number.
+
+    Use this (not dense_ids) when the CONSUMER depends on rank order —
+    e.g. candidate lookup tables indexed by sorted-vocabulary position;
+    dense_ids is cheaper when any stable dense id will do.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = df.select(col).distinct().repartitionByRange(p, F.col(col))
+    keyed = keys.withColumn("_pid", F.spark_partition_id())
+    counts = keyed.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(col, (F.col("_off") + F.col("_rn") - 1).alias("rank"))
+    )
+
+
 def connected_components_dense(
     edges: DataFrame,
     src: str = "src",

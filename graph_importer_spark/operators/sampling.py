@@ -210,10 +210,11 @@ def weighted_sample_topk(
     filter or clamp upstream.
 
     Scale shape: one window sort per group — the per-group row count is
-    the cost driver, exactly like any top-k.  For a GLOBAL weighted
-    sample over a skewed corpus route through the two-phase
-    ``skew.salted_topk`` with ``es_score`` as the ranking column
-    instead (same score, partial top-k per salt bucket first).
+    the cost driver, exactly like any top-k.  The GLOBAL form (no
+    ``group_cols``) routes through the two-phase ``skew.salted_topk``
+    (partial top-k per salt bucket, then a <= buckets*k candidate
+    merge) — no single task ever sorts the whole corpus; the final
+    rank is a window over the <= k survivors only.
 
     ``score_decimals`` rounds the score BEFORE ranking — the
     cross-engine determinism hatch: ``pow`` is not correctly rounded by
@@ -230,16 +231,34 @@ def weighted_sample_topk(
         score = F.round(score, score_decimals)
     scored = df.withColumn("es_score", score)
     part = group_cols or []
-    w = (
-        Window.partitionBy(*part).orderBy(
+    if part:
+        w = Window.partitionBy(*part).orderBy(
             F.desc("es_score"), F.asc(key_col)
         )
-        if part
-        else Window.orderBy(F.desc("es_score"), F.asc(key_col))
+        return (
+            scored.withColumn("es_rank", F.row_number().over(w))
+            .filter(F.col("es_rank") <= k)
+        )
+    # global form: an unpartitioned window would funnel the whole
+    # corpus through one task; salted_topk keeps every sort bounded
+    # (per-bucket partial top-k, then <= buckets*k candidates)
+    from graph_importer_spark.operators.skew import salted_topk
+
+    payload = [c for c in scored.columns if c not in (key_col, "es_score")]
+    cand = salted_topk(
+        scored.withColumn("_g", F.lit(0)),
+        key="_g",
+        order_col="es_score",
+        tiebreak=key_col,
+        k=k,
+        payload=payload,
     )
+    # rank the <= k survivors; partitioning by the constant keeps the
+    # window partition-defined (plan-assertable) and k-bounded
+    w = Window.partitionBy("_g").orderBy(F.desc("es_score"), F.asc(key_col))
     return (
-        scored.withColumn("es_rank", F.row_number().over(w))
-        .filter(F.col("es_rank") <= k)
+        cand.withColumn("es_rank", F.row_number().over(w))
+        .select(*df.columns, "es_score", "es_rank")
     )
 
 

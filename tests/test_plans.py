@@ -517,3 +517,36 @@ def test_whiten_mean_is_broadcast_not_window(spark):
     assert "Window" not in plan
     assert "BroadcastExchange" in plan  # 1-row mean table broadcast
     assert P.python_eval_count(out) == 0
+
+
+def test_sorted_ranks_matches_global_rank_without_global_window(spark):
+    """ids.sorted_ranks = row_number() OVER (ORDER BY col) - 1, but via
+    range partitioning + per-partition rank + broadcast offsets — the
+    contract harness's vocab-rank shape (VERDICT r04 #3: no
+    unpartitioned row_number in any contract plan)."""
+    from graph_importer_spark.operators.ids import sorted_ranks
+
+    rows = [(f"e{i:04d}",) for i in range(0, 2000, 3)]
+    df = spark.createDataFrame(rows, "ent string")
+    out = sorted_ranks(df, "ent")
+    got = {r.ent: r.rank for r in out.collect()}
+    exp = {e: i for i, (e,) in enumerate(sorted(rows))}
+    assert got == exp
+    # rank is layout-independent
+    got2 = {r.ent: r.rank for r in sorted_ranks(df.repartition(7), "ent").collect()}
+    assert got2 == exp
+    # plan: every window carries a partition spec (the _pid one);
+    # nothing funnels the key set through a single partition
+    plan = P.physical_plan(out)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_harness_vocab_rank_queries_have_no_global_window(spark):
+    """The two contract rows that rank an entity vocabulary must not
+    plan an unpartitioned window (VERDICT r04 #3)."""
+    from graph_importer_spark import contract as C
+
+    for name in ("kg_transe_rank", "kg_negative_samples"):
+        df = C.QUERIES[name](spark, SF_DIR)
+        plan = P.physical_plan(df)
+        assert "Exchange SinglePartition" not in plan, name
