@@ -13857,6 +13857,123 @@ FROM h
 """
 
 
+def q_graph_mincut(spark, sf_dir):
+    """Bounded s-t min-cut (flow.st_mincut — the Spark-native analogue
+    of the reference's experimental Pregel3 MinCut spec,
+    /root/reference/pregel3/p3_make_query.py:108-124) over a layered
+    fixture derived from orders: s -> a_i (cap 1 + i%2, i = custkey%6)
+    -> b_j (cap 1 when (i+j)%3 = 0, j = orderkey%8) -> t (cap 1).
+    The oracle replays every Edmonds-Karp phase — BFS layers over the
+    residual, min-parent lexicomin augmenting path, bottleneck,
+    residual update — as unrolled recursive CTEs, then the final
+    residual reachability and the cut."""
+    from graph_importer_spark.operators.flow import st_mincut
+
+    o = T(spark, sf_dir, "orders")
+    A = o.select((F.col("o_custkey") % 6).alias("i")).distinct()
+    B = o.select((F.col("o_orderkey") % 8).alias("j")).distinct()
+    sa = A.select(
+        F.lit("s").alias("src"),
+        F.concat(F.lit("a"), F.col("i").cast("string")).alias("dst"),
+        (F.lit(1) + F.col("i") % 2).cast("long").alias("cap"),
+    )
+    ab = (
+        A.crossJoin(B)
+        .filter((F.col("i") + F.col("j")) % 3 == 0)
+        .select(
+            F.concat(F.lit("a"), F.col("i").cast("string")).alias("src"),
+            F.concat(F.lit("b"), F.col("j").cast("string")).alias("dst"),
+            F.lit(1).cast("long").alias("cap"),
+        )
+    )
+    bt = B.select(
+        F.concat(F.lit("b"), F.col("j").cast("string")).alias("src"),
+        F.lit("t").alias("dst"),
+        F.lit(1).cast("long").alias("cap"),
+    )
+    edges = sa.unionByName(ab).unionByName(bt)
+    return st_mincut(
+        edges, "s", "t", cap_col="cap", max_augmentations=16, max_hops=10
+    )
+
+
+def _oracle_graph_mincut(phases: int = 12, hops: int = 10) -> str:
+    """Unrolled Edmonds-Karp: one (bfs, m, par, wk, pe, bt, r+1) CTE
+    block per augmentation phase; a phase whose BFS no longer reaches
+    t degenerates to a no-op (empty walk -> bottleneck 0), so any
+    unroll count >= the true augmentation count replays exactly."""
+    ctes = [
+        """a_ AS (SELECT DISTINCT o_custkey % 6 AS i FROM orders),
+b_ AS (SELECT DISTINCT o_orderkey % 8 AS j FROM orders),
+e AS (
+  SELECT 's' AS u, 'a' || CAST(i AS VARCHAR) AS v,
+         CAST(1 + i % 2 AS BIGINT) AS cap FROM a_
+  UNION ALL
+  SELECT 'a' || CAST(i AS VARCHAR), 'b' || CAST(j AS VARCHAR),
+         CAST(1 AS BIGINT)
+  FROM a_, b_ WHERE (i + j) % 3 = 0
+  UNION ALL
+  SELECT 'b' || CAST(j AS VARCHAR), 't', CAST(1 AS BIGINT) FROM b_),
+r0 AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(cap) AS BIGINT) AS cap FROM (
+    SELECT u, v, cap FROM e
+    UNION ALL SELECT v, u, CAST(0 AS BIGINT) FROM e) GROUP BY u, v)"""
+    ]
+    for p in range(phases):
+        ctes.append(
+            f"""bfs{p}(id, d) AS (
+  SELECT 's', 0
+  UNION
+  SELECT r.v, b.d + 1 FROM bfs{p} b JOIN r{p} r
+    ON r.u = b.id AND r.cap > 0 WHERE b.d < {hops}),
+m{p} AS MATERIALIZED (SELECT id, MIN(d) AS d FROM bfs{p} GROUP BY id),
+par{p} AS MATERIALIZED (
+  SELECT mv.id, MIN(r.u) AS parent
+  FROM r{p} r JOIN m{p} mu ON mu.id = r.u JOIN m{p} mv ON mv.id = r.v
+  WHERE r.cap > 0 AND mu.d = mv.d - 1 GROUP BY mv.id),
+wk{p}(step, v) AS (
+  SELECT 0, 't' FROM (SELECT 1)
+  WHERE EXISTS (SELECT 1 FROM m{p} WHERE id = 't')
+  UNION ALL
+  SELECT wk.step + 1, par.parent
+  FROM wk{p} wk JOIN par{p} par ON par.id = wk.v WHERE wk.v <> 's'),
+pe{p} AS MATERIALIZED (
+  SELECT par.parent AS u, wk.v AS v
+  FROM wk{p} wk JOIN par{p} par ON par.id = wk.v WHERE wk.v <> 's'),
+bt{p} AS MATERIALIZED (
+  SELECT CAST(COALESCE(MIN(r.cap), 0) AS BIGINT) AS b
+  FROM r{p} r JOIN pe{p} x ON x.u = r.u AND x.v = r.v),
+r{p + 1} AS MATERIALIZED (
+  SELECT r.u, r.v, CAST(r.cap
+    - CASE WHEN EXISTS (SELECT 1 FROM pe{p} x
+                        WHERE x.u = r.u AND x.v = r.v)
+           THEN bt.b ELSE 0 END
+    + CASE WHEN EXISTS (SELECT 1 FROM pe{p} x
+                        WHERE x.u = r.v AND x.v = r.u)
+           THEN bt.b ELSE 0 END AS BIGINT) AS cap
+  FROM r{p} r, bt{p} bt)"""
+        )
+    flow_sum = " + ".join(f"(SELECT b FROM bt{p})" for p in range(phases))
+    ctes.append(
+        f"""fb(id) AS (
+  SELECT 's'
+  UNION
+  SELECT r.v FROM fb JOIN r{phases} r ON r.u = fb.id AND r.cap > 0),
+eo AS (SELECT u, v, CAST(SUM(cap) AS BIGINT) AS cap FROM e GROUP BY u, v)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE
+{body}
+SELECT eo.u AS src, eo.v AS dst, eo.cap AS capacity,
+       CAST({flow_sum} AS BIGINT) AS max_flow
+FROM eo
+WHERE eo.cap > 0
+  AND eo.u IN (SELECT id FROM fb)
+  AND eo.v NOT IN (SELECT id FROM fb)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window (first 50), round 4 ----
     # End-of-round composition: the flagship + the round-4 sessions
@@ -14382,6 +14499,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_copurchase": q_kcore_copurchase,
     "events_json_stats": q_events_json_stats,
     "rollup_pricing": q_rollup_pricing,
+    # round-5: bounded Pregel3-MinCut analogue (SURVEY §2.9 G7)
+    "graph_mincut": q_graph_mincut,
 }
 
 # ---- round-5 driver window (first 50) ----
@@ -14414,7 +14533,11 @@ _WINDOW_R05 = [
     "drift_psi", "orders_ltv", "dedup_savings", "text_postings_delta",
     "events_churn", "graph_quotient", "text_hard_negatives",
     "graph_cc_sizes", "kg_redirects", "dedup_pr", "graph_cocitation",
-    "events_dau", "graph_matching", "orders_checks",
+    "events_dau", "graph_matching",
+    # round-5 addition: the bounded Pregel3-MinCut analogue (new, so
+    # also never driver-checked; displaces orders_checks to the
+    # locally-swept tail)
+    "graph_mincut",
 ]
 assert len(_WINDOW_R05) == 50 and len(set(_WINDOW_R05)) == 50
 QUERIES = {n: QUERIES[n] for n in _WINDOW_R05} | {
@@ -14720,4 +14843,5 @@ ORACLES: dict[str, str] = {
     # gen_edge_attrs), mapInPandas via hex() byte extraction
     # (mm_byte_histogram), streaming via its drained batch result
     # (stream_windowed_counts).
+    "graph_mincut": _oracle_graph_mincut(),
 }
