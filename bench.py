@@ -294,6 +294,8 @@ HEADLINE = [
     "eval_rouge",
     "graph_centralization",
     "events_hhi",
+    # round 5
+    "graph_mincut",
 ]
 
 

@@ -13860,44 +13860,53 @@ FROM h
 def q_graph_mincut(spark, sf_dir):
     """Bounded s-t min-cut (flow.st_mincut — the Spark-native analogue
     of the reference's experimental Pregel3 MinCut spec,
-    /root/reference/pregel3/p3_make_query.py:108-124) over a layered
-    fixture derived from orders: s -> a_i (cap 1 + i%2, i = custkey%6)
-    -> b_j (cap 1 when (i+j)%3 = 0, j = orderkey%8) -> t (cap 1).
-    The oracle replays every Edmonds-Karp phase — BFS layers over the
-    residual, min-parent lexicomin augmenting path, bottleneck,
-    residual update — as unrolled recursive CTEs, then the final
-    residual reachability and the cut."""
+    /root/reference/pregel3/p3_make_query.py:108-124) over a
+    waist-shaped fixture derived from orders: s -> a_i (cap 9,
+    i = custkey%6) -> m_{i%2} (cap 9) -> n (cap 5 per m — THE 2-edge
+    waist, total 10) -> b_j (cap 9, j = orderkey%8) -> t (cap 9).
+    Max flow saturates the waist in two 5-unit augmentations; the
+    min cut is exactly {m0->n, m1->n}.  The oracle replays every
+    Edmonds-Karp phase — BFS layers over the residual, min-parent
+    lexicomin augmenting path, bottleneck, residual update — as
+    unrolled recursive CTEs, then the final residual reachability and
+    the cut.  (Deeper algorithmic coverage — CLRS network, reverse-arc
+    pushes, duality — lives in tests/test_flow.py; the contract row's
+    job is exact cross-engine replay of the phase loop.)"""
     from graph_importer_spark.operators.flow import st_mincut
 
     o = T(spark, sf_dir, "orders")
     A = o.select((F.col("o_custkey") % 6).alias("i")).distinct()
     B = o.select((F.col("o_orderkey") % 8).alias("j")).distinct()
+    M = A.select((F.col("i") % 2).alias("k")).distinct()
+    nm = lambda p, c: F.concat(F.lit(p), c.cast("string"))  # noqa: E731
     sa = A.select(
-        F.lit("s").alias("src"),
-        F.concat(F.lit("a"), F.col("i").cast("string")).alias("dst"),
-        (F.lit(1) + F.col("i") % 2).cast("long").alias("cap"),
+        F.lit("s").alias("src"), nm("a", F.col("i")).alias("dst"),
+        F.lit(9).cast("long").alias("cap"),
     )
-    ab = (
-        A.crossJoin(B)
-        .filter((F.col("i") + F.col("j")) % 3 == 0)
-        .select(
-            F.concat(F.lit("a"), F.col("i").cast("string")).alias("src"),
-            F.concat(F.lit("b"), F.col("j").cast("string")).alias("dst"),
-            F.lit(1).cast("long").alias("cap"),
-        )
+    am = A.select(
+        nm("a", F.col("i")).alias("src"),
+        nm("m", F.col("i") % 2).alias("dst"),
+        F.lit(9).cast("long").alias("cap"),
+    )
+    mn = M.select(
+        nm("m", F.col("k")).alias("src"), F.lit("n").alias("dst"),
+        F.lit(5).cast("long").alias("cap"),
+    )
+    nb = B.select(
+        F.lit("n").alias("src"), nm("b", F.col("j")).alias("dst"),
+        F.lit(9).cast("long").alias("cap"),
     )
     bt = B.select(
-        F.concat(F.lit("b"), F.col("j").cast("string")).alias("src"),
-        F.lit("t").alias("dst"),
-        F.lit(1).cast("long").alias("cap"),
+        nm("b", F.col("j")).alias("src"), F.lit("t").alias("dst"),
+        F.lit(9).cast("long").alias("cap"),
     )
-    edges = sa.unionByName(ab).unionByName(bt)
+    edges = sa.unionByName(am).unionByName(mn).unionByName(nb).unionByName(bt)
     return st_mincut(
-        edges, "s", "t", cap_col="cap", max_augmentations=16, max_hops=10
+        edges, "s", "t", cap_col="cap", max_augmentations=8, max_hops=8
     )
 
 
-def _oracle_graph_mincut(phases: int = 12, hops: int = 10) -> str:
+def _oracle_graph_mincut(phases: int = 5, hops: int = 8) -> str:
     """Unrolled Edmonds-Karp: one (bfs, m, par, wk, pe, bt, r+1) CTE
     block per augmentation phase; a phase whose BFS no longer reaches
     t degenerates to a no-op (empty walk -> bottleneck 0), so any
@@ -13905,15 +13914,19 @@ def _oracle_graph_mincut(phases: int = 12, hops: int = 10) -> str:
     ctes = [
         """a_ AS (SELECT DISTINCT o_custkey % 6 AS i FROM orders),
 b_ AS (SELECT DISTINCT o_orderkey % 8 AS j FROM orders),
+m_ AS (SELECT DISTINCT i % 2 AS k FROM a_),
 e AS (
   SELECT 's' AS u, 'a' || CAST(i AS VARCHAR) AS v,
-         CAST(1 + i % 2 AS BIGINT) AS cap FROM a_
+         CAST(9 AS BIGINT) AS cap FROM a_
   UNION ALL
-  SELECT 'a' || CAST(i AS VARCHAR), 'b' || CAST(j AS VARCHAR),
-         CAST(1 AS BIGINT)
-  FROM a_, b_ WHERE (i + j) % 3 = 0
+  SELECT 'a' || CAST(i AS VARCHAR), 'm' || CAST(i % 2 AS VARCHAR),
+         CAST(9 AS BIGINT) FROM a_
   UNION ALL
-  SELECT 'b' || CAST(j AS VARCHAR), 't', CAST(1 AS BIGINT) FROM b_),
+  SELECT 'm' || CAST(k AS VARCHAR), 'n', CAST(5 AS BIGINT) FROM m_
+  UNION ALL
+  SELECT 'n', 'b' || CAST(j AS VARCHAR), CAST(9 AS BIGINT) FROM b_
+  UNION ALL
+  SELECT 'b' || CAST(j AS VARCHAR), 't', CAST(9 AS BIGINT) FROM b_),
 r0 AS MATERIALIZED (
   SELECT u, v, CAST(SUM(cap) AS BIGINT) AS cap FROM (
     SELECT u, v, cap FROM e

@@ -10,8 +10,9 @@ that spec to a server; the algorithm itself lives server-side.  This
 module is the Spark-native bounded analogue: Edmonds–Karp (BFS
 augmenting paths, shortest-path-first) with every per-iteration step a
 DataFrame job, mirroring the repo's `k_hop` / `shortest_path_trace`
-loop shape (frontier equi-join + min-parent aggregate + per-round
-localCheckpoint lineage truncation).
+loop shape (frontier equi-join + min-parent aggregate; the residual
+is lineage-truncated by one localCheckpoint per augmentation, and
+each BFS layer costs exactly one action).
 
 Determinism contract (what makes a SQL oracle replay it exactly):
 * BFS layers over the residual graph: dist(v) = min hops from s over
@@ -92,48 +93,46 @@ def st_mincut(
         .localCheckpoint(eager=True)
     )
 
-    def bfs(residual: DataFrame) -> DataFrame:
-        """-> (id, dist, parent) over residual arcs with cap > 0,
-        parent = MIN(u) in the previous layer; stops early when the
-        target is reached (any further layer cannot shorten it)."""
-        arcs = residual.filter(F.col("cap") > 0).select("u", "v")
-        visited = (
-            arcs.sparkSession.createDataFrame(
-                [(source, 0, None)], "id string, dist int, parent string"
-            )
-            if isinstance(source, str)
-            else arcs.sparkSession.createDataFrame(
-                [(source, 0, None)], "id long, dist int, parent long"
-            )
-        )
-        frontier = visited.select("id")
-        for d in range(1, max_hops + 1):
-            step = (
-                arcs.join(frontier.withColumnRenamed("id", "u"), "u")
-                .join(visited.select(F.col("id").alias("v")), "v", "left_anti")
-                .groupBy("v")
-                .agg(F.min("u").alias("parent"))
-                .select(
-                    F.col("v").alias("id"),
-                    F.lit(d).alias("dist"),
-                    "parent",
-                )
-                .localCheckpoint(eager=True)
-            )
-            if step.isEmpty():
+    spark = edges.sparkSession
+    id_t = "string" if isinstance(source, str) else "long"
+
+    def bfs(residual: DataFrame) -> dict:
+        """-> {id: parent} over residual arcs with cap > 0, parent =
+        MIN(u) in the previous BFS layer; stops early once the target
+        is reached (no later layer can shorten it).
+
+        Each layer expansion is ONE single-stage distributed job (the
+        residual scan broadcast-joined against the frontier — no
+        shuffle); the frontier-incident arcs (<= E of the bounded
+        subgraph) return to the driver, where the min-parent pick over
+        that bounded layer is O(layer).  No per-round checkpoints: the
+        residual under the scan is already lineage-truncated per
+        augmentation."""
+        arcs = residual.filter(F.col("cap") > 0)
+        parents: dict = {source: None}
+        caps: dict = {}  # residual cap of each discovered parent edge
+        frontier = [source]
+        for _ in range(max_hops):
+            fdf = spark.createDataFrame([(x,) for x in frontier], f"u {id_t}")
+            hits = arcs.join(F.broadcast(fdf), "u").collect()
+            step: dict = {}
+            for r in hits:
+                v, u = r["v"], r["u"]
+                if v not in parents and (v not in step or u < step[v]):
+                    step[v] = u
+                caps[(u, v)] = r["cap"]
+            if not step:
                 break
-            visited = visited.unionByName(step).localCheckpoint(eager=True)
-            if not step.filter(F.col("id") == target).isEmpty():
+            parents.update(step)
+            if target in parents:
                 break
-            frontier = step.select("id")
-        return visited
+            frontier = sorted(step)
+        return parents, caps
 
     max_flow = 0
     for _ in range(max_augmentations):
-        visited = bfs(res)
-        # backtrack target -> source through min-parents (driver walk:
-        # O(path) point lookups on the bounded visited table)
-        pmap = {r["id"]: r["parent"] for r in visited.collect()}
+        # backtrack target -> source through the min-parent map
+        pmap, caps = bfs(res)
         if target not in pmap:
             break
         path = [target]
@@ -142,17 +141,10 @@ def st_mincut(
         path_edges = [
             (path[i + 1], path[i]) for i in range(len(path) - 1)
         ]  # (u, v) along s->t
-        pe = res.sparkSession.createDataFrame(
-            path_edges,
-            (
-                "u string, v string"
-                if isinstance(source, str)
-                else "u long, v long"
-            ),
-        )
-        bottleneck = (
-            res.join(pe, ["u", "v"]).agg(F.min("cap").alias("b")).collect()[0].b
-        )
+        pe = spark.createDataFrame(path_edges, f"u {id_t}, v {id_t}")
+        # the BFS layer collect already carried each discovered arc's
+        # residual capacity — the bottleneck costs no extra job
+        bottleneck = min(caps[e] for e in path_edges)
         max_flow += bottleneck
         pe_rev = pe.select(F.col("v").alias("u"), F.col("u").alias("v"))
         res = (
@@ -179,10 +171,14 @@ def st_mincut(
         )
 
     # source side S of the cut = residual reachability from s
-    reach = bfs(res).select("id")
+    reach = spark.createDataFrame(
+        [(x,) for x in bfs(res)[0]], f"id {id_t}"
+    )
     cut = (
-        fwd.join(reach.withColumnRenamed("id", "u"), "u")
-        .join(reach.withColumnRenamed("id", "v"), "v", "left_anti")
+        fwd.join(F.broadcast(reach.withColumnRenamed("id", "u")), "u")
+        .join(
+            F.broadcast(reach.withColumnRenamed("id", "v")), "v", "left_anti"
+        )
         .filter(F.col("cap") > 0)
         .select(
             F.col("u").alias(src),
