@@ -13988,15 +13988,12 @@ WHERE eo.cap > 0
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- window (first 50), round 4 ----
-    # End-of-round composition: the flagship + the round-4 sessions
-    # 10-17 additions (never driver-checked — round 4 has ONE driver
-    # pass, at round end) + the first 14 session-18 rows through
-    # graph_mis.  The remaining ~232 registered rows are out of
-    # window by arithmetic necessity (50-row cap); every one is
-    # locally verified by the full scripts/check_contract.py sweep
-    # (all green as of the closing sweep), which is the same
-    # row-count + schema + value-hash comparison the driver runs.
+    # NOTE (round 5): the dict literal below is the CATALOG in
+    # historical registration order; the driver-facing window order
+    # is applied by the `_WINDOW_R05` reordering right after this
+    # literal — see that block for the round-5 window policy.
+    # (The comments inside the literal describe the round-4 window
+    # and are kept as registration history.)
     # flagship, always driver-checked
     "kg_flagship": q_kg_flagship,
     # round-4 session-10 additions (window rule (a): new entries take
