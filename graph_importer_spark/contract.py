@@ -2240,13 +2240,24 @@ def _oracle_text_quality() -> str:
         rf"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE round(list_reduce(list_transform("
         rf"string_split_regex(trim(text), '\s+'), x -> length(x)), (a, b) -> a + b) / {ntok}, 6) END)"
     )
-    score = (
-        f"0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END)"
-        f" + 0.25 * least(1.0, {swr} * 5)"
-        f" + 0.25 * (1.0 - least(1.0, {pr} * 4))"
-        f" + 0.25 * (CASE WHEN {mwl} >= 3.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    # integer-millionths replay of quality_score (see textstats.py:
+    # the quarter-weighted sum of 6dp components can land exactly on
+    # a .5 six-decimal boundary; sum_m % 4 >= 2 is the HALF_UP rule)
+    sum_m = (
+        f"((CASE WHEN length(text) >= 50 AND length(text) <= 10000"
+        f" THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {mwl} >= 3.0 AND {mwl} <= 12.0 THEN 1 ELSE 0 END))"
+        f" * 1000000"
+        f" + least(1000000, CAST(round({swr} * 1000000) AS BIGINT) * 5)"
+        f" + 1000000 - least(1000000,"
+        f"   CAST(round({pr} * 1000000) AS BIGINT) * 4)"
     )
-    return f"SELECT doc_id, round({score}, 6) AS quality FROM documents"
+    score = (
+        f"CAST(CAST((CAST(({sum_m}) // 4 AS BIGINT)"
+        f" + (CASE WHEN ({sum_m}) % 4 >= 2 THEN 1 ELSE 0 END))"
+        f" AS DECIMAL(18,0)) / 1000000 AS DOUBLE)"
+    )
+    return f"SELECT doc_id, {score} AS quality FROM documents"
 
 
 def q_text_simhash(spark, sf_dir):
@@ -13845,14 +13856,18 @@ WITH per AS (
   FROM events GROUP BY 1, 2),
 tot AS (SELECT SUM(n) AS t, COUNT(*) AS n_cells FROM per),
 h AS (
+  -- per-cell share^2 in integer BILLIONTHS (0dp double rounding is
+  -- engine-consistent; fractional-dp rounding is not — the sf0.1
+  -- strict-sweep finding); all later rounds are integer half-up
   SELECT tot.n_cells,
          CAST(SUM(CAST(round((CAST(n AS DOUBLE) / tot.t)
-                             * (CAST(n AS DOUBLE) / tot.t), 9)
-                       AS DECIMAL(28,9))) AS DOUBLE) AS hh
+                             * (CAST(n AS DOUBLE) / tot.t)
+                             * 1000000000) AS BIGINT)) AS BIGINT) AS c
   FROM per, tot GROUP BY tot.n_cells)
-SELECT n_cells, round(hh, 6) AS hhi,
+SELECT n_cells,
+       CAST((c + 500) // 1000 AS DOUBLE) / 1000000.0 AS hhi,
        round(1.0 / n_cells, 6) AS flat_hhi,
-       round(hh * n_cells, 6) AS peakiness
+       CAST((c * n_cells + 500) // 1000 AS DOUBLE) / 1000000.0 AS peakiness
 FROM h
 """
 

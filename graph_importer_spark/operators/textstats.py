@@ -113,19 +113,33 @@ def quality_score(text: Column, lang: str = "en") -> Column:
 
     score = 0.25*len_ok + 0.25*min(1, stopword_ratio*5)
           + 0.25*(1 - min(1, punct_ratio*4)) + 0.25*word_len_ok
+
+    Computed in integer MILLIONTHS: every component is a 6dp-rounded
+    ratio, so the quarter-weighted sum is an exact multiple of
+    0.25e-6 that can land exactly on a .5 six-decimal boundary —
+    where double-space rounding diverges between engines (Spark
+    rounds the shortest decimal repr of the double, DuckDB the binary
+    value; one boundary doc at sf0.1, found by the round-5 strict
+    sweep).  sum_m % 4 >= 2 IS the HALF_UP rule on that boundary,
+    replayed identically in SQL.
     """
     n = F.length(text)
-    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1)).otherwise(F.lit(0))
     sw = stopword_ratio(text, lang)
     mw = mean_word_len(text)
-    wl_ok = F.when((mw >= 3.0) & (mw <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = (
-        F.lit(0.25) * len_ok
-        + F.lit(0.25) * F.least(F.lit(1.0), sw * 5)
-        + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4))
-        + F.lit(0.25) * wl_ok
+    wl_ok = F.when((mw >= 3.0) & (mw <= 12.0), F.lit(1)).otherwise(F.lit(0))
+    m = lambda c: F.round(c * 1000000).cast("bigint")  # noqa: E731
+    c2 = F.least(F.lit(1000000), m(sw) * 5)
+    c3 = F.lit(1000000) - F.least(F.lit(1000000), m(punct_ratio(text)) * 4)
+    sum_m = (len_ok + wl_ok) * 1000000 + c2 + c3
+    score_m = F.floor(sum_m / 4).cast("bigint") + F.when(
+        sum_m % 4 >= 2, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        (score_m.cast("decimal(18,0)") / 1000000)
+        .cast("decimal(18,6)")
+        .cast("double")
     )
-    return F.round(score, 6)
 
 
 def alpha_word_frac(text: Column) -> Column:

@@ -1476,8 +1476,14 @@ def traffic_hhi(
     -> one row (n_cells, hhi, flat_hhi, peakiness) with peakiness =
     hhi / flat_hhi (1 = flat).
 
-    Determinism: shares are exact count ratios; the share² sum runs
-    over the bounded 168-cell table with 9dp rounding.
+    Determinism: each cell's share² rounds to an integer count of
+    BILLIONTHS (0dp rounding of a double is engine-consistent — the
+    .5 boundary k.5 is exactly representable, unlike the x.xxxxxxxx5
+    boundary of a fractional round, where Spark's shortest-repr
+    HALF_UP and DuckDB's binary-value round diverge — the sf0.1
+    strict-sweep finding of round 5); the sum and both 6dp rounds are
+    then exact integer arithmetic ((v + 500) // 1000 IS half-up), and
+    the only float op left is one correctly-rounded /1e6.
     """
     t = F.unix_timestamp(F.col(ts_col))
     per = events.groupBy(
@@ -1486,15 +1492,18 @@ def traffic_hhi(
     ).agg(F.count("*").alias("n"))
     tot = per.agg(F.sum("n").alias("_t"), F.count("*").alias("n_cells"))
     j = per.crossJoin(F.broadcast(tot))
-    hhi = F.sum(
-        F.round(
-            (F.col("n") / F.col("_t")) * (F.col("n") / F.col("_t")), 9
-        ).cast("decimal(28,9)")
+    cell_b = F.round(
+        (F.col("n") / F.col("_t")) * (F.col("n") / F.col("_t")) * 1000000000
+    ).cast("bigint")
+    agg = j.groupBy("n_cells").agg(F.sum(cell_b).alias("_c"))
+    half_up_milli = lambda v: F.floor((v + 500) / 1000).cast(  # noqa: E731
+        "bigint"
     )
-    agg = j.groupBy("n_cells").agg(hhi.cast("double").alias("_h"))
     return agg.select(
         "n_cells",
-        F.round("_h", decimals).alias("hhi"),
+        (half_up_milli(F.col("_c")) / F.lit(1000000.0)).alias("hhi"),
         F.round(F.lit(1.0) / F.col("n_cells"), decimals).alias("flat_hhi"),
-        F.round(F.col("_h") * F.col("n_cells"), decimals).alias("peakiness"),
+        (
+            half_up_milli(F.col("_c") * F.col("n_cells")) / F.lit(1000000.0)
+        ).alias("peakiness"),
     )
